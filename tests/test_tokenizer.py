@@ -1,0 +1,110 @@
+"""Tokenizer layout and round-trip tests.
+
+The special-token id layout is the hard contract (reference
+WHISPER_IPA_RESEARCH_STANDALONE.md:313-350): multilingual vocab 51865,
+<|endoftext|>=50257, <|startoftranscript|>=50258, <|en|>=50259,
+<|transcribe|>=50359, <|notimestamps|>=50363, timestamps from 50364.
+"""
+
+import pytest
+
+from whisper_ipa_tpu.tokenizer import WhisperTokenizer, get_tokenizer
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return get_tokenizer(multilingual=True, language="en", task="transcribe")
+
+
+class TestSpecialTokenLayout:
+    def test_core_ids(self, tok):
+        assert tok.eot == 50257
+        assert tok.sot == 50258
+        assert tok.language_token("en") == 50259
+        assert tok.translate == 50358
+        assert tok.transcribe == 50359
+        assert tok.sot_lm == 50360
+        assert tok.sot_prev == 50361
+        assert tok.no_speech == 50362
+        assert tok.no_timestamps == 50363
+        assert tok.timestamp_begin == 50364
+
+    def test_vocab_size(self, tok):
+        assert tok.n_vocab == 51865
+
+    def test_language_ids_ordered(self, tok):
+        assert tok.language_token("zh") == 50260
+        assert tok.language_token("su") == 50259 + 98
+
+    def test_large_v3_layout(self):
+        tok3 = get_tokenizer(multilingual=True, num_languages=100)
+        assert tok3.n_vocab == 51866
+        assert tok3.language_token("yue") == 50259 + 99
+        assert tok3.transcribe == 50360
+        assert tok3.no_timestamps == 50364
+
+    def test_sot_sequence(self, tok):
+        assert tok.sot_sequence == (50258, 50259, 50359)
+        assert tok.sot_sequence_including_notimestamps == (
+            50258,
+            50259,
+            50359,
+            50363,
+        )
+
+    def test_unknown_language_raises(self, tok):
+        with pytest.raises(KeyError):
+            tok.language_token("xx")
+
+
+class TestEncodeDecode:
+    def test_roundtrip_ascii(self, tok):
+        text = "hello world"
+        assert tok.decode_text(tok.encode(text)) == text
+
+    def test_roundtrip_ipa(self, tok):
+        # IPA with diacritics and modifier letters must round-trip
+        text = "bʌtn̩ ə̥tʃ kʰæt aː ŋ̍ ɡɯɣɫ ˨˩˦"
+        assert tok.decode_text(tok.encode(text)) == text
+
+    def test_ipa_ids_below_specials(self, tok):
+        ids = tok.encode("ətʃæθ")
+        assert all(i < 50257 for i in ids)
+
+    def test_decode_renders_specials(self, tok):
+        seq = list(tok.sot_sequence_including_notimestamps)
+        seq += tok.encode("kæt")
+        seq.append(tok.eot)
+        s = tok.decode(seq)
+        assert s.startswith(
+            "<|startoftranscript|><|en|><|transcribe|><|notimestamps|>"
+        )
+        assert s.endswith("kæt<|endoftext|>")
+
+    def test_decode_text_strips_specials(self, tok):
+        seq = list(tok.sot_sequence_including_notimestamps)
+        seq += tok.encode("kæt")
+        seq.append(tok.eot)
+        assert tok.decode_text(seq) == "kæt"
+
+    def test_timestamp_token_names(self, tok):
+        assert tok.decode([tok.timestamp_begin]) == "<|0.00|>"
+        assert tok.decode([tok.timestamp_begin + 1500]) == "<|30.00|>"
+
+
+class TestTrainingSequence:
+    """The reference's training-sequence format contract
+    (scripts/ipa_data_loader.py:102-131)."""
+
+    def test_format(self, tok):
+        ipa = "kæt"
+        tokens = list(tok.sot_sequence_including_notimestamps)
+        tokens += tok.encode(ipa)
+        tokens.append(tok.eot)
+        assert tokens[0] == tok.sot
+        assert tokens[-1] == tok.eot
+        assert tok.decode_text(tokens) == ipa
+
+    def test_nonspeech_tokens_exist(self, tok):
+        assert len(tok.non_speech_tokens) > 0
+        assert all(t < tok.n_base for t in tok.non_speech_tokens)

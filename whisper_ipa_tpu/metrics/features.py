@@ -1,0 +1,357 @@
+"""Articulatory feature system for IPA segments (24-dim vectors).
+
+A self-contained re-implementation of the feature-vector contract used by the
+reference metrics (panphon-style 24 binary features per phone; reference
+scripts/evaluate_ipa.py:108-163). panphon is not vendored; instead the table
+is *generated* from articulatory descriptions (place/manner/voicing for
+consonants, height/backness/rounding/tenseness for vowels) plus diacritic
+modification rules. Unknown phones map to the zero vector, matching the
+reference's fallback behavior.
+
+Feature order (panphon convention):
+    syl son cons cont delrel lat nas strid voi sg cg
+    ant cor distr lab hi lo back round velaric tense long hitone hireg
+
+Values are in {-1, 0, +1}.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from functools import lru_cache
+from typing import Dict, Optional
+
+import numpy as np
+
+FEATURE_NAMES = (
+    "syl", "son", "cons", "cont", "delrel", "lat", "nas", "strid", "voi",
+    "sg", "cg", "ant", "cor", "distr", "lab", "hi", "lo", "back", "round",
+    "velaric", "tense", "long", "hitone", "hireg",
+)
+NUM_FEATURES = len(FEATURE_NAMES)  # 24
+_IDX = {name: i for i, name in enumerate(FEATURE_NAMES)}
+
+# -- consonant description space -----------------------------------------
+
+# place classes
+_CORONAL_PLACES = {"dental", "alveolar", "postalveolar", "retroflex", "alveolopalatal"}
+_LABIAL_PLACES = {"bilabial", "labiodental", "labiovelar"}
+_DORSAL_HI = {"palatal", "velar", "labiovelar", "alveolopalatal"}
+_DORSAL_BACK = {"velar", "uvular", "pharyngeal", "labiovelar"}
+
+_SONORANT_MANNERS = {"nasal", "trill", "tap", "approximant", "lateral_approximant"}
+_CONTINUANT_MANNERS = {
+    "fricative", "lateral_fricative", "approximant", "lateral_approximant", "trill",
+}
+_SIBILANTS = set("szʃʒʂʐɕʑʧʤʦʣʨʥ")
+
+
+def _consonant_vector(
+    sym: str,
+    place: str,
+    manner: str,
+    voiced: bool,
+    *,
+    glide: bool = False,
+    lateral: bool = False,
+    rounded: bool = False,
+) -> np.ndarray:
+    v = np.zeros(NUM_FEATURES, dtype=np.int8)
+
+    def s(name, val):
+        v[_IDX[name]] = val
+
+    s("syl", -1)
+    s("son", 1 if manner in _SONORANT_MANNERS or glide else -1)
+    s("cons", -1 if (place == "glottal" or glide) else 1)
+    s("cont", 1 if manner in _CONTINUANT_MANNERS or glide else -1)
+    s("delrel", 1 if manner == "affricate" else -1)
+    s("lat", 1 if lateral or "lateral" in manner else -1)
+    s("nas", 1 if manner == "nasal" else -1)
+    s("strid", 1 if (sym and sym[0] in _SIBILANTS or place == "labiodental"
+                     and manner in ("fricative", "affricate")) else -1)
+    s("voi", 1 if voiced else -1)
+    s("sg", 1 if sym in ("h", "ɦ", "ʍ") and place == "glottal" or sym in ("h", "ɦ") else -1)
+    s("cg", 1 if sym == "ʔ" or manner == "implosive" else -1)
+
+    if place in _CORONAL_PLACES:
+        s("cor", 1)
+        s("ant", 1 if place in ("dental", "alveolar") else -1)
+        s("distr", 1 if place in ("dental", "postalveolar", "alveolopalatal") else -1)
+    else:
+        s("cor", -1)
+        s("ant", 1 if place in _LABIAL_PLACES else 0)
+        s("distr", 0)
+
+    s("lab", 1 if place in _LABIAL_PLACES or rounded else -1)
+    s("hi", 1 if place in _DORSAL_HI else -1)
+    s("lo", 1 if place == "pharyngeal" else -1)
+    s("back", 1 if place in _DORSAL_BACK else -1)
+    s("round", 1 if rounded else -1)
+    s("velaric", 1 if manner == "click" else -1)
+    s("tense", 0)
+    s("long", -1)
+    return v
+
+
+def _vowel_vector(
+    height: str,  # hi, nearhi, himid, mid, lomid, nearlo, lo
+    backness: str,  # front, central, back
+    rounded: bool,
+    tense: bool,
+    *,
+    rhotic: bool = False,
+) -> np.ndarray:
+    v = np.zeros(NUM_FEATURES, dtype=np.int8)
+
+    def s(name, val):
+        v[_IDX[name]] = val
+
+    s("syl", 1)
+    s("son", 1)
+    s("cons", -1)
+    s("cont", 1)
+    s("delrel", -1)
+    s("lat", -1)
+    s("nas", -1)
+    s("strid", 0)
+    s("voi", 1)
+    s("sg", -1)
+    s("cg", -1)
+    s("ant", 0)
+    s("cor", 1 if rhotic else -1)
+    s("distr", 0)
+    s("lab", 1 if rounded else -1)
+    s("hi", 1 if height in ("hi", "nearhi") else -1)
+    s("lo", 1 if height in ("lo", "nearlo") else -1)
+    s("back", {"front": -1, "central": 0, "back": 1}[backness])
+    s("round", 1 if rounded else -1)
+    s("velaric", -1)
+    s("tense", 1 if tense else -1)
+    s("long", -1)
+    return v
+
+
+# -- base segment inventory ----------------------------------------------
+
+def _build_base_table() -> Dict[str, np.ndarray]:
+    C = _consonant_vector
+    V = _vowel_vector
+    t: Dict[str, np.ndarray] = {}
+
+    # stops
+    for sym, place, vd in [
+        ("p", "bilabial", False), ("b", "bilabial", True),
+        ("t", "alveolar", False), ("d", "alveolar", True),
+        ("ʈ", "retroflex", False), ("ɖ", "retroflex", True),
+        ("c", "palatal", False), ("ɟ", "palatal", True),
+        ("k", "velar", False), ("ɡ", "velar", True), ("g", "velar", True),
+        ("q", "uvular", False), ("ɢ", "uvular", True),
+        ("ʔ", "glottal", False),
+    ]:
+        t[sym] = C(sym, place, "stop", vd)
+
+    # nasals
+    for sym, place in [
+        ("m", "bilabial"), ("ɱ", "labiodental"), ("n", "alveolar"),
+        ("ɳ", "retroflex"), ("ɲ", "palatal"), ("ŋ", "velar"), ("ɴ", "uvular"),
+    ]:
+        t[sym] = C(sym, place, "nasal", True)
+
+    # trills / taps
+    t["ʙ"] = C("ʙ", "bilabial", "trill", True)
+    t["r"] = C("r", "alveolar", "trill", True)
+    t["ʀ"] = C("ʀ", "uvular", "trill", True)
+    t["ɾ"] = C("ɾ", "alveolar", "tap", True)
+    t["ɽ"] = C("ɽ", "retroflex", "tap", True)
+    t["ⱱ"] = C("ⱱ", "labiodental", "tap", True)
+
+    # fricatives
+    for sym, place, vd in [
+        ("ɸ", "bilabial", False), ("β", "bilabial", True),
+        ("f", "labiodental", False), ("v", "labiodental", True),
+        ("θ", "dental", False), ("ð", "dental", True),
+        ("s", "alveolar", False), ("z", "alveolar", True),
+        ("ʃ", "postalveolar", False), ("ʒ", "postalveolar", True),
+        ("ʂ", "retroflex", False), ("ʐ", "retroflex", True),
+        ("ɕ", "alveolopalatal", False), ("ʑ", "alveolopalatal", True),
+        ("ç", "palatal", False), ("ʝ", "palatal", True),
+        ("x", "velar", False), ("ɣ", "velar", True),
+        ("χ", "uvular", False), ("ʁ", "uvular", True),
+        ("ħ", "pharyngeal", False), ("ʕ", "pharyngeal", True),
+        ("h", "glottal", False), ("ɦ", "glottal", True),
+    ]:
+        t[sym] = C(sym, place, "fricative", vd)
+    t["ɬ"] = C("ɬ", "alveolar", "lateral_fricative", False)
+    t["ɮ"] = C("ɮ", "alveolar", "lateral_fricative", True)
+    t["ʍ"] = C("ʍ", "labiovelar", "fricative", False, glide=True)
+
+    # single-codepoint affricates
+    for sym, place, vd in [
+        ("ʦ", "alveolar", False), ("ʣ", "alveolar", True),
+        ("ʧ", "postalveolar", False), ("ʤ", "postalveolar", True),
+        ("ʨ", "alveolopalatal", False), ("ʥ", "alveolopalatal", True),
+    ]:
+        t[sym] = C(sym, place, "affricate", vd)
+
+    # approximants
+    t["ʋ"] = C("ʋ", "labiodental", "approximant", True)
+    t["ɹ"] = C("ɹ", "alveolar", "approximant", True)
+    t["ɻ"] = C("ɻ", "retroflex", "approximant", True)
+    t["j"] = C("j", "palatal", "approximant", True, glide=True)
+    t["ɰ"] = C("ɰ", "velar", "approximant", True, glide=True)
+    t["w"] = C("w", "labiovelar", "approximant", True, glide=True, rounded=True)
+    t["ɥ"] = C("ɥ", "labiovelar", "approximant", True, glide=True, rounded=True)
+    # laterals
+    t["l"] = C("l", "alveolar", "lateral_approximant", True)
+    t["ɭ"] = C("ɭ", "retroflex", "lateral_approximant", True)
+    t["ʎ"] = C("ʎ", "palatal", "lateral_approximant", True)
+    t["ʟ"] = C("ʟ", "velar", "lateral_approximant", True)
+    t["ɫ"] = t["l"].copy()  # velarized l
+    t["ɫ"][_IDX["hi"]] = 1
+    t["ɫ"][_IDX["back"]] = 1
+
+    # implosives
+    for sym, place in [
+        ("ɓ", "bilabial"), ("ɗ", "alveolar"), ("ʄ", "palatal"),
+        ("ɠ", "velar"), ("ʛ", "uvular"),
+    ]:
+        t[sym] = C(sym, place, "implosive", True)
+
+    # vowels: (symbol, height, backness, rounded, tense)
+    for sym, h, b, rd, tn in [
+        ("i", "hi", "front", False, True),
+        ("y", "hi", "front", True, True),
+        ("ɨ", "hi", "central", False, False),
+        ("ʉ", "hi", "central", True, False),
+        ("ɯ", "hi", "back", False, True),
+        ("u", "hi", "back", True, True),
+        ("ɪ", "nearhi", "front", False, False),
+        ("ʏ", "nearhi", "front", True, False),
+        ("ʊ", "nearhi", "back", True, False),
+        ("e", "himid", "front", False, True),
+        ("ø", "himid", "front", True, True),
+        ("ɘ", "himid", "central", False, False),
+        ("ɵ", "himid", "central", True, False),
+        ("ɤ", "himid", "back", False, True),
+        ("o", "himid", "back", True, True),
+        ("ə", "mid", "central", False, False),
+        ("ɛ", "lomid", "front", False, False),
+        ("œ", "lomid", "front", True, False),
+        ("ɜ", "lomid", "central", False, False),
+        ("ɞ", "lomid", "central", True, False),
+        ("ʌ", "lomid", "back", False, False),
+        ("ɔ", "lomid", "back", True, False),
+        ("æ", "nearlo", "front", False, False),
+        ("ɐ", "nearlo", "central", False, False),
+        ("a", "lo", "front", False, True),
+        ("ɶ", "lo", "front", True, False),
+        ("ɑ", "lo", "back", False, True),
+        ("ɒ", "lo", "back", True, False),
+    ]:
+        t[sym] = V(h, b, rd, tn)
+    t["ɚ"] = V("mid", "central", False, False, rhotic=True)
+    t["ɝ"] = V("lomid", "central", False, False, rhotic=True)
+    return t
+
+
+_BASE_TABLE = _build_base_table()
+
+# -- diacritic modification rules ----------------------------------------
+# mark -> {feature: value} applied on top of the base segment's vector
+_DIACRITICS: Dict[str, Dict[str, int]] = {
+    "̥": {"voi": -1},             # ring below (voiceless)
+    "̊": {"voi": -1},             # ring above
+    "̬": {"voi": 1},              # caron below (voiced)
+    "ʰ": {"sg": 1},               # aspirated
+    "ʱ": {"sg": 1, "voi": 1},     # breathy aspirated
+    "̩": {"syl": 1},              # syllabic
+    "̍": {"syl": 1},              # syllabic (above)
+    "̃": {"nas": 1},              # nasalized
+    "ː": {"long": 1},             # long
+    "ˑ": {"long": 1},             # half-long
+    "ʲ": {"hi": 1, "back": -1},   # palatalized
+    "ʷ": {"round": 1, "lab": 1},  # labialized
+    "ˠ": {"hi": 1, "back": 1},    # velarized
+    "ˤ": {"lo": 1, "back": 1},    # pharyngealized
+    "̴": {"hi": 1, "back": 1},    # velarized/pharyngealized tilde overlay
+    "̤": {"sg": 1},               # breathy voiced
+    "̰": {"cg": 1},               # creaky voiced
+    "̪": {"ant": 1, "distr": 1},  # dental
+    "̺": {"distr": -1},           # apical
+    "ʼ": {"cg": 1},               # ejective
+    "́": {"hitone": 1, "hireg": 1},    # high tone
+    "̀": {"hitone": -1, "hireg": -1},  # low tone
+    "˥": {"hitone": 1, "hireg": 1},    # tone letter: extra high
+    "˦": {"hitone": 1, "hireg": 1},    # tone letter: high
+    "˧": {},                            # tone letter: mid
+    "˨": {"hitone": -1, "hireg": -1},  # tone letter: low
+    "˩": {"hitone": -1, "hireg": -1},  # tone letter: extra low
+}
+
+_TIE_BARS = ("͡", "͜")
+
+
+@lru_cache(maxsize=4096)
+def phone_to_vector(phone: str) -> Optional[np.ndarray]:
+    """Feature vector for a single phone (base char + marks), or None.
+
+    Tie-bar digraphs (t͡ʃ) resolve to the single-codepoint affricate when one
+    exists, else to the first base's vector with delayed release.
+    """
+    if not phone:
+        return None
+    phone = unicodedata.normalize("NFC", phone)
+
+    # tie-bar affricates / doubly articulated
+    for tie in _TIE_BARS:
+        if tie in phone:
+            parts = phone.split(tie)
+            joined = "".join(parts)
+            single = {
+                "ts": "ʦ", "dz": "ʣ", "tʃ": "ʧ", "dʒ": "ʤ",
+                "tɕ": "ʨ", "dʑ": "ʥ",
+            }.get(joined)
+            if single is not None:
+                return _BASE_TABLE[single].copy()
+            base = _BASE_TABLE.get(parts[0][:1])
+            if base is not None:
+                v = base.copy()
+                v[_IDX["delrel"]] = 1
+                return v
+            return None
+
+    base = None
+    marks = []
+    for ch in phone:
+        if base is None and ch in _BASE_TABLE:
+            base = _BASE_TABLE[ch].copy()
+        elif ch in _DIACRITICS:
+            marks.append(ch)
+        elif base is None:
+            # try NFD: base letter + combining marks
+            decomp = unicodedata.normalize("NFD", ch)
+            if len(decomp) > 1 and decomp[0] in _BASE_TABLE:
+                base = _BASE_TABLE[decomp[0]].copy()
+                for m in decomp[1:]:
+                    if m in _DIACRITICS:
+                        marks.append(m)
+        # unknown marks are ignored
+    if base is None:
+        return None
+    for m in marks:
+        for feat, val in _DIACRITICS[m].items():
+            base[_IDX[feat]] = val
+    return base
+
+
+def get_phone_features(phone: str) -> np.ndarray:
+    """Vector for a phone; zeros for unknown phones (reference fallback)."""
+    v = phone_to_vector(phone)
+    if v is None:
+        return np.zeros(NUM_FEATURES, dtype=np.int8)
+    return v
+
+
+def known_phone(phone: str) -> bool:
+    return phone_to_vector(phone) is not None

@@ -1,0 +1,369 @@
+"""Autoregressive decoding: options, logit filters, greedy + sampling loop.
+
+Mirrors the behavioral surface of the reference's decoding layer
+(mlx_whisper.decoding.DecodingOptions/decode, consumed at reference
+scripts/evaluate_model.py:168-200 and scripts/train_whisper_ipa.py:338-343)
+but is designed for TPU execution: the token loop is a single jitted
+``lax.while_loop`` over fixed-shape state (token buffer, KV cache, finished
+mask), so one XLA program decodes an entire batch with no per-token host
+round-trips — the reference pays a device sync per token.
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass, field, replace
+from functools import partial
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import WhisperConfig
+from ..models.whisper import DecoderCache, decode_step, encode, init_cache
+from ..tokenizer import WhisperTokenizer, get_tokenizer
+
+
+@dataclass(frozen=True)
+class DecodingOptions:
+    """Reference-compatible decoding options."""
+
+    task: str = "transcribe"
+    language: Optional[str] = None
+    temperature: float = 0.0
+    sample_len: Optional[int] = None
+    best_of: Optional[int] = None
+    beam_size: Optional[int] = None
+    patience: Optional[float] = None
+    length_penalty: Optional[float] = None
+    prompt: Optional[Union[str, List[int]]] = None
+    prefix: Optional[Union[str, List[int]]] = None
+    suppress_tokens: Optional[Union[str, Sequence[int]]] = "-1"
+    suppress_blank: bool = True
+    without_timestamps: bool = False
+    max_initial_timestamp: Optional[float] = 1.0
+    fp16: bool = False
+
+
+@dataclass
+class DecodingResult:
+    tokens: List[int]
+    text: str
+    avg_logprob: float
+    no_speech_prob: float
+    temperature: float
+    compression_ratio: float
+    audio_features: Optional[np.ndarray] = None
+    language: Optional[str] = None
+
+
+def compression_ratio(text: str) -> float:
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
+
+
+# -- suppression masks ----------------------------------------------------
+
+def build_suppress_mask(
+    tokenizer: WhisperTokenizer,
+    options: DecodingOptions,
+    n_vocab: int,
+) -> np.ndarray:
+    """Additive mask (n_vocab,) with -inf at always-suppressed ids."""
+    suppress: set = set()
+    opt = options.suppress_tokens
+    if isinstance(opt, str):
+        if opt == "-1":
+            suppress.update(tokenizer.non_speech_tokens)
+    elif opt:
+        ids = [int(t) for t in opt]
+        if -1 in ids:
+            suppress.update(tokenizer.non_speech_tokens)
+            ids = [t for t in ids if t != -1]
+        suppress.update(ids)
+    suppress.update(
+        [
+            tokenizer.transcribe,
+            tokenizer.translate,
+            tokenizer.sot,
+            tokenizer.sot_prev,
+            tokenizer.sot_lm,
+            tokenizer.no_speech,
+        ]
+    )
+    mask = np.zeros((n_vocab,), dtype=np.float32)
+    mask[sorted(i for i in suppress if i < n_vocab)] = -np.inf
+    if options.without_timestamps:
+        mask[tokenizer.no_timestamps] = -np.inf
+        mask[tokenizer.timestamp_begin :] = -np.inf
+    return mask
+
+
+def build_blank_mask(
+    tokenizer: WhisperTokenizer, n_vocab: int
+) -> np.ndarray:
+    """-inf at {space, EOT} — applied only at the first sampled position."""
+    mask = np.zeros((n_vocab,), dtype=np.float32)
+    for t in tokenizer.encode(" ") + [tokenizer.eot]:
+        if t < n_vocab:
+            mask[t] = -np.inf
+    return mask
+
+
+def initial_tokens(
+    tokenizer: WhisperTokenizer, options: DecodingOptions
+) -> List[int]:
+    if options.without_timestamps:
+        seq = list(tokenizer.sot_sequence_including_notimestamps)
+    else:
+        seq = list(tokenizer.sot_sequence)
+    if options.prefix is not None:
+        prefix = (
+            tokenizer.encode(" " + options.prefix.strip())
+            if isinstance(options.prefix, str)
+            else list(options.prefix)
+        )
+        seq = seq + prefix
+    if options.prompt is not None:
+        prompt = (
+            tokenizer.encode(" " + options.prompt.strip())
+            if isinstance(options.prompt, str)
+            else list(options.prompt)
+        )
+        seq = (
+            [tokenizer.sot_prev]
+            + prompt[-(448 // 2 - 1) :]
+            + seq
+        )
+    return seq
+
+
+def sequence_score(
+    sum_logprob: float, length: int, length_penalty: Optional[float]
+) -> float:
+    """MaximumLikelihoodRanker penalty (Whisper/GNMT convention)."""
+    if length_penalty is None:
+        penalty = max(length, 1)
+    else:
+        penalty = ((5.0 + length) / 6.0) ** length_penalty
+    return sum_logprob / penalty
+
+
+# -- jitted greedy/sampling loop ------------------------------------------
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg",
+        "n_prefix",
+        "sample_len",
+        "temperature",
+        "dtype_name",
+    ),
+)
+def _greedy_decode_jit(
+    params,
+    cfg: WhisperConfig,
+    audio_features,
+    prefix_tokens,  # (B, n_prefix) int32
+    suppress_mask,  # (n_vocab,) float32
+    blank_mask,  # (n_vocab,) float32
+    eot: int,
+    n_prefix: int,
+    sample_len: int,
+    temperature: float,
+    rng_key,
+    dtype_name: str = "float32",
+):
+    """Batched greedy/temperature decode under one lax.while_loop."""
+    dtype = jnp.dtype(dtype_name)
+    B = audio_features.shape[0]
+    max_len = n_prefix + sample_len
+    cache = init_cache(params, cfg, audio_features, max_len=max_len, dtype=dtype)
+
+    # consume the prefix in one step
+    prefix_logits, cache = decode_step(
+        params, cfg, prefix_tokens, cache, 0, dtype=dtype
+    )
+    sot_logits = prefix_logits[:, 0]  # logits after the SOT token
+
+    last_logits = prefix_logits[:, -1]
+
+    tokens_buf = jnp.full((B, max_len), eot, dtype=jnp.int32)
+    tokens_buf = jax.lax.dynamic_update_slice(
+        tokens_buf, prefix_tokens.astype(jnp.int32), (0, 0)
+    )
+
+    def apply_filters(logits, step):
+        logits = logits + suppress_mask
+        logits = jnp.where(step == 0, logits + blank_mask, logits)
+        return logits
+
+    def sample(logits, key):
+        if temperature == 0.0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return jax.random.categorical(key, logits / temperature, axis=-1).astype(
+            jnp.int32
+        )
+
+    def body(state):
+        step, tokens_buf, cache, logits, finished, sum_logprobs, key = state
+        key, sub = jax.random.split(key)
+        filtered = apply_filters(logits, step)
+        next_tok = sample(filtered, sub)
+        logprobs = jax.nn.log_softmax(filtered, axis=-1)
+        tok_logprob = jnp.take_along_axis(
+            logprobs, next_tok[:, None], axis=-1
+        )[:, 0]
+
+        next_tok = jnp.where(finished, eot, next_tok)
+        sum_logprobs = sum_logprobs + jnp.where(finished, 0.0, tok_logprob)
+        finished = finished | (next_tok == eot)
+
+        pos = n_prefix + step
+        tokens_buf = jax.lax.dynamic_update_slice(
+            tokens_buf, next_tok[:, None], (0, pos)
+        )
+        new_logits, cache = decode_step(
+            params, cfg, next_tok[:, None], cache, pos, dtype=dtype
+        )
+        return (
+            step + 1,
+            tokens_buf,
+            cache,
+            new_logits[:, 0],
+            finished,
+            sum_logprobs,
+            key,
+        )
+
+    def cond(state):
+        step, _, _, _, finished, _, _ = state
+        return (step < sample_len) & ~jnp.all(finished)
+
+    state = (
+        jnp.array(0, jnp.int32),
+        tokens_buf,
+        cache,
+        last_logits,
+        jnp.zeros((B,), bool),
+        jnp.zeros((B,), jnp.float32),
+        rng_key,
+    )
+    _, tokens_buf, _, _, _, sum_logprobs, _ = jax.lax.while_loop(
+        cond, body, state
+    )
+    return tokens_buf, sum_logprobs, sot_logits
+
+
+# -- public API -----------------------------------------------------------
+
+def decode(
+    params,
+    cfg: WhisperConfig,
+    audio_input,
+    options: DecodingOptions = DecodingOptions(),
+    tokenizer: Optional[WhisperTokenizer] = None,
+) -> List[DecodingResult]:
+    """Decode mel spectrograms or precomputed audio features to text.
+
+    audio_input: (B, 3000, n_mels) mel or (B, 1500, d) encoder output.
+    Returns one DecodingResult per batch element (reference surface:
+    ``decode(model, features, DecodingOptions(...))`` returning result[i]).
+    """
+    if tokenizer is None:
+        tokenizer = get_tokenizer(
+            multilingual=cfg.multilingual,
+            num_languages=cfg.num_languages,
+            language=options.language or "en",
+            task=options.task,
+        )
+    elif options.language and tokenizer.language != options.language:
+        tokenizer = replace(tokenizer)
+        tokenizer.language = options.language
+
+    audio_input = jnp.asarray(audio_input)
+    if audio_input.ndim == 2:
+        audio_input = audio_input[None]
+    if audio_input.shape[-1] == cfg.n_mels:
+        audio_features = encode(params, cfg, audio_input)
+    else:
+        audio_features = audio_input
+
+    prefix = initial_tokens(tokenizer, options)
+    n_prefix = len(prefix)
+    B = audio_features.shape[0]
+    prefix_tokens = jnp.tile(
+        jnp.asarray(prefix, jnp.int32)[None, :], (B, 1)
+    )
+
+    sample_len = options.sample_len or (cfg.n_text_ctx // 2)
+    sample_len = min(sample_len, cfg.n_text_ctx - n_prefix)
+
+    suppress_mask = jnp.asarray(
+        build_suppress_mask(tokenizer, options, cfg.n_vocab)
+    )
+    blank_mask = (
+        jnp.asarray(build_blank_mask(tokenizer, cfg.n_vocab))
+        if options.suppress_blank
+        else jnp.zeros((cfg.n_vocab,), jnp.float32)
+    )
+
+    if options.beam_size is not None:
+        from .beam import beam_decode
+
+        return beam_decode(
+            params,
+            cfg,
+            audio_features,
+            prefix,
+            options,
+            tokenizer,
+            suppress_mask,
+            blank_mask,
+        )
+
+    tokens_buf, sum_logprobs, sot_logits = _greedy_decode_jit(
+        params,
+        cfg,
+        audio_features,
+        prefix_tokens,
+        suppress_mask,
+        blank_mask,
+        tokenizer.eot,
+        n_prefix,
+        int(sample_len),
+        float(options.temperature),
+        jax.random.PRNGKey(0),
+    )
+
+    tokens_np = np.asarray(tokens_buf)
+    sum_logprobs_np = np.asarray(sum_logprobs)
+    no_speech_probs = np.asarray(
+        jax.nn.softmax(sot_logits, axis=-1)[:, tokenizer.no_speech]
+    )
+
+    results = []
+    for b in range(B):
+        seq = tokens_np[b, n_prefix:]
+        eot_pos = np.nonzero(seq == tokenizer.eot)[0]
+        end = int(eot_pos[0]) if len(eot_pos) else len(seq)
+        out_tokens = seq[:end].tolist()
+        text = tokenizer.decode_text(out_tokens).strip()
+        # avg over emitted tokens + the EOT decision
+        avg_logprob = float(sum_logprobs_np[b]) / (end + 1)
+        results.append(
+            DecodingResult(
+                tokens=out_tokens,
+                text=text,
+                avg_logprob=avg_logprob,
+                no_speech_prob=float(no_speech_probs[b]),
+                temperature=options.temperature,
+                compression_ratio=compression_ratio(text),
+                language=options.language or tokenizer.language,
+            )
+        )
+    return results

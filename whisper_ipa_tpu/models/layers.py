@@ -1,0 +1,127 @@
+"""Functional building blocks for the Whisper transformer.
+
+Pure functions over parameter pytrees — no module framework. Canonical
+parameter layouts (chosen for TPU-friendly ``x @ w`` contractions):
+
+  linear:  {"w": (in, out), "b": (out,)}        (k-projection has no bias)
+  ln:      {"g": (d,), "b": (d,)}
+  conv1d:  {"w": (width, in, out), "b": (out,)}  -- 'WIO' rhs layout
+
+Attention follows the Whisper convention: the 1/sqrt(d_head) scale is split
+as d_head**-0.25 applied to q and k separately.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def layer_norm(x, p, eps: float = 1e-5):
+    """LayerNorm in float32 accumulation regardless of activation dtype."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["g"] + p["b"]).astype(x.dtype)
+
+
+def linear(x, p):
+    y = x @ p["w"].astype(x.dtype)
+    if "b" in p and p["b"] is not None:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def conv1d(x, p, stride: int = 1):
+    """1-D convolution, SAME-style padding 1, NWC layout.
+
+    x: (B, W, C_in); p["w"]: (width, C_in, C_out).
+    """
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        window_strides=(stride,),
+        padding=((1, 1),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    return y + p["b"].astype(x.dtype)
+
+
+def gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def sinusoids(length: int, channels: int) -> np.ndarray:
+    """Fixed sinusoidal position embeddings for the audio encoder."""
+    assert channels % 2 == 0
+    log_timescale_increment = np.log(10000) / (channels // 2 - 1)
+    inv_timescales = np.exp(
+        -log_timescale_increment * np.arange(channels // 2)
+    )
+    scaled_time = (
+        np.arange(length)[:, None] * inv_timescales[None, :]
+    )
+    return np.concatenate(
+        [np.sin(scaled_time), np.cos(scaled_time)], axis=1
+    ).astype(np.float32)
+
+
+def _split_heads(x, n_head: int):
+    b, t, d = x.shape
+    return x.reshape(b, t, n_head, d // n_head).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, t, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
+
+
+def multi_head_attention(
+    q, k, v, n_head: int, mask: Optional[jax.Array] = None
+):
+    """Scaled dot-product attention over merged-head projections.
+
+    q/k/v: (B, Tq/Tk, d). mask: additive, broadcastable to (B, H, Tq, Tk).
+    Softmax accumulates in float32.
+    """
+    d_head = q.shape[-1] // n_head
+    scale = d_head ** -0.25
+    qh = _split_heads(q, n_head) * scale
+    kh = _split_heads(k, n_head) * scale
+    vh = _split_heads(v, n_head)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32)
+    if mask is not None:
+        logits = logits + mask
+    w = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
+    return _merge_heads(out)
+
+
+def attention_block(x, p, n_head: int, mask=None, kv=None):
+    """Self- or cross-attention through a Whisper attention param group.
+
+    p: {"query","key","value","out"}. When kv is given (cross-attention or
+    cached keys/values) it is a tuple (k, v) of already-projected tensors.
+    """
+    q = linear(x, p["query"])
+    if kv is None:
+        k = linear(x, p["key"])
+        v = linear(x, p["value"])
+    else:
+        k, v = kv
+    out = multi_head_attention(q, k, v, n_head, mask)
+    return linear(out, p["out"]), (k, v)
+
+
+def mlp_block(x, p):
+    return linear(gelu(linear(x, p["mlp1"])), p["mlp2"])
+
+
+def causal_mask(n_ctx: int) -> np.ndarray:
+    """(n_ctx, n_ctx) additive causal mask (upper triangle = -inf)."""
+    mask = np.full((n_ctx, n_ctx), -np.inf, dtype=np.float32)
+    return np.triu(mask, k=1)

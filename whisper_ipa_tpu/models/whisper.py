@@ -1,0 +1,322 @@
+"""Whisper encoder/decoder as pure-JAX functions over a parameter pytree.
+
+Architecture (behavioral parity with the reference's model layer, reference
+SURVEY §2b / mlx_whisper model): conv stem (k=3 s=1, k=3 s=2, GELU) +
+sinusoidal positions + pre-LN transformer encoder; token + learned-position
+embeddings + pre-LN transformer decoder with cross-attention; logits tied to
+the token embedding.
+
+Parameter tree (canonical names; see convert.py for HF/MLX mappings):
+
+  encoder:
+    conv1/conv2: {"w": (3, in, out), "b": (out,)}
+    blocks: [ {attn_ln, attn{query,key,value,out}, mlp_ln, mlp1, mlp2} ]
+    ln_post: {"g", "b"}
+  decoder:
+    token_embedding: (n_vocab, d)
+    positional_embedding: (n_text_ctx, d)
+    blocks: [ {attn_ln, attn, cross_attn_ln, cross_attn, mlp_ln, mlp1, mlp2} ]
+    ln: {"g", "b"}
+
+All forward functions are jit-compatible with static shapes. The KV cache
+uses fixed-length per-layer buffers updated with dynamic_update_slice so the
+autoregressive decode loop compiles to a single XLA while_loop program.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import WhisperConfig
+from .layers import (
+    attention_block,
+    causal_mask,
+    conv1d,
+    gelu,
+    layer_norm,
+    linear,
+    mlp_block,
+    sinusoids,
+)
+
+Params = Dict[str, Any]
+
+
+# -- initialization -------------------------------------------------------
+
+def _init_linear(key, d_in, d_out, bias=True, std=None):
+    if std is None:
+        std = d_in ** -0.5
+    k1, _ = jax.random.split(key)
+    p = {"w": jax.random.normal(k1, (d_in, d_out), jnp.float32) * std}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), jnp.float32)
+    return p
+
+
+def _init_ln(d):
+    return {"g": jnp.ones((d,), jnp.float32), "b": jnp.zeros((d,), jnp.float32)}
+
+
+def _init_attn(key, d, cross=False):
+    ks = jax.random.split(key, 4)
+    return {
+        "query": _init_linear(ks[0], d, d),
+        "key": _init_linear(ks[1], d, d, bias=False),
+        "value": _init_linear(ks[2], d, d),
+        "out": _init_linear(ks[3], d, d),
+    }
+
+
+def _init_block(key, d, mlp_dim, cross: bool):
+    ks = jax.random.split(key, 4)
+    block = {
+        "attn_ln": _init_ln(d),
+        "attn": _init_attn(ks[0], d),
+        "mlp_ln": _init_ln(d),
+        "mlp1": _init_linear(ks[1], d, mlp_dim),
+        "mlp2": _init_linear(ks[2], mlp_dim, d),
+    }
+    if cross:
+        block["cross_attn_ln"] = _init_ln(d)
+        block["cross_attn"] = _init_attn(ks[3], d, cross=True)
+    return block
+
+
+def init_params(cfg: WhisperConfig, seed: int = 0) -> Params:
+    """Random-initialized parameter tree (float32)."""
+    key = jax.random.PRNGKey(seed)
+    k_enc, k_dec, k_emb = jax.random.split(key, 3)
+
+    d_a, d_t = cfg.n_audio_state, cfg.n_text_state
+    enc_keys = jax.random.split(k_enc, cfg.n_audio_layer + 2)
+    encoder = {
+        "conv1": {
+            "w": jax.random.normal(enc_keys[0], (3, cfg.n_mels, d_a), jnp.float32)
+            * (3 * cfg.n_mels) ** -0.5,
+            "b": jnp.zeros((d_a,), jnp.float32),
+        },
+        "conv2": {
+            "w": jax.random.normal(enc_keys[1], (3, d_a, d_a), jnp.float32)
+            * (3 * d_a) ** -0.5,
+            "b": jnp.zeros((d_a,), jnp.float32),
+        },
+        "blocks": [
+            _init_block(enc_keys[2 + i], d_a, 4 * d_a, cross=False)
+            for i in range(cfg.n_audio_layer)
+        ],
+        "ln_post": _init_ln(d_a),
+    }
+
+    dec_keys = jax.random.split(k_dec, cfg.n_text_layer)
+    decoder = {
+        "token_embedding": jax.random.normal(
+            k_emb, (cfg.n_vocab, d_t), jnp.float32
+        )
+        * 0.02,
+        "positional_embedding": jnp.zeros(
+            (cfg.n_text_ctx, d_t), jnp.float32
+        ),
+        "blocks": [
+            _init_block(dec_keys[i], d_t, 4 * d_t, cross=True)
+            for i in range(cfg.n_text_layer)
+        ],
+        "ln": _init_ln(d_t),
+    }
+    return {"encoder": encoder, "decoder": decoder}
+
+
+# -- encoder --------------------------------------------------------------
+
+def encode(params: Params, cfg: WhisperConfig, mel, dtype=jnp.float32):
+    """Audio encoder: (B, 3000, n_mels) -> (B, 1500, d)."""
+    enc = params["encoder"]
+    x = mel.astype(dtype)
+    x = gelu(conv1d(x, enc["conv1"], stride=1))
+    x = gelu(conv1d(x, enc["conv2"], stride=2))
+
+    pos = jnp.asarray(sinusoids(cfg.n_audio_ctx, cfg.n_audio_state))
+    x = x + pos.astype(dtype)
+
+    for block in enc["blocks"]:
+        h, _ = attention_block(
+            layer_norm(x, block["attn_ln"]), block["attn"], cfg.n_audio_head
+        )
+        x = x + h
+        x = x + mlp_block(layer_norm(x, block["mlp_ln"]), block)
+    return layer_norm(x, enc["ln_post"])
+
+
+# alias matching the reference surface (model.embed_audio)
+embed_audio = encode
+
+
+# -- decoder (teacher forcing / full sequence) ----------------------------
+
+def decoder_logits(
+    params: Params,
+    cfg: WhisperConfig,
+    tokens,
+    audio_features,
+    dtype=jnp.float32,
+):
+    """Teacher-forced decoder: (B, T) x (B, 1500, d) -> (B, T, n_vocab).
+
+    Used by training (reference compute_loss calls model.logits at
+    scripts/train_whisper_ipa.py:232).
+    """
+    dec = params["decoder"]
+    B, T = tokens.shape
+    x = dec["token_embedding"][tokens].astype(dtype)
+    x = x + dec["positional_embedding"][:T].astype(dtype)
+
+    mask = jnp.asarray(causal_mask(T))
+    audio_features = audio_features.astype(dtype)
+
+    for block in dec["blocks"]:
+        h, _ = attention_block(
+            layer_norm(x, block["attn_ln"]),
+            block["attn"],
+            cfg.n_text_head,
+            mask=mask,
+        )
+        x = x + h
+        xa_k = linear(audio_features, block["cross_attn"]["key"])
+        xa_v = linear(audio_features, block["cross_attn"]["value"])
+        h, _ = attention_block(
+            layer_norm(x, block["cross_attn_ln"]),
+            block["cross_attn"],
+            cfg.n_text_head,
+            kv=(xa_k, xa_v),
+        )
+        x = x + h
+        x = x + mlp_block(layer_norm(x, block["mlp_ln"]), block)
+
+    x = layer_norm(x, dec["ln"])
+    logits = jnp.matmul(
+        x.astype(jnp.float32), dec["token_embedding"].T.astype(jnp.float32)
+    )
+    return logits
+
+
+logits = decoder_logits  # reference-surface alias (model.logits)
+
+
+# -- decoder (incremental, KV-cached) -------------------------------------
+
+class DecoderCache(NamedTuple):
+    """Fixed-shape KV cache for autoregressive decoding under jit.
+
+    self_k/self_v: (L, B, n_ctx, d) rolling buffers for self-attention.
+    cross_k/cross_v: (L, B, 1500, d) computed once per utterance.
+    """
+
+    self_k: jax.Array
+    self_v: jax.Array
+    cross_k: jax.Array
+    cross_v: jax.Array
+
+
+def init_cache(
+    params: Params,
+    cfg: WhisperConfig,
+    audio_features,
+    max_len: Optional[int] = None,
+    dtype=jnp.float32,
+) -> DecoderCache:
+    """Allocate self-attn buffers and precompute cross-attn K/V per layer."""
+    B = audio_features.shape[0]
+    L = cfg.n_text_layer
+    n_ctx = max_len or cfg.n_text_ctx
+    d = cfg.n_text_state
+    audio_features = audio_features.astype(dtype)
+
+    cross_k = []
+    cross_v = []
+    for block in params["decoder"]["blocks"]:
+        cross_k.append(linear(audio_features, block["cross_attn"]["key"]))
+        cross_v.append(linear(audio_features, block["cross_attn"]["value"]))
+    return DecoderCache(
+        self_k=jnp.zeros((L, B, n_ctx, d), dtype),
+        self_v=jnp.zeros((L, B, n_ctx, d), dtype),
+        cross_k=jnp.stack(cross_k),
+        cross_v=jnp.stack(cross_v),
+    )
+
+
+def decode_step(
+    params: Params,
+    cfg: WhisperConfig,
+    tokens,
+    cache: DecoderCache,
+    pos,
+    dtype=jnp.float32,
+) -> Tuple[jax.Array, DecoderCache]:
+    """One decoder step: tokens (B, S) at positions [pos, pos+S).
+
+    Returns (logits (B, S, n_vocab), updated cache). S is static (1 for the
+    greedy loop; the SOT prefix is fed in one call with S = prefix length).
+    """
+    dec = params["decoder"]
+    B, S = tokens.shape
+    n_ctx = cache.self_k.shape[2]
+
+    x = dec["token_embedding"][tokens].astype(dtype)
+    pos_emb = jax.lax.dynamic_slice_in_dim(
+        dec["positional_embedding"], pos, S, axis=0
+    )
+    x = x + pos_emb.astype(dtype)
+
+    # attention mask over the cache: key j visible iff j <= pos + query_idx
+    key_idx = jnp.arange(n_ctx)[None, :]
+    query_idx = pos + jnp.arange(S)[:, None]
+    mask = jnp.where(key_idx <= query_idx, 0.0, -jnp.inf).astype(jnp.float32)
+
+    new_self_k = []
+    new_self_v = []
+    for i, block in enumerate(dec["blocks"]):
+        xn = layer_norm(x, block["attn_ln"])
+        q = linear(xn, block["attn"]["query"])
+        k_new = linear(xn, block["attn"]["key"])
+        v_new = linear(xn, block["attn"]["value"])
+        k_buf = jax.lax.dynamic_update_slice_in_dim(
+            cache.self_k[i], k_new, pos, axis=1
+        )
+        v_buf = jax.lax.dynamic_update_slice_in_dim(
+            cache.self_v[i], v_new, pos, axis=1
+        )
+        new_self_k.append(k_buf)
+        new_self_v.append(v_buf)
+
+        from .layers import multi_head_attention
+
+        h = multi_head_attention(q, k_buf, v_buf, cfg.n_text_head, mask=mask)
+        x = x + linear(h, block["attn"]["out"])
+
+        xn = layer_norm(x, block["cross_attn_ln"])
+        qc = linear(xn, block["cross_attn"]["query"])
+        h = multi_head_attention(
+            qc, cache.cross_k[i], cache.cross_v[i], cfg.n_text_head
+        )
+        x = x + linear(h, block["cross_attn"]["out"])
+
+        x = x + mlp_block(layer_norm(x, block["mlp_ln"]), block)
+
+    x = layer_norm(x, dec["ln"])
+    step_logits = jnp.matmul(
+        x.astype(jnp.float32), dec["token_embedding"].T.astype(jnp.float32)
+    )
+    new_cache = cache._replace(
+        self_k=jnp.stack(new_self_k), self_v=jnp.stack(new_self_v)
+    )
+    return step_logits, new_cache
+
+
+# -- parameter utilities --------------------------------------------------
+
+def count_parameters(params) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))

@@ -1,0 +1,147 @@
+"""Decoding tests: greedy loop, suppression, beam search, EOT handling."""
+
+from dataclasses import replace
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from whisper_ipa_tpu.config import CONFIGS
+from whisper_ipa_tpu.decode import (
+    DecodingOptions,
+    build_suppress_mask,
+    decode,
+    initial_tokens,
+    sequence_score,
+)
+from whisper_ipa_tpu.models import init_params
+from whisper_ipa_tpu.tokenizer import get_tokenizer
+
+CFG = replace(CONFIGS["test-tiny"], n_audio_ctx=32, n_text_ctx=48)
+N_MEL_FRAMES = CFG.n_audio_ctx * 2
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(CFG, seed=0)
+
+
+@pytest.fixture(scope="module")
+def mel():
+    rng = np.random.default_rng(0)
+    return jnp.asarray(
+        rng.standard_normal((2, N_MEL_FRAMES, CFG.n_mels)).astype(np.float32)
+    )
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return get_tokenizer(multilingual=True, language="en")
+
+
+class TestMasks:
+    def test_suppress_mask(self, tok):
+        options = DecodingOptions(without_timestamps=True)
+        mask = build_suppress_mask(tok, options, CFG.n_vocab)
+        assert mask.shape == (CFG.n_vocab,)
+        assert mask[tok.sot] == -np.inf
+        assert mask[tok.transcribe] == -np.inf
+        assert mask[tok.no_speech] == -np.inf
+        assert mask[tok.timestamp_begin] == -np.inf
+        assert mask[tok.eot] == 0.0  # EOT must stay allowed
+
+    def test_initial_tokens(self, tok):
+        seq = initial_tokens(tok, DecodingOptions(without_timestamps=True))
+        assert seq == [50258, 50259, 50359, 50363]
+        seq2 = initial_tokens(tok, DecodingOptions(without_timestamps=False))
+        assert seq2 == [50258, 50259, 50359]
+
+    def test_sequence_score(self):
+        # no penalty: per-token average
+        assert sequence_score(-10.0, 5, None) == -2.0
+        # GNMT penalty
+        assert sequence_score(-10.0, 5, 1.0) == pytest.approx(
+            -10.0 / ((5 + 5) / 6)
+        )
+
+
+class TestGreedyDecode:
+    def test_batch_greedy(self, params, mel, tok):
+        options = DecodingOptions(
+            language="en", without_timestamps=True, sample_len=8
+        )
+        results = decode(params, CFG, mel, options, tokenizer=tok)
+        assert len(results) == 2
+        for r in results:
+            assert isinstance(r.text, str)
+            assert all(t != tok.eot for t in r.tokens)
+            assert all(t < tok.timestamp_begin for t in r.tokens)
+            assert np.isfinite(r.avg_logprob)
+            assert 0.0 <= r.no_speech_prob <= 1.0
+
+    def test_deterministic(self, params, mel, tok):
+        options = DecodingOptions(
+            language="en", without_timestamps=True, sample_len=8
+        )
+        r1 = decode(params, CFG, mel, options, tokenizer=tok)
+        r2 = decode(params, CFG, mel, options, tokenizer=tok)
+        assert [x.tokens for x in r1] == [x.tokens for x in r2]
+
+    def test_single_sample_2d_input(self, params, mel, tok):
+        options = DecodingOptions(
+            language="en", without_timestamps=True, sample_len=4
+        )
+        results = decode(params, CFG, mel[0], options, tokenizer=tok)
+        assert len(results) == 1
+
+    def test_suppressed_tokens_never_emitted(self, params, mel, tok):
+        options = DecodingOptions(
+            language="en", without_timestamps=True, sample_len=8
+        )
+        for r in decode(params, CFG, mel, options, tokenizer=tok):
+            for t in r.tokens:
+                assert t not in (tok.sot, tok.transcribe, tok.no_speech)
+
+
+class TestBeamDecode:
+    def test_beam_runs(self, params, mel, tok):
+        options = DecodingOptions(
+            language="en",
+            without_timestamps=True,
+            sample_len=6,
+            beam_size=3,
+            length_penalty=1.0,
+        )
+        results = decode(params, CFG, mel, options, tokenizer=tok)
+        assert len(results) == 2
+        for r in results:
+            assert np.isfinite(r.avg_logprob)
+
+    def test_beam_score_not_worse_than_greedy(self, params, mel, tok):
+        """Beam search must find sequences at least as likely as greedy."""
+        greedy = decode(
+            params,
+            CFG,
+            mel,
+            DecodingOptions(
+                language="en", without_timestamps=True, sample_len=6
+            ),
+            tokenizer=tok,
+        )
+        beam = decode(
+            params,
+            CFG,
+            mel,
+            DecodingOptions(
+                language="en",
+                without_timestamps=True,
+                sample_len=6,
+                beam_size=3,
+            ),
+            tokenizer=tok,
+        )
+        for g, b in zip(greedy, beam):
+            g_total = g.avg_logprob * (len(g.tokens) + 1)
+            b_total = b.avg_logprob * (len(b.tokens) + 1)
+            assert b_total >= g_total - 1e-3

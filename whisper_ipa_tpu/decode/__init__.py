@@ -1,0 +1,26 @@
+from .beam import beam_decode
+from .decoding import (
+    DecodingOptions,
+    DecodingResult,
+    build_blank_mask,
+    build_suppress_mask,
+    compression_ratio,
+    decode,
+    initial_tokens,
+    sequence_score,
+)
+from .transcribe import chunk_audio, transcribe
+
+__all__ = [
+    "DecodingOptions",
+    "DecodingResult",
+    "beam_decode",
+    "build_blank_mask",
+    "build_suppress_mask",
+    "chunk_audio",
+    "compression_ratio",
+    "decode",
+    "initial_tokens",
+    "sequence_score",
+    "transcribe",
+]

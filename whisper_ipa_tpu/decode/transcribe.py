@@ -1,0 +1,147 @@
+"""High-level transcription: file/array -> text via chunked batched decode.
+
+The reference's base-model path uses mlx_whisper.transcribe (30 s internal
+chunking, sequential per chunk; reference scripts/evaluate_model.py:114).
+Here chunks are batched: audio is split into 30 s windows on the host, all
+windows are melled and encoded as ONE batch on the TPU, and decoded together
+— the MXU stays fed instead of seeing batch-1 work per chunk. Temperature
+fallback follows Whisper's ladder (compression ratio / avg-logprob gates).
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import List, Optional, Union
+
+import numpy as np
+
+from ..audio import (
+    N_SAMPLES,
+    SAMPLE_RATE,
+    load_audio,
+    log_mel_spectrogram,
+    pad_or_trim,
+)
+from ..config import WhisperConfig
+from ..tokenizer import WhisperTokenizer, get_tokenizer
+from .decoding import DecodingOptions, DecodingResult, decode
+
+
+def chunk_audio(audio: np.ndarray) -> List[np.ndarray]:
+    """Split audio into 30 s windows (last window zero-padded)."""
+    if len(audio) == 0:
+        return [np.zeros(N_SAMPLES, np.float32)]
+    chunks = []
+    for start in range(0, len(audio), N_SAMPLES):
+        chunks.append(pad_or_trim(audio[start : start + N_SAMPLES]))
+    return chunks
+
+
+def transcribe(
+    params,
+    cfg: WhisperConfig,
+    audio: Union[str, np.ndarray],
+    *,
+    language: Optional[str] = "en",
+    temperature: Union[float, tuple] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+    compression_ratio_threshold: Optional[float] = 2.4,
+    logprob_threshold: Optional[float] = -1.0,
+    no_speech_threshold: Optional[float] = 0.6,
+    beam_size: Optional[int] = None,
+    word_timestamps: bool = False,
+    tokenizer: Optional[WhisperTokenizer] = None,
+    **decode_kwargs,
+) -> dict:
+    """Transcribe a file path or float32 waveform. Returns {"text", "segments"}.
+
+    word_timestamps is accepted for surface compatibility and ignored (the
+    IPA pipeline always decodes without timestamps).
+    """
+    if isinstance(audio, str):
+        audio = load_audio(audio)
+    audio = np.asarray(audio, dtype=np.float32)
+
+    if tokenizer is None:
+        tokenizer = get_tokenizer(
+            multilingual=cfg.multilingual,
+            num_languages=cfg.num_languages,
+            language=language or "en",
+        )
+
+    chunks = chunk_audio(audio)
+    mels = np.stack([log_mel_spectrogram(c, n_mels=cfg.n_mels) for c in chunks])
+
+    temperatures = (
+        (temperature,) if isinstance(temperature, (int, float)) else tuple(temperature)
+    )
+
+    def run(t: float) -> List[DecodingResult]:
+        options = DecodingOptions(
+            language=language,
+            without_timestamps=True,
+            temperature=t,
+            beam_size=beam_size if t == 0.0 else None,
+            **decode_kwargs,
+        )
+        return decode(params, cfg, mels, options, tokenizer=tokenizer)
+
+    results = run(temperatures[0])
+    # per-chunk fallback: retry failed chunks at higher temperatures
+    for t in temperatures[1:]:
+        needs_retry = [
+            i
+            for i, r in enumerate(results)
+            if (
+                compression_ratio_threshold is not None
+                and r.compression_ratio > compression_ratio_threshold
+            )
+            or (
+                logprob_threshold is not None
+                and r.avg_logprob < logprob_threshold
+            )
+        ]
+        if not needs_retry:
+            break
+        retried = decode(
+            params,
+            cfg,
+            mels[needs_retry],
+            DecodingOptions(
+                language=language, without_timestamps=True, temperature=t
+            ),
+            tokenizer=tokenizer,
+        )
+        for i, r in zip(needs_retry, retried):
+            results[i] = r
+
+    segments = []
+    texts = []
+    for i, r in enumerate(results):
+        if (
+            no_speech_threshold is not None
+            and r.no_speech_prob > no_speech_threshold
+            and (
+                logprob_threshold is None or r.avg_logprob < logprob_threshold
+            )
+        ):
+            continue  # silent chunk
+        segments.append(
+            {
+                "id": i,
+                "start": i * 30.0,
+                "end": min((i + 1) * 30.0, len(audio) / SAMPLE_RATE),
+                "text": r.text,
+                "tokens": r.tokens,
+                "avg_logprob": r.avg_logprob,
+                "no_speech_prob": r.no_speech_prob,
+                "compression_ratio": r.compression_ratio,
+                "temperature": r.temperature,
+            }
+        )
+        texts.append(r.text)
+
+    return {
+        "text": "".join(texts),
+        "segments": segments,
+        "language": language,
+    }

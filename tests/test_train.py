@@ -1,0 +1,188 @@
+"""Training tests: EOT mask, jitted step, freezing, checkpoints, DP mesh."""
+
+import json
+import os
+from dataclasses import replace
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from whisper_ipa_tpu.config import CONFIGS
+from whisper_ipa_tpu.models import flatten_params, init_params
+from whisper_ipa_tpu.parallel import make_mesh, shard_batch
+from whisper_ipa_tpu.train import (
+    TrainState,
+    compute_loss,
+    create_train_state,
+    eot_loss_mask,
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+    train_step,
+)
+
+CFG = replace(CONFIGS["test-tiny"], n_audio_ctx=16, n_text_ctx=32)
+N_MEL_FRAMES = CFG.n_audio_ctx * 2
+EOT = 50257
+
+
+@pytest.fixture()
+def params():
+    # function-scoped: train_step donates its input state, so each test
+    # needs fresh parameter buffers
+    return init_params(CFG, seed=0)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(
+        rng.standard_normal((2, N_MEL_FRAMES, CFG.n_mels)).astype(np.float32)
+    )
+    tokens = jnp.asarray(
+        [
+            [50258, 50259, 50359, 50363, 100, 200, EOT, EOT],
+            [50258, 50259, 50359, 50363, 300, EOT, EOT, EOT],
+        ],
+        jnp.int32,
+    )
+    return mel, tokens
+
+
+class TestEOTMask:
+    def test_keeps_first_eot_only(self):
+        """The cumsum trick (reference train_whisper_ipa.py:240-247)."""
+        targets = jnp.asarray([[5, 6, EOT, EOT, EOT]])
+        mask = eot_loss_mask(targets, EOT)
+        np.testing.assert_array_equal(
+            np.asarray(mask[0]), [True, True, True, False, False]
+        )
+
+    def test_no_eot(self):
+        targets = jnp.asarray([[5, 6, 7]])
+        assert np.asarray(eot_loss_mask(targets, EOT)).all()
+
+    def test_eot_at_start(self):
+        targets = jnp.asarray([[EOT, EOT, 5]])
+        np.testing.assert_array_equal(
+            np.asarray(eot_loss_mask(targets, EOT)[0]), [True, False, True]
+        )
+
+
+class TestTrainStep:
+    def test_loss_finite_and_positive(self, params, batch):
+        mel, tokens = batch
+        loss = compute_loss(params, CFG, mel, tokens, EOT)
+        assert np.isfinite(float(loss))
+        assert float(loss) > 0
+
+    def test_loss_decreases_overfit(self, params, batch):
+        """A few steps on one tiny batch must reduce the loss."""
+        mel, tokens = batch
+        state, tx = create_train_state(params, learning_rate=1e-3)
+        losses = []
+        for _ in range(5):
+            state, loss = train_step(state, mel, tokens, CFG, tx, EOT)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+
+    def test_encoder_frozen(self, params, batch):
+        """Decoder-only training: encoder params must not change."""
+        mel, tokens = batch
+        state, tx = create_train_state(params, learning_rate=1e-3)
+        before = jax.tree.map(np.asarray, state.params["encoder"])
+        for _ in range(2):
+            state, _ = train_step(state, mel, tokens, CFG, tx, EOT)
+        after = state.params["encoder"]
+        for k, b in flatten_params(before).items():
+            a = np.asarray(flatten_params(after)[k])
+            np.testing.assert_array_equal(a, b)
+
+    def test_decoder_updates(self, params, batch):
+        mel, tokens = batch
+        state, tx = create_train_state(params, learning_rate=1e-3)
+        before = np.asarray(state.params["decoder"]["token_embedding"])
+        state, _ = train_step(state, mel, tokens, CFG, tx, EOT)
+        after = np.asarray(state.params["decoder"]["token_embedding"])
+        assert not np.array_equal(before, after)
+
+
+class TestCheckpointResume:
+    def test_save_restore_roundtrip(self, params, batch, tmp_path):
+        mel, tokens = batch
+        state, tx = create_train_state(params, learning_rate=1e-3)
+        state, loss = train_step(state, mel, tokens, CFG, tx, EOT)
+        state, loss = train_step(state, mel, tokens, CFG, tx, EOT)
+
+        out = str(tmp_path)
+        save_checkpoint(state, 2, float(loss), out, learning_rate=1e-3)
+        ckpt = latest_checkpoint(out)
+        assert ckpt and ckpt.endswith("checkpoint-2")
+
+        template, _ = create_train_state(params, learning_rate=1e-3)
+        restored, meta = restore_checkpoint(ckpt, template)
+        assert int(restored.step) == 2
+        assert meta["step"] == 2
+
+        # params identical
+        a = flatten_params(state.params)
+        b = flatten_params(restored.params)
+        for k in a:
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]), atol=0
+            )
+
+        # optimizer moments restored: next step must match exactly
+        s1, l1 = train_step(state, mel, tokens, CFG, tx, EOT)
+        s2, l2 = train_step(restored, mel, tokens, CFG, tx, EOT)
+        assert float(l1) == pytest.approx(float(l2), abs=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(s1.params["decoder"]["token_embedding"]),
+            np.asarray(s2.params["decoder"]["token_embedding"]),
+            atol=1e-6,
+        )
+
+    def test_training_state_json(self, params, batch, tmp_path):
+        mel, tokens = batch
+        state, tx = create_train_state(params)
+        out = str(tmp_path)
+        save_checkpoint(state, 1, 2.5, out, learning_rate=1e-5)
+        with open(os.path.join(out, "checkpoint-1", "training_state.json")) as f:
+            meta = json.load(f)
+        assert meta["loss"] == 2.5
+        assert meta["learning_rate"] == 1e-5
+
+
+class TestDataParallel:
+    def test_eight_device_mesh_step(self, params, batch):
+        """DP train step over the virtual 8-device CPU mesh."""
+        assert jax.device_count() == 8, "conftest must force 8 CPU devices"
+        mesh = make_mesh()
+        assert mesh is not None and mesh.devices.size == 8
+
+        rng = np.random.default_rng(1)
+        mel = jnp.asarray(
+            rng.standard_normal((8, N_MEL_FRAMES, CFG.n_mels)).astype(
+                np.float32
+            )
+        )
+        tokens = jnp.tile(
+            jnp.asarray(
+                [[50258, 50259, 50359, 50363, 77, EOT, EOT, EOT]], jnp.int32
+            ),
+            (8, 1),
+        )
+        mel_s, tokens_s = shard_batch(mesh, mel, tokens)
+
+        # sharded-batch loss must equal the unsharded computation
+        # (before train_step donates the param buffers)
+        loss_ref = float(compute_loss(params, CFG, mel, tokens, EOT))
+        loss_sharded = float(compute_loss(params, CFG, mel_s, tokens_s, EOT))
+        assert loss_ref == pytest.approx(loss_sharded, rel=1e-5)
+
+        state, tx = create_train_state(params, learning_rate=1e-3)
+        state, loss = train_step(state, mel_s, tokens_s, CFG, tx, EOT)
+        assert np.isfinite(float(loss))

@@ -1,0 +1,229 @@
+"""JSON dataset -> batched (mel, tokens) with caching and async prefetch.
+
+Schema (reference CLAUDE.md:91-94): a JSON array of entries with
+``audio_path``, ``ipa_transcription``, optional ``speaker_id`` /
+``dataset_source``. Tokenization contract
+(reference scripts/ipa_data_loader.py:102-131):
+``sot_sequence_including_notimestamps + BPE(ipa) + EOT``, rows padded with
+EOT to the batch max.
+
+TPU-first changes vs the reference loader (which re-decodes audio and
+recomputes the mel from disk for EVERY batch — SURVEY §3.1 hot spots):
+
+  - optional persistent mel cache (one .npy per utterance, float16 on disk)
+  - a background prefetch thread assembles upcoming batches while the
+    accelerator runs the current step (double buffering host vs device)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..audio import load_audio, log_mel_spectrogram, pad_or_trim
+from ..tokenizer import WhisperTokenizer, get_tokenizer
+
+
+class IPADataset:
+    """Audio + IPA transcription dataset."""
+
+    def __init__(
+        self,
+        json_path: str,
+        tokenizer: WhisperTokenizer,
+        n_mels: int = 80,
+        mel_cache_dir: Optional[str] = None,
+    ):
+        self.json_path = json_path
+        self.tokenizer = tokenizer
+        self.n_mels = n_mels
+        self.mel_cache_dir = mel_cache_dir
+        if mel_cache_dir:
+            os.makedirs(mel_cache_dir, exist_ok=True)
+
+        with open(json_path) as f:
+            self.data = json.load(f)
+        print(f"Loaded {len(self.data)} samples from {json_path}")
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def __getitem__(self, idx: int) -> Dict:
+        entry = self.data[idx]
+        audio = load_audio(entry["audio_path"])
+        return {
+            "audio": audio,
+            "ipa_text": entry["ipa_transcription"],
+            "audio_path": entry["audio_path"],
+            "metadata": {
+                "speaker_id": entry.get("speaker_id", "unknown"),
+                "dataset_source": entry.get("dataset_source", "unknown"),
+            },
+        }
+
+    # -- mel extraction with optional disk cache --------------------------
+
+    def _cache_path(self, audio_path: str) -> str:
+        h = hashlib.sha1(
+            f"{audio_path}:{self.n_mels}".encode()
+        ).hexdigest()[:24]
+        return os.path.join(self.mel_cache_dir, f"{h}.npy")
+
+    def mel(self, idx: int) -> np.ndarray:
+        """(3000, n_mels) float32 log-mel for sample idx."""
+        audio_path = self.data[idx]["audio_path"]
+        if self.mel_cache_dir:
+            path = self._cache_path(audio_path)
+            if os.path.isfile(path):
+                return np.load(path).astype(np.float32)
+        audio = pad_or_trim(load_audio(audio_path))
+        m = log_mel_spectrogram(audio, n_mels=self.n_mels)
+        if self.mel_cache_dir:
+            np.save(self._cache_path(audio_path), m.astype(np.float16))
+        return m
+
+    # -- batching ---------------------------------------------------------
+
+    def _tokenize_ipa_batch(self, ipa_texts: Sequence[str]) -> np.ndarray:
+        tokenized = []
+        for text in ipa_texts:
+            tokens = list(self.tokenizer.sot_sequence_including_notimestamps)
+            tokens.extend(self.tokenizer.encode(text))
+            tokens.append(self.tokenizer.eot)
+            tokenized.append(tokens)
+        max_len = max(len(t) for t in tokenized)
+        eot = self.tokenizer.eot
+        return np.asarray(
+            [t + [eot] * (max_len - len(t)) for t in tokenized],
+            dtype=np.int32,
+        )
+
+    def get_batch(
+        self, indices: Sequence[int], pad_tokens_to: Optional[int] = None
+    ) -> Dict:
+        """Assemble a batch: stacked mels + EOT-padded token matrix.
+
+        pad_tokens_to: optionally right-pad the token matrix to a fixed
+        length (bucketing keeps jit recompilation bounded).
+        """
+        mels = np.stack([self.mel(i) for i in indices])
+        texts = [self.data[i]["ipa_transcription"] for i in indices]
+        tokens = self._tokenize_ipa_batch(texts)
+        if pad_tokens_to is not None and tokens.shape[1] < pad_tokens_to:
+            pad = np.full(
+                (tokens.shape[0], pad_tokens_to - tokens.shape[1]),
+                self.tokenizer.eot,
+                np.int32,
+            )
+            tokens = np.concatenate([tokens, pad], axis=1)
+        return {
+            "mel_features": mels,
+            "tokens": tokens,
+            "ipa_texts": texts,
+            "audio_paths": [self.data[i]["audio_path"] for i in indices],
+        }
+
+
+def create_data_loader(
+    json_path: str,
+    multilingual: bool = True,
+    n_mels: int = 80,
+    language: str = "en",
+    mel_cache_dir: Optional[str] = None,
+    tokenizer: Optional[WhisperTokenizer] = None,
+) -> IPADataset:
+    """Reference-surface factory (scripts/ipa_data_loader.py:134-157)."""
+    if tokenizer is None:
+        tokenizer = get_tokenizer(multilingual=multilingual, language=language)
+    return IPADataset(
+        json_path, tokenizer, n_mels=n_mels, mel_cache_dir=mel_cache_dir
+    )
+
+
+def _round_up_pow2(n: int, minimum: int = 32) -> int:
+    out = minimum
+    while out < n:
+        out *= 2
+    return out
+
+
+class PrefetchLoader:
+    """Background-thread batch producer for the training loop.
+
+    Samples random batches (without replacement within a batch, matching
+    reference np.random.choice at scripts/train_whisper_ipa.py:548) and
+    keeps `depth` ready batches ahead of the consumer. Token matrices are
+    padded to power-of-two buckets so the jitted train step compiles a
+    bounded number of shapes.
+    """
+
+    def __init__(
+        self,
+        dataset: IPADataset,
+        batch_size: int,
+        num_steps: int,
+        seed: int = 0,
+        depth: int = 2,
+        bucket_tokens: bool = True,
+        max_token_len: int = 448,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_steps = num_steps
+        self.bucket_tokens = bucket_tokens
+        self.max_token_len = max_token_len
+        self._rng = np.random.default_rng(seed)
+        self._queue: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        try:
+            for _ in range(self.num_steps):
+                if self._stop.is_set():
+                    break
+                indices = self._rng.choice(
+                    len(self.dataset),
+                    size=min(self.batch_size, len(self.dataset)),
+                    replace=False,
+                ).tolist()
+                batch = self.dataset.get_batch(indices)
+                if self.bucket_tokens:
+                    tokens = batch["tokens"]
+                    target = min(
+                        _round_up_pow2(tokens.shape[1]), self.max_token_len
+                    )
+                    if tokens.shape[1] < target:
+                        pad = np.full(
+                            (tokens.shape[0], target - tokens.shape[1]),
+                            self.dataset.tokenizer.eot,
+                            np.int32,
+                        )
+                        batch["tokens"] = np.concatenate(
+                            [tokens, pad], axis=1
+                        )
+                self._queue.put(batch)
+        finally:
+            self._queue.put(None)
+
+    def __iter__(self) -> Iterator[Dict]:
+        while True:
+            batch = self._queue.get()
+            if batch is None:
+                break
+            yield batch
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass

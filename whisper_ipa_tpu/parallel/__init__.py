@@ -1,0 +1,31 @@
+from .distributed import (
+    global_batch_from_local,
+    initialize,
+    local_shard_indices,
+    process_info,
+)
+from .mesh import (
+    TP_RULES,
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicate,
+    shard_batch,
+    shard_params,
+    spec_for_param,
+)
+
+__all__ = [
+    "TP_RULES",
+    "batch_sharding",
+    "global_batch_from_local",
+    "initialize",
+    "local_shard_indices",
+    "make_mesh",
+    "param_shardings",
+    "process_info",
+    "replicate",
+    "shard_batch",
+    "shard_params",
+    "spec_for_param",
+]

@@ -1,0 +1,319 @@
+"""The training loop: decoder-only Whisper IPA fine-tuning on TPU.
+
+Orchestration mirrors the reference train() (scripts/train_whisper_ipa.py:
+446-645): random-batch sampling, periodic validation with decode + PER/PFER,
+best-checkpoint tracking, the same console/CSV/JSON artifacts — redesigned
+around a jitted train step, an async host input pipeline, device-mesh data
+parallelism, and a real resume path.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import WhisperConfig, get_config, n_mels_for_model
+from ..data.dataset import IPADataset, PrefetchLoader, create_data_loader
+from ..decode import DecodingOptions, decode
+from ..metrics import evaluate_batch
+from ..models import init_params, load_safetensors_flat, params_from_flat
+from ..models.whisper import count_parameters
+from ..parallel.mesh import make_mesh, shard_batch
+from .checkpoints import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_best_checkpoint,
+    save_checkpoint,
+)
+from .logger import (
+    TrainingLogger,
+    console_step_line,
+    get_hardware_info,
+    save_training_config,
+)
+from .step import TrainState, create_train_state, train_step
+
+
+def validate(
+    params,
+    cfg: WhisperConfig,
+    dataset: IPADataset,
+    tokenizer,
+    num_samples: int = 100,
+    val_batch_size: int = 8,
+) -> Dict:
+    """Decode a test subset and score PER/PFER (reference validate())."""
+    print(f"\nValidating on {num_samples} samples...")
+    num_samples = min(num_samples, len(dataset))
+    references = []
+    hypotheses = []
+    options = DecodingOptions(
+        language=None,
+        without_timestamps=True,
+        length_penalty=1.0,
+    )
+
+    for start in range(0, num_samples, val_batch_size):
+        indices = list(range(start, min(start + val_batch_size, num_samples)))
+        batch = dataset.get_batch(indices)
+        try:
+            results = decode(
+                params,
+                cfg,
+                jnp.asarray(batch["mel_features"]),
+                options,
+                tokenizer=tokenizer,
+            )
+            hypotheses.extend(r.text.strip() for r in results)
+            references.extend(t.strip() for t in batch["ipa_texts"])
+            if start == 0:
+                print("\nSample Predictions:")
+                for k in range(min(3, len(results))):
+                    print(f"  Ref:  [{references[k]}]")
+                    print(f"  Pred: [{hypotheses[k]}]")
+                    print("-" * 30)
+        except Exception as e:  # mirror reference: skip failed batches
+            print(f"Error during validation decoding: {e}")
+
+    metrics = evaluate_batch(references, hypotheses)
+    print("Validation Results:")
+    print(f"  PER:  {metrics['per']:.2f}%")
+    print(f"  PFER: {metrics['pfer']:.2f}%")
+    return metrics
+
+
+def load_or_init_params(model_name: str, cfg: WhisperConfig, weights: Optional[str]):
+    """Load pretrained weights from a safetensors path, else random init."""
+    if weights and os.path.isfile(weights):
+        print(f"Loading weights from {weights}")
+        return params_from_flat(load_safetensors_flat(weights))
+    candidates = [
+        os.environ.get("WHISPER_IPA_TPU_WEIGHTS_DIR", ""),
+        os.path.expanduser("~/.cache/whisper_ipa_tpu"),
+    ]
+    for root in candidates:
+        path = os.path.join(root, f"{cfg.name}.safetensors")
+        if root and os.path.isfile(path):
+            print(f"Loading weights from {path}")
+            return params_from_flat(load_safetensors_flat(path))
+    print(
+        f"No pretrained weights found for {model_name!r}; "
+        "initializing randomly (set --weights or WHISPER_IPA_TPU_WEIGHTS_DIR)"
+    )
+    return init_params(cfg, seed=0)
+
+
+def train(
+    model_name: str,
+    train_data_path: str,
+    test_data_path: str,
+    output_dir: str,
+    num_steps: int = 1000,
+    batch_size: int = 4,
+    learning_rate: float = 1e-5,
+    validate_every: int = 100,
+    save_every: int = 500,
+    test_run: bool = False,
+    weights: Optional[str] = None,
+    resume: bool = False,
+    mel_cache_dir: Optional[str] = None,
+    data_parallel: bool = True,
+    seed: int = 0,
+) -> Dict:
+    """Main training entry point (reference-compatible surface + resume)."""
+    os.makedirs(output_dir, exist_ok=True)
+
+    args_dict = {
+        "model_name": model_name,
+        "train_data_path": train_data_path,
+        "test_data_path": test_data_path,
+        "num_steps": num_steps,
+        "batch_size": batch_size,
+        "learning_rate": learning_rate,
+        "validate_every": validate_every,
+        "save_every": save_every,
+        "test_run": test_run,
+        "resume": resume,
+    }
+    save_training_config(output_dir, args_dict, get_hardware_info())
+    logger = TrainingLogger(output_dir)
+
+    print("=" * 70)
+    print("Fine-tuning Whisper for IPA Transcription (TPU)")
+    print("=" * 70)
+
+    cfg = get_config(model_name)
+    n_mels = cfg.n_mels
+    print(f"\nModel: {model_name} (n_mels={n_mels})")
+
+    params = load_or_init_params(model_name, cfg, weights)
+
+    n_dec = count_parameters(params["decoder"])
+    n_total = count_parameters(params)
+    print(
+        f"Trainable parameters: {n_dec:,} / {n_total:,} "
+        f"({100 * n_dec / n_total:.1f}%) [encoder frozen]"
+    )
+
+    state, tx = create_train_state(
+        params, learning_rate=learning_rate, freeze_encoder=True
+    )
+
+    if resume:
+        ckpt = latest_checkpoint(output_dir)
+        if ckpt:
+            state, meta = restore_checkpoint(ckpt, state)
+            print(f"Resumed from {ckpt} at step {int(state.step)}")
+
+    mesh = make_mesh() if data_parallel else None
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        print(f"Data-parallel over {n_dev} device(s): {mesh}")
+        if batch_size % n_dev != 0:
+            batch_size = max(n_dev, (batch_size // n_dev) * n_dev)
+            print(f"  (batch size rounded to {batch_size} for even sharding)")
+
+    # datasets
+    print(f"\nLoading training data: {train_data_path}")
+    train_dataset = create_data_loader(
+        train_data_path, n_mels=n_mels, mel_cache_dir=mel_cache_dir
+    )
+    print(f"Loading test data: {test_data_path}")
+    test_dataset = create_data_loader(
+        test_data_path, n_mels=n_mels, mel_cache_dir=mel_cache_dir
+    )
+    tokenizer = train_dataset.tokenizer
+
+    if test_run:
+        print("\nTEST RUN MODE: Using only 100 training samples")
+        train_dataset.data = train_dataset.data[:100]
+        num_steps = min(num_steps, 100)
+
+    print("\n" + "=" * 70)
+    print(f"Starting training for {num_steps} steps")
+    print("=" * 70)
+
+    start_time = time.time()
+    start_step = int(state.step)
+    latest_loss = None
+    eot = tokenizer.eot
+
+    loader = PrefetchLoader(
+        train_dataset,
+        batch_size,
+        num_steps - start_step,
+        seed=seed + start_step,
+    )
+
+    try:
+        step = start_step
+        for batch in loader:
+            step += 1
+            step_start = time.time()
+            mel = jnp.asarray(batch["mel_features"])
+            tokens = jnp.asarray(batch["tokens"])
+            if mesh is not None:
+                mel, tokens = shard_batch(mesh, mel, tokens)
+            state, loss = train_step(
+                state, mel, tokens, cfg, tx, eot, freeze_encoder=True
+            )
+            loss_val = float(loss)
+            latest_loss = loss_val
+            step_time = time.time() - step_start
+
+            if step % 10 == 0 or step <= 5:
+                print(
+                    console_step_line(
+                        step, num_steps, loss_val, step_time, batch_size
+                    )
+                )
+                logger.log_train_step(
+                    step,
+                    loss_val,
+                    learning_rate,
+                    step_time,
+                    batch_size,
+                    time.time() - start_time,
+                )
+
+            if validate_every and step % validate_every == 0:
+                metrics = validate(
+                    state.params, cfg, test_dataset, tokenizer, num_samples=100
+                )
+                is_best = logger.log_validation(
+                    step, metrics, time.time() - start_time
+                )
+                if is_best:
+                    save_best_checkpoint(
+                        state, step, metrics["pfer"], metrics["per"], output_dir
+                    )
+                    print(
+                        f"  New best PFER {metrics['pfer']:.2f}% at step {step}"
+                    )
+
+            if save_every and step % save_every == 0:
+                save_checkpoint(
+                    state,
+                    step,
+                    latest_loss,
+                    output_dir,
+                    logger=logger,
+                    start_time=start_time,
+                    learning_rate=learning_rate,
+                )
+    finally:
+        loader.close()
+
+    # final validation + summary
+    print("\n" + "=" * 70)
+    print("Training complete! Running final validation...")
+    print("=" * 70)
+    metrics = validate(
+        state.params,
+        cfg,
+        test_dataset,
+        tokenizer,
+        num_samples=min(500, len(test_dataset)),
+    )
+    logger.log_validation(num_steps, metrics, time.time() - start_time)
+
+    summary = {}
+    if latest_loss is not None:
+        print("\nSaving final model...")
+        save_checkpoint(
+            state,
+            num_steps,
+            latest_loss,
+            output_dir,
+            logger=logger,
+            start_time=start_time,
+            learning_rate=learning_rate,
+        )
+        total_time = time.time() - start_time
+        import json
+        from datetime import datetime
+
+        summary = {
+            "total_wall_clock_sec": total_time,
+            "total_wall_clock_min": total_time / 60,
+            "final_loss": latest_loss,
+            "final_per": metrics["per"],
+            "final_pfer": metrics["pfer"],
+            "best_pfer": (
+                logger.best_pfer if logger.best_pfer != float("inf") else None
+            ),
+            "best_pfer_step": logger.best_pfer_step,
+            "end_time": datetime.now().isoformat(),
+        }
+        with open(os.path.join(output_dir, "training_summary.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+        print(f"\nTraining complete in {total_time / 60:.1f} minutes")
+        print(f"  Final loss: {latest_loss:.4f}")
+        print(f"  Final PER: {metrics['per']:.2f}%")
+        print(f"  Final PFER: {metrics['pfer']:.2f}%")
+    return summary

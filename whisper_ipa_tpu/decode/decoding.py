@@ -58,6 +58,9 @@ class DecodingResult:
     language: Optional[str] = None
 
 
+_encode_jit = jax.jit(encode, static_argnames=("cfg", "dtype"))
+
+
 def compression_ratio(text: str) -> float:
     data = text.encode("utf-8")
     if not data:
@@ -285,11 +288,15 @@ def decode(
         tokenizer = replace(tokenizer)
         tokenizer.language = options.language
 
+    # fp16 option maps to bfloat16 on TPU (the reference's fp16 flag,
+    # reinterpreted for TPU-native mixed precision)
+    dtype = jnp.bfloat16 if options.fp16 else jnp.float32
+
     audio_input = jnp.asarray(audio_input)
     if audio_input.ndim == 2:
         audio_input = audio_input[None]
     if audio_input.shape[-1] == cfg.n_mels:
-        audio_features = encode(params, cfg, audio_input)
+        audio_features = _encode_jit(params, cfg, audio_input, dtype=dtype)
     else:
         audio_features = audio_input
 
@@ -338,6 +345,7 @@ def decode(
         int(sample_len),
         float(options.temperature),
         jax.random.PRNGKey(0),
+        dtype_name=jnp.dtype(dtype).name,
     )
 
     tokens_np = np.asarray(tokens_buf)

@@ -130,6 +130,20 @@ def init_params(cfg: WhisperConfig, seed: int = 0) -> Params:
     return {"encoder": encoder, "decoder": decoder}
 
 
+# -- layer stacking (scan-over-depth) -------------------------------------
+
+def _stack_blocks(blocks: List[Dict]) -> Dict:
+    """List of per-layer param dicts -> one dict with leading L axis.
+
+    Done inside the traced function: the transformer body then compiles as
+    a single lax.scan over depth, making XLA compile time independent of
+    layer count (the unrolled 12-layer whisper-small decode program took
+    >3 min to compile; the scanned one takes seconds). The stack itself is
+    one HBM copy that XLA usually elides.
+    """
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+
 # -- encoder --------------------------------------------------------------
 
 def encode(params: Params, cfg: WhisperConfig, mel, dtype=jnp.float32):
@@ -142,12 +156,17 @@ def encode(params: Params, cfg: WhisperConfig, mel, dtype=jnp.float32):
     pos = jnp.asarray(sinusoids(cfg.n_audio_ctx, cfg.n_audio_state))
     x = x + pos.astype(dtype)
 
-    for block in enc["blocks"]:
+    stacked = _stack_blocks(enc["blocks"])
+
+    def body(x, block):
         h, _ = attention_block(
             layer_norm(x, block["attn_ln"]), block["attn"], cfg.n_audio_head
         )
         x = x + h
         x = x + mlp_block(layer_norm(x, block["mlp_ln"]), block)
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, stacked)
     return layer_norm(x, enc["ln_post"])
 
 
@@ -177,7 +196,9 @@ def decoder_logits(
     mask = jnp.asarray(causal_mask(T))
     audio_features = audio_features.astype(dtype)
 
-    for block in dec["blocks"]:
+    stacked = _stack_blocks(dec["blocks"])
+
+    def body(x, block):
         h, _ = attention_block(
             layer_norm(x, block["attn_ln"]),
             block["attn"],
@@ -195,7 +216,9 @@ def decoder_logits(
         )
         x = x + h
         x = x + mlp_block(layer_norm(x, block["mlp_ln"]), block)
+        return x, None
 
+    x, _ = jax.lax.scan(body, x, stacked)
     x = layer_norm(x, dec["ln"])
     logits = jnp.matmul(
         x.astype(jnp.float32), dec["token_embedding"].T.astype(jnp.float32)
@@ -235,16 +258,18 @@ def init_cache(
     d = cfg.n_text_state
     audio_features = audio_features.astype(dtype)
 
-    cross_k = []
-    cross_v = []
-    for block in params["decoder"]["blocks"]:
-        cross_k.append(linear(audio_features, block["cross_attn"]["key"]))
-        cross_v.append(linear(audio_features, block["cross_attn"]["value"]))
+    stacked = _stack_blocks(params["decoder"]["blocks"])
+    cross_k = jax.vmap(lambda p: linear(audio_features, p))(
+        stacked["cross_attn"]["key"]
+    )
+    cross_v = jax.vmap(lambda p: linear(audio_features, p))(
+        stacked["cross_attn"]["value"]
+    )
     return DecoderCache(
         self_k=jnp.zeros((L, B, n_ctx, d), dtype),
         self_v=jnp.zeros((L, B, n_ctx, d), dtype),
-        cross_k=jnp.stack(cross_k),
-        cross_v=jnp.stack(cross_v),
+        cross_k=cross_k,
+        cross_v=cross_v,
     )
 
 
@@ -276,43 +301,43 @@ def decode_step(
     query_idx = pos + jnp.arange(S)[:, None]
     mask = jnp.where(key_idx <= query_idx, 0.0, -jnp.inf).astype(jnp.float32)
 
-    new_self_k = []
-    new_self_v = []
-    for i, block in enumerate(dec["blocks"]):
+    from .layers import multi_head_attention
+
+    stacked = _stack_blocks(dec["blocks"])
+
+    def body(x, inp):
+        block, k_cache, v_cache, xk, xv = inp
         xn = layer_norm(x, block["attn_ln"])
         q = linear(xn, block["attn"]["query"])
         k_new = linear(xn, block["attn"]["key"])
         v_new = linear(xn, block["attn"]["value"])
         k_buf = jax.lax.dynamic_update_slice_in_dim(
-            cache.self_k[i], k_new, pos, axis=1
+            k_cache, k_new, pos, axis=1
         )
         v_buf = jax.lax.dynamic_update_slice_in_dim(
-            cache.self_v[i], v_new, pos, axis=1
+            v_cache, v_new, pos, axis=1
         )
-        new_self_k.append(k_buf)
-        new_self_v.append(v_buf)
-
-        from .layers import multi_head_attention
 
         h = multi_head_attention(q, k_buf, v_buf, cfg.n_text_head, mask=mask)
         x = x + linear(h, block["attn"]["out"])
 
         xn = layer_norm(x, block["cross_attn_ln"])
         qc = linear(xn, block["cross_attn"]["query"])
-        h = multi_head_attention(
-            qc, cache.cross_k[i], cache.cross_v[i], cfg.n_text_head
-        )
+        h = multi_head_attention(qc, xk, xv, cfg.n_text_head)
         x = x + linear(h, block["cross_attn"]["out"])
 
         x = x + mlp_block(layer_norm(x, block["mlp_ln"]), block)
+        return x, (k_buf, v_buf)
+
+    x, (new_self_k, new_self_v) = jax.lax.scan(
+        body, x, (stacked, cache.self_k, cache.self_v, cache.cross_k, cache.cross_v)
+    )
 
     x = layer_norm(x, dec["ln"])
     step_logits = jnp.matmul(
         x.astype(jnp.float32), dec["token_embedding"].T.astype(jnp.float32)
     )
-    new_cache = cache._replace(
-        self_k=jnp.stack(new_self_k), self_v=jnp.stack(new_self_v)
-    )
+    new_cache = cache._replace(self_k=new_self_k, self_v=new_self_v)
     return step_logits, new_cache
 
 

@@ -1,0 +1,103 @@
+"""CLI smoke tests (host-only paths; heavy model CLIs tested via units)."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from tests.conftest import REPO_ROOT
+
+
+def run_cli(module, *args, timeout=240):
+    return subprocess.run(
+        [sys.executable, "-m", f"whisper_ipa_tpu.cli.{module}", *args],
+        capture_output=True,
+        text=True,
+        cwd=REPO_ROOT,
+        timeout=timeout,
+        env={
+            **__import__("os").environ,
+            "JAX_PLATFORMS": "cpu",
+            "PYTHONPATH": REPO_ROOT,
+        },
+    )
+
+
+class TestMetricCLI:
+    def test_evaluate_ipa_selftest(self):
+        out = run_cli("evaluate_ipa")
+        assert out.returncode == 0, out.stderr
+        assert "All tests passed!" in out.stdout
+
+
+class TestSpeedMonitor:
+    def test_log_parse_contract(self, tmp_path):
+        from whisper_ipa_tpu.cli.calculate_real_speed import (
+            parse_log_for_steps,
+        )
+        from whisper_ipa_tpu.train.logger import console_step_line
+
+        log = tmp_path / "train.log"
+        lines = [
+            console_step_line(step, 100, 2.5, 0.5, 8) for step in (10, 20, 30)
+        ]
+        log.write_text("\n".join(lines) + "\n")
+        steps = parse_log_for_steps(log)
+        assert [s["step"] for s in steps] == [10, 20, 30]
+        assert steps[0]["samples_per_sec"] == pytest.approx(16.0)
+
+    def test_latest_checkpoint_discovery(self, tmp_path):
+        from whisper_ipa_tpu.cli.calculate_real_speed import (
+            get_latest_checkpoint,
+        )
+
+        for step in (100, 500, 250):
+            d = tmp_path / f"checkpoint-{step}"
+            d.mkdir()
+            (d / "training_state.json").write_text(
+                json.dumps({"step": step, "loss": 1.0})
+            )
+        latest = get_latest_checkpoint(tmp_path)
+        assert latest["step"] == 500
+
+    def test_own_pid_runtime(self):
+        import os
+
+        from whisper_ipa_tpu.cli.calculate_real_speed import (
+            get_process_runtime,
+        )
+
+        rt = get_process_runtime(os.getpid())
+        assert rt is not None and rt >= 0
+
+
+class TestPrepareDatasetsCLI:
+    def test_verify_subcommand(self, tmp_path):
+        ds = tmp_path / "d.json"
+        ds.write_text(json.dumps([{"ipa_transcription": "kæt"}]))
+        out = run_cli("prepare_datasets", "verify", str(ds))
+        assert out.returncode == 0, out.stderr
+
+    def test_combine_subcommand(self, tmp_path):
+        d = tmp_path / "processed"
+        d.mkdir()
+        for name in (
+            "timit_train_ipa.json",
+            "timit_test_ipa.json",
+            "metu_turkish_ipa.json",
+            "ogi_spelled_ipa.json",
+        ):
+            (d / name).write_text(
+                json.dumps([{"audio_path": "x", "ipa_transcription": "a"}])
+            )
+        out = run_cli("prepare_datasets", "combine", "--processed-dir", str(d))
+        assert out.returncode == 0, out.stderr
+        assert (d / "combined_train_ipa.json").exists()
+
+
+class TestBenchmarkModelsCLI:
+    def test_param_counts(self):
+        out = run_cli("benchmark_models", "--models", "tiny")
+        assert out.returncode == 0, out.stderr
+        assert "tiny" in out.stdout

@@ -1,0 +1,13 @@
+"""Command-line entry points (python -m whisper_ipa_tpu.cli.<name>).
+
+Mirrors the reference's script surface:
+  train_whisper_ipa      training loop
+  evaluate_model         checkpoint evaluation + base-model comparison
+  transcribe_single      single-utterance transcription
+  evaluate_ipa           metric self-test
+  compute_iaa            inter-annotator agreement oracle
+  parse_zeroshot_test    zero-shot test set assembly
+  prepare_datasets       corpus preparation subcommands
+  calculate_real_speed   out-of-process training monitor
+  benchmark_models       model-size parameter/throughput benchmarks
+"""

@@ -1,0 +1,88 @@
+"""CLI: decoder-only Whisper IPA fine-tuning.
+
+Preserves the reference's argument surface (reference
+scripts/train_whisper_ipa.py:648-724) and adds TPU-era options:
+--weights (pretrained safetensors), --resume, --mel-cache-dir,
+--no-data-parallel.
+
+Usage:
+  python -m whisper_ipa_tpu.cli.train_whisper_ipa \
+      --model small --train-data data/processed/combined_train_ipa.json \
+      --test-data data/processed/combined_test_ipa.json \
+      --output-dir checkpoints/whisper-ipa --steps 10000 --batch-size 12
+"""
+
+import argparse
+
+from ..train.loop import train
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Fine-tune Whisper for IPA transcription (TPU)"
+    )
+    p.add_argument(
+        "--model",
+        type=str,
+        default="mlx-community/whisper-small-mlx",
+        help="Whisper model name (accepts HF/MLX repo ids or plain sizes)",
+    )
+    p.add_argument(
+        "--train-data",
+        type=str,
+        default="data/processed/english_only_train_ipa.json",
+    )
+    p.add_argument(
+        "--test-data",
+        type=str,
+        default="data/processed/english_only_test_ipa.json",
+    )
+    p.add_argument("--output-dir", type=str, default="checkpoints/whisper-ipa")
+    p.add_argument("--steps", type=int, default=10000)
+    p.add_argument("--batch-size", type=int, default=12)
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--validate-every", type=int, default=1000)
+    p.add_argument("--save-every", type=int, default=1000)
+    p.add_argument(
+        "--test-run", action="store_true", help="Test run with only 100 samples"
+    )
+    p.add_argument(
+        "--weights",
+        type=str,
+        default=None,
+        help="Path to pretrained safetensors (HF or MLX layout)",
+    )
+    p.add_argument(
+        "--resume",
+        action="store_true",
+        help="Resume from the latest checkpoint in --output-dir",
+    )
+    p.add_argument("--mel-cache-dir", type=str, default=None)
+    p.add_argument("--no-data-parallel", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    train(
+        model_name=args.model,
+        train_data_path=args.train_data,
+        test_data_path=args.test_data,
+        output_dir=args.output_dir,
+        num_steps=args.steps,
+        batch_size=args.batch_size,
+        learning_rate=args.lr,
+        validate_every=args.validate_every,
+        save_every=args.save_every,
+        test_run=args.test_run,
+        weights=args.weights,
+        resume=args.resume,
+        mel_cache_dir=args.mel_cache_dir,
+        data_parallel=not args.no_data_parallel,
+        seed=args.seed,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -32,7 +32,8 @@ def main():
 
     import jax.numpy as jnp
 
-    from whisper_ipa_tpu.audio import N_SAMPLES, log_mel_spectrogram_jax
+    from whisper_ipa_tpu.audio import N_SAMPLES
+    from whisper_ipa_tpu.ops import log_mel_spectrogram_pallas
     from whisper_ipa_tpu.config import get_config
     from whisper_ipa_tpu.decode import DecodingOptions, decode
     from whisper_ipa_tpu.models import init_params
@@ -56,7 +57,10 @@ def main():
         fp16=True,  # bfloat16 compute on TPU
     )
 
-    mel_fn = jax.jit(lambda a: log_mel_spectrogram_jax(a, n_mels=cfg.n_mels))
+    # fused Pallas frontend (framing+window+DFT+power+mel+log in one kernel)
+    mel_fn = jax.jit(
+        lambda a: log_mel_spectrogram_pallas(a, n_mels=cfg.n_mels)
+    )
 
     def run():
         mel = mel_fn(audio)

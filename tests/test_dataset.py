@@ -1,0 +1,134 @@
+"""Dataset/input-pipeline tests + an end-to-end training smoke test."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from whisper_ipa_tpu.audio import SAMPLE_RATE, write_wav
+from whisper_ipa_tpu.data import IPADataset, PrefetchLoader, create_data_loader
+from whisper_ipa_tpu.tokenizer import get_tokenizer
+
+
+def make_synthetic_dataset(root, n=6, seconds=0.5):
+    """Sine-wave WAVs + pipeline-schema JSON (the test fixture pattern the
+    reference lacked — SURVEY §4 implication (c))."""
+    os.makedirs(root, exist_ok=True)
+    entries = []
+    ipas = ["kæt", "bʌtn̩", "ə̥tʃ", "aːm", "ɡɯɣ", "n̩æp"]
+    for i in range(n):
+        t = np.arange(int(seconds * SAMPLE_RATE)) / SAMPLE_RATE
+        audio = 0.3 * np.sin(2 * np.pi * (200 + 50 * i) * t)
+        path = os.path.join(root, f"utt{i}.wav")
+        write_wav(path, audio.astype(np.float32))
+        entries.append(
+            {
+                "audio_path": path,
+                "ipa_transcription": ipas[i % len(ipas)],
+                "speaker_id": f"spk{i}",
+                "dataset_source": "synthetic",
+            }
+        )
+    json_path = os.path.join(root, "dataset.json")
+    with open(json_path, "w") as f:
+        json.dump(entries, f, ensure_ascii=False)
+    return json_path
+
+
+@pytest.fixture(scope="module")
+def dataset_json(tmp_path_factory):
+    return make_synthetic_dataset(str(tmp_path_factory.mktemp("ds")))
+
+
+@pytest.fixture(scope="module")
+def dataset(dataset_json):
+    return create_data_loader(dataset_json, n_mels=80)
+
+
+class TestIPADataset:
+    def test_len_and_getitem(self, dataset):
+        assert len(dataset) == 6
+        sample = dataset[0]
+        assert sample["ipa_text"] == "kæt"
+        assert sample["audio"].dtype == np.float32
+
+    def test_get_batch_shapes(self, dataset):
+        batch = dataset.get_batch([0, 1, 2, 3])
+        assert batch["mel_features"].shape == (4, 3000, 80)
+        assert batch["tokens"].ndim == 2
+        assert len(batch["ipa_texts"]) == 4
+
+    def test_tokenization_contract(self, dataset):
+        """SOT seq + BPE + EOT, padded with EOT (reference
+        ipa_data_loader._tokenize_ipa_batch)."""
+        tok = dataset.tokenizer
+        batch = dataset.get_batch([0, 1])
+        tokens = batch["tokens"]
+        assert tuple(tokens[0, :4]) == tok.sot_sequence_including_notimestamps
+        assert tokens[0, -1] == tok.eot
+        # round-trip: decode_text recovers the IPA string
+        assert tok.decode_text(tokens[0].tolist()) == batch["ipa_texts"][0]
+
+    def test_pad_tokens_to(self, dataset):
+        batch = dataset.get_batch([0], pad_tokens_to=64)
+        assert batch["tokens"].shape[1] == 64
+
+    def test_mel_cache(self, dataset_json, tmp_path):
+        cache = str(tmp_path / "melcache")
+        ds = create_data_loader(
+            dataset_json, n_mels=80, mel_cache_dir=cache
+        )
+        m1 = ds.mel(0)
+        files = os.listdir(cache)
+        assert len(files) == 1
+        m2 = ds.mel(0)  # cache hit (float16 round-trip)
+        assert np.max(np.abs(m1 - m2)) < 2e-3
+
+
+class TestPrefetchLoader:
+    def test_yields_requested_steps(self, dataset):
+        loader = PrefetchLoader(dataset, batch_size=2, num_steps=3, seed=0)
+        batches = list(loader)
+        assert len(batches) == 3
+        for b in batches:
+            assert b["mel_features"].shape[0] == 2
+            # bucketing pads token length to a power of two
+            assert b["tokens"].shape[1] in (32, 64, 128, 256, 448)
+
+    def test_deterministic_with_seed(self, dataset):
+        a = [b["audio_paths"] for b in PrefetchLoader(dataset, 2, 3, seed=7)]
+        b = [b["audio_paths"] for b in PrefetchLoader(dataset, 2, 3, seed=7)]
+        assert a == b
+
+
+class TestEndToEndTraining:
+    def test_train_smoke(self, dataset_json, tmp_path):
+        """Two real steps of train() end-to-end on synthetic data."""
+        from dataclasses import replace
+
+        import whisper_ipa_tpu.config as config_mod
+        from whisper_ipa_tpu.train.loop import train
+
+        # register a micro model to keep CPU compile time down
+        config_mod.CONFIGS["test-micro"] = replace(
+            config_mod.CONFIGS["test-tiny"], name="test-micro"
+        )
+        out = str(tmp_path / "run")
+        summary = train(
+            model_name="test-micro",
+            train_data_path=dataset_json,
+            test_data_path=dataset_json,
+            output_dir=out,
+            num_steps=2,
+            batch_size=2,
+            learning_rate=1e-4,
+            validate_every=0,
+            save_every=2,
+            data_parallel=True,
+            final_validate=False,
+        )
+        assert os.path.isfile(os.path.join(out, "training_config.json"))
+        assert os.path.isfile(os.path.join(out, "training_log.csv"))
+        assert os.path.isdir(os.path.join(out, "checkpoint-2"))
+        assert np.isfinite(summary["final_loss"])

@@ -189,10 +189,13 @@ class PrefetchLoader:
             for _ in range(self.num_steps):
                 if self._stop.is_set():
                     break
+                # without replacement within a batch (reference behavior);
+                # with replacement when the dataset is smaller than the
+                # batch, so the batch size stays fixed for DP sharding
                 indices = self._rng.choice(
                     len(self.dataset),
-                    size=min(self.batch_size, len(self.dataset)),
-                    replace=False,
+                    size=self.batch_size,
+                    replace=self.batch_size > len(self.dataset),
                 ).tolist()
                 batch = self.dataset.get_batch(indices)
                 if self.bucket_tokens:

@@ -124,6 +124,9 @@ def train(
     mel_cache_dir: Optional[str] = None,
     data_parallel: bool = True,
     seed: int = 0,
+    final_validate: bool = True,
+    final_validate_samples: int = 500,
+    profile_dir: Optional[str] = None,
 ) -> Dict:
     """Main training entry point (reference-compatible surface + resume)."""
     os.makedirs(output_dir, exist_ok=True)
@@ -219,10 +222,14 @@ def train(
             tokens = jnp.asarray(batch["tokens"])
             if mesh is not None:
                 mel, tokens = shard_batch(mesh, mel, tokens)
+            if profile_dir and step == start_step + 10:
+                jax.profiler.start_trace(profile_dir)
             state, loss = train_step(
                 state, mel, tokens, cfg, tx, eot, freeze_encoder=True
             )
             loss_val = float(loss)
+            if profile_dir and step == start_step + 15:
+                jax.profiler.stop_trace()
             latest_loss = loss_val
             step_time = time.time() - step_start
 
@@ -271,16 +278,19 @@ def train(
 
     # final validation + summary
     print("\n" + "=" * 70)
-    print("Training complete! Running final validation...")
+    print("Training complete!")
     print("=" * 70)
-    metrics = validate(
-        state.params,
-        cfg,
-        test_dataset,
-        tokenizer,
-        num_samples=min(500, len(test_dataset)),
-    )
-    logger.log_validation(num_steps, metrics, time.time() - start_time)
+    if final_validate:
+        metrics = validate(
+            state.params,
+            cfg,
+            test_dataset,
+            tokenizer,
+            num_samples=min(final_validate_samples, len(test_dataset)),
+        )
+        logger.log_validation(num_steps, metrics, time.time() - start_time)
+    else:
+        metrics = {"per": float("nan"), "pfer": float("nan")}
 
     summary = {}
     if latest_loss is not None:

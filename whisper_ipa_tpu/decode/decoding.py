@@ -61,6 +61,53 @@ class DecodingResult:
 _encode_jit = jax.jit(encode, static_argnames=("cfg", "dtype"))
 
 
+@partial(jax.jit, static_argnames=("cfg", "sot"))
+def _language_logits_jit(params, cfg: WhisperConfig, audio_features, sot: int):
+    """Logits after a single SOT step (language-identification forward)."""
+    cache = init_cache(params, cfg, audio_features, max_len=8)
+    B = audio_features.shape[0]
+    tokens = jnp.full((B, 1), sot, jnp.int32)
+    logits, _ = decode_step(params, cfg, tokens, cache, 0)
+    return logits[:, 0]
+
+
+def detect_language(
+    params,
+    cfg: WhisperConfig,
+    audio_features,
+    tokenizer: Optional[WhisperTokenizer] = None,
+):
+    """Identify the spoken language from encoder output.
+
+    Returns (language_codes list[str], probs list[dict code->prob]).
+    Mirrors the Whisper language-ID procedure: one decoder step on SOT,
+    softmax restricted to the language-token block.
+    """
+    if tokenizer is None:
+        tokenizer = get_tokenizer(
+            multilingual=cfg.multilingual, num_languages=cfg.num_languages
+        )
+    logits = _language_logits_jit(
+        params, cfg, jnp.asarray(audio_features), tokenizer.sot
+    )
+    lang_tokens = np.asarray(tokenizer.all_language_tokens)
+    lang_logits = np.asarray(logits)[:, lang_tokens]
+    probs = np.exp(lang_logits - lang_logits.max(axis=-1, keepdims=True))
+    probs /= probs.sum(axis=-1, keepdims=True)
+
+    from ..tokenizer.whisper_tokenizer import LANGUAGES, LANGUAGES_V3
+
+    langs = (
+        LANGUAGES_V3 if tokenizer.num_languages == 100 else LANGUAGES
+    )[: tokenizer.num_languages]
+    best = probs.argmax(axis=-1)
+    codes = [langs[i] for i in best]
+    prob_dicts = [
+        dict(zip(langs, row.tolist())) for row in probs
+    ]
+    return codes, prob_dicts
+
+
 def compression_ratio(text: str) -> float:
     data = text.encode("utf-8")
     if not data:
@@ -307,6 +354,19 @@ def decode(
         jnp.asarray(prefix, jnp.int32)[None, :], (B, 1)
     )
 
+    # language=None on a multilingual model: identify per sample and patch
+    # the language slot of each prefix (reference validate() decodes with
+    # auto language, scripts/train_whisper_ipa.py:339)
+    detected_langs = None
+    if options.language is None and cfg.multilingual:
+        detected_langs, _ = detect_language(
+            params, cfg, audio_features, tokenizer
+        )
+        lang_ids = jnp.asarray(
+            [tokenizer.language_token(c) for c in detected_langs], jnp.int32
+        )
+        prefix_tokens = prefix_tokens.at[:, 1].set(lang_ids)
+
     sample_len = options.sample_len or (cfg.n_text_ctx // 2)
     sample_len = min(sample_len, cfg.n_text_ctx - n_prefix)
 
@@ -371,7 +431,11 @@ def decode(
                 no_speech_prob=float(no_speech_probs[b]),
                 temperature=options.temperature,
                 compression_ratio=compression_ratio(text),
-                language=options.language or tokenizer.language,
+                language=(
+                    detected_langs[b]
+                    if detected_langs
+                    else options.language or tokenizer.language
+                ),
             )
         )
     return results

@@ -217,53 +217,71 @@ def train(
         step = start_step
         for batch in loader:
             step += 1
-            step_start = time.time()
-            mel = jnp.asarray(batch["mel_features"])
-            tokens = jnp.asarray(batch["tokens"])
-            if mesh is not None:
-                mel, tokens = shard_batch(mesh, mel, tokens)
-            if profile_dir and step == start_step + 10:
-                jax.profiler.start_trace(profile_dir)
-            state, loss = train_step(
-                state, mel, tokens, cfg, tx, eot, freeze_encoder=True
-            )
-            loss_val = float(loss)
-            if profile_dir and step == start_step + 15:
-                jax.profiler.stop_trace()
-            latest_loss = loss_val
-            step_time = time.time() - step_start
+            try:
+                step_start = time.time()
+                mel = jnp.asarray(batch["mel_features"])
+                tokens = jnp.asarray(batch["tokens"])
+                if mesh is not None:
+                    mel, tokens = shard_batch(mesh, mel, tokens)
+                if profile_dir and step == start_step + 10:
+                    jax.profiler.start_trace(profile_dir)
+                state, loss = train_step(
+                    state, mel, tokens, cfg, tx, eot, freeze_encoder=True
+                )
+                loss_val = float(loss)
+                if profile_dir and step == start_step + 15:
+                    jax.profiler.stop_trace()
+                latest_loss = loss_val
+                step_time = time.time() - step_start
 
-            if step % 10 == 0 or step <= 5:
-                print(
-                    console_step_line(
-                        step, num_steps, loss_val, step_time, batch_size
-                    )
-                )
-                logger.log_train_step(
-                    step,
-                    loss_val,
-                    learning_rate,
-                    step_time,
-                    batch_size,
-                    time.time() - start_time,
-                )
-
-            if validate_every and step % validate_every == 0:
-                metrics = validate(
-                    state.params, cfg, test_dataset, tokenizer, num_samples=100
-                )
-                is_best = logger.log_validation(
-                    step, metrics, time.time() - start_time
-                )
-                if is_best:
-                    save_best_checkpoint(
-                        state, step, metrics["pfer"], metrics["per"], output_dir
-                    )
+                if step % 10 == 0 or step <= 5:
                     print(
-                        f"  New best PFER {metrics['pfer']:.2f}% at step {step}"
+                        console_step_line(
+                            step, num_steps, loss_val, step_time, batch_size
+                        )
+                    )
+                    logger.log_train_step(
+                        step,
+                        loss_val,
+                        learning_rate,
+                        step_time,
+                        batch_size,
+                        time.time() - start_time,
                     )
 
-            if save_every and step % save_every == 0:
+                if validate_every and step % validate_every == 0:
+                    metrics = validate(
+                        state.params, cfg, test_dataset, tokenizer, num_samples=100
+                    )
+                    is_best = logger.log_validation(
+                        step, metrics, time.time() - start_time
+                    )
+                    if is_best:
+                        save_best_checkpoint(
+                            state, step, metrics["pfer"], metrics["per"], output_dir
+                        )
+                        print(
+                            f"  New best PFER {metrics['pfer']:.2f}% at step {step}"
+                        )
+
+                if save_every and step % save_every == 0:
+                    save_checkpoint(
+                        state,
+                        step,
+                        latest_loss,
+                        output_dir,
+                        logger=logger,
+                        start_time=start_time,
+                        learning_rate=learning_rate,
+                    )
+            except Exception as e:
+                # reference behavior: report and stop the loop, but also
+                # leave a usable emergency checkpoint (the reference's
+                # bare break loses all progress since the last save)
+                import traceback
+
+                print(f"\nError at step {step}: {e}")
+                traceback.print_exc()
                 save_checkpoint(
                     state,
                     step,
@@ -273,6 +291,7 @@ def train(
                     start_time=start_time,
                     learning_rate=learning_rate,
                 )
+                break
     finally:
         loader.close()
 

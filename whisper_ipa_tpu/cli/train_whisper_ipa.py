@@ -60,6 +60,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mel-cache-dir", type=str, default=None)
     p.add_argument("--no-data-parallel", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--bf16",
+        action="store_true",
+        help="bfloat16 activations (params/optimizer stay float32)",
+    )
+    p.add_argument(
+        "--remat",
+        action="store_true",
+        help="Rematerialize decoder layers (fit large models in HBM)",
+    )
+    p.add_argument("--profile-dir", type=str, default=None)
     return p
 
 
@@ -81,6 +92,9 @@ def main(argv=None):
         mel_cache_dir=args.mel_cache_dir,
         data_parallel=not args.no_data_parallel,
         seed=args.seed,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+        remat=args.remat,
+        profile_dir=args.profile_dir,
     )
 
 

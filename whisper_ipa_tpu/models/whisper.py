@@ -182,11 +182,14 @@ def decoder_logits(
     tokens,
     audio_features,
     dtype=jnp.float32,
+    remat: bool = False,
 ):
     """Teacher-forced decoder: (B, T) x (B, 1500, d) -> (B, T, n_vocab).
 
     Used by training (reference compute_loss calls model.logits at
-    scripts/train_whisper_ipa.py:232).
+    scripts/train_whisper_ipa.py:232). remat=True checkpoints each layer
+    (activations recomputed in the backward pass — trades FLOPs for HBM,
+    needed to fit large-v3 training).
     """
     dec = params["decoder"]
     B, T = tokens.shape
@@ -218,6 +221,8 @@ def decoder_logits(
         x = x + mlp_block(layer_norm(x, block["mlp_ln"]), block)
         return x, None
 
+    if remat:
+        body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, stacked)
     x = layer_norm(x, dec["ln"])
     logits = jnp.matmul(

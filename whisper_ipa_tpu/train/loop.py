@@ -127,6 +127,8 @@ def train(
     final_validate: bool = True,
     final_validate_samples: int = 500,
     profile_dir: Optional[str] = None,
+    compute_dtype: str = "float32",
+    remat: bool = False,
 ) -> Dict:
     """Main training entry point (reference-compatible surface + resume)."""
     os.makedirs(output_dir, exist_ok=True)
@@ -226,7 +228,15 @@ def train(
                 if profile_dir and step == start_step + 10:
                     jax.profiler.start_trace(profile_dir)
                 state, loss = train_step(
-                    state, mel, tokens, cfg, tx, eot, freeze_encoder=True
+                    state,
+                    mel,
+                    tokens,
+                    cfg,
+                    tx,
+                    eot,
+                    freeze_encoder=True,
+                    dtype_name=compute_dtype,
+                    remat=remat,
                 )
                 loss_val = float(loss)
                 if profile_dir and step == start_step + 15:

@@ -43,6 +43,7 @@ def compute_loss(
     audio_features=None,
     freeze_encoder: bool = True,
     dtype=jnp.float32,
+    remat: bool = False,
 ):
     """CE loss for a batch (reference compute_loss surface).
 
@@ -58,7 +59,7 @@ def compute_loss(
     decoder_input = tokens[:, :-1]
     target_tokens = tokens[:, 1:]
     logits = decoder_logits(
-        params, cfg, decoder_input, audio_features, dtype=dtype
+        params, cfg, decoder_input, audio_features, dtype=dtype, remat=remat
     )
     mask = eot_loss_mask(target_tokens, eot)
     return masked_cross_entropy(logits, target_tokens, mask)

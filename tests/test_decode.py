@@ -145,3 +145,28 @@ class TestBeamDecode:
             g_total = g.avg_logprob * (len(g.tokens) + 1)
             b_total = b.avg_logprob * (len(b.tokens) + 1)
             assert b_total >= g_total - 1e-3
+
+
+class TestLanguageDetection:
+    def test_detect_language_shapes(self, params, mel, tok):
+        from whisper_ipa_tpu.decode.decoding import detect_language
+        from whisper_ipa_tpu.models.whisper import encode
+
+        feats = encode(params, CFG, mel)
+        codes, probs = detect_language(params, CFG, feats, tok)
+        assert len(codes) == 2 and len(probs) == 2
+        assert all(isinstance(c, str) for c in codes)
+        for p in probs:
+            assert abs(sum(p.values()) - 1.0) < 1e-4
+
+    def test_decode_language_none_autodetects(self, params, mel, tok):
+        results = decode(
+            params,
+            CFG,
+            mel,
+            DecodingOptions(
+                language=None, without_timestamps=True, sample_len=4
+            ),
+            tokenizer=tok,
+        )
+        assert all(r.language is not None for r in results)

@@ -171,12 +171,16 @@ def beam_decode(
     tokenizer,
     suppress_mask,
     blank_mask,
+    prefix_tokens=None,
 ) -> List[DecodingResult]:
     B = audio_features.shape[0]
     n_prefix = len(prefix)
     sample_len = options.sample_len or (cfg.n_text_ctx // 2)
     sample_len = min(sample_len, cfg.n_text_ctx - n_prefix)
-    prefix_tokens = jnp.tile(jnp.asarray(prefix, jnp.int32)[None, :], (B, 1))
+    if prefix_tokens is None:
+        prefix_tokens = jnp.tile(
+            jnp.asarray(prefix, jnp.int32)[None, :], (B, 1)
+        )
 
     blank = (
         blank_mask

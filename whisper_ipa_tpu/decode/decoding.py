@@ -391,6 +391,7 @@ def decode(
             tokenizer,
             suppress_mask,
             blank_mask,
+            prefix_tokens=prefix_tokens,  # carries detected languages
         )
 
     tokens_buf, sum_logprobs, sot_logits = _greedy_decode_jit(

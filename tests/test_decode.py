@@ -170,3 +170,26 @@ class TestLanguageDetection:
             tokenizer=tok,
         )
         assert all(r.language is not None for r in results)
+
+
+class TestTimestampDecoding:
+    def test_timestamp_structure(self, params, mel, tok):
+        """With timestamps enabled, output must start with a timestamp and
+        keep them paired/monotonic (Whisper's ApplyTimestampRules)."""
+        results = decode(
+            params,
+            CFG,
+            mel,
+            DecodingOptions(
+                language="en", without_timestamps=False, sample_len=10
+            ),
+            tokenizer=tok,
+        )
+        for r in results:
+            assert len(r.tokens) >= 1
+            assert r.tokens[0] >= tok.timestamp_begin  # initial timestamp
+            # monotonic timestamps
+            ts = [t for t in r.tokens if t >= tok.timestamp_begin]
+            assert ts == sorted(ts)
+            # initial timestamp within the 1.0 s default window
+            assert r.tokens[0] <= tok.timestamp_begin + 50

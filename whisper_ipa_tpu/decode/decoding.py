@@ -23,6 +23,7 @@ import numpy as np
 from ..config import WhisperConfig
 from ..models.whisper import DecoderCache, decode_step, encode, init_cache
 from ..tokenizer import WhisperTokenizer, get_tokenizer
+from ..tokenizer.whisper_tokenizer import N_TIMESTAMPS
 
 
 @dataclass(frozen=True)
@@ -212,6 +213,9 @@ def sequence_score(
         "sample_len",
         "temperature",
         "dtype_name",
+        "timestamp_rules",
+        "timestamp_begin",
+        "max_initial_ts_index",
     ),
 )
 def _greedy_decode_jit(
@@ -227,6 +231,9 @@ def _greedy_decode_jit(
     temperature: float,
     rng_key,
     dtype_name: str = "float32",
+    timestamp_rules: bool = False,
+    timestamp_begin: int = 50364,
+    max_initial_ts_index: int = 50,
 ):
     """Batched greedy/temperature decode under one lax.while_loop."""
     dtype = jnp.dtype(dtype_name)
@@ -247,9 +254,77 @@ def _greedy_decode_jit(
         tokens_buf, prefix_tokens.astype(jnp.int32), (0, 0)
     )
 
-    def apply_filters(logits, step):
+    n_vocab = suppress_mask.shape[0]
+    vocab_idx = jnp.arange(n_vocab)
+    neg_inf = jnp.float32(-jnp.inf)
+
+    def apply_timestamp_rules(logits, step, prev_tok, prev2_tok, last_ts):
+        """Whisper's ApplyTimestampRules, vectorized over the batch.
+
+        - timestamps come in pairs (except directly before EOT): after a
+          lone timestamp only timestamps/EOT may follow; after a pair only
+          text may follow
+        - emitted timestamps are non-decreasing
+        - the first sampled token must be a timestamp, capped at
+          max_initial_timestamp
+        - when the total timestamp probability beats every text token, a
+          timestamp must be sampled
+        """
+        is_ts_vec = vocab_idx >= timestamp_begin
+        last_was_ts = prev_tok >= timestamp_begin
+        pen_was_ts = prev2_tok >= timestamp_begin
+
+        # pairing rules
+        suppress_ts_rows = last_was_ts & pen_was_ts
+        force_ts_rows = last_was_ts & ~pen_was_ts
+        allow_when_forced = is_ts_vec | (vocab_idx == eot)
+        logits = jnp.where(
+            suppress_ts_rows[:, None] & is_ts_vec[None, :], neg_inf, logits
+        )
+        logits = jnp.where(
+            force_ts_rows[:, None] & ~allow_when_forced[None, :],
+            neg_inf,
+            logits,
+        )
+
+        # monotonicity
+        logits = jnp.where(
+            is_ts_vec[None, :] & (vocab_idx[None, :] < last_ts[:, None]),
+            neg_inf,
+            logits,
+        )
+
+        # initial timestamp window
+        first_allowed = is_ts_vec & (
+            vocab_idx <= timestamp_begin + max_initial_ts_index
+        )
+        logits = jnp.where(
+            step == 0,
+            jnp.where(first_allowed[None, :], logits, neg_inf),
+            logits,
+        )
+
+        # timestamp-probability dominance
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        ts_mass = jax.nn.logsumexp(
+            jnp.where(is_ts_vec[None, :], lp, neg_inf), axis=-1
+        )
+        max_text = jnp.max(
+            jnp.where(is_ts_vec[None, :], neg_inf, lp), axis=-1
+        )
+        dominate = ts_mass > max_text
+        logits = jnp.where(
+            dominate[:, None] & ~is_ts_vec[None, :], neg_inf, logits
+        )
+        return logits
+
+    def apply_filters(logits, step, prev_tok, prev2_tok, last_ts):
         logits = logits + suppress_mask
         logits = jnp.where(step == 0, logits + blank_mask, logits)
+        if timestamp_rules:
+            logits = apply_timestamp_rules(
+                logits, step, prev_tok, prev2_tok, last_ts
+            )
         return logits
 
     def sample(logits, key):
@@ -260,9 +335,20 @@ def _greedy_decode_jit(
         )
 
     def body(state):
-        step, tokens_buf, cache, logits, finished, sum_logprobs, key = state
+        (
+            step,
+            tokens_buf,
+            cache,
+            logits,
+            finished,
+            sum_logprobs,
+            key,
+            prev_tok,
+            prev2_tok,
+            last_ts,
+        ) = state
         key, sub = jax.random.split(key)
-        filtered = apply_filters(logits, step)
+        filtered = apply_filters(logits, step, prev_tok, prev2_tok, last_ts)
         next_tok = sample(filtered, sub)
         logprobs = jax.nn.log_softmax(filtered, axis=-1)
         tok_logprob = jnp.take_along_axis(
@@ -272,6 +358,10 @@ def _greedy_decode_jit(
         next_tok = jnp.where(finished, eot, next_tok)
         sum_logprobs = sum_logprobs + jnp.where(finished, 0.0, tok_logprob)
         finished = finished | (next_tok == eot)
+
+        prev2_tok = prev_tok
+        prev_tok = next_tok
+        last_ts = jnp.where(next_tok >= timestamp_begin, next_tok, last_ts)
 
         pos = n_prefix + step
         tokens_buf = jax.lax.dynamic_update_slice(
@@ -288,10 +378,14 @@ def _greedy_decode_jit(
             finished,
             sum_logprobs,
             key,
+            prev_tok,
+            prev2_tok,
+            last_ts,
         )
 
     def cond(state):
-        step, _, _, _, finished, _, _ = state
+        step = state[0]
+        finished = state[4]
         return (step < sample_len) & ~jnp.all(finished)
 
     state = (
@@ -302,10 +396,15 @@ def _greedy_decode_jit(
         jnp.zeros((B,), bool),
         jnp.zeros((B,), jnp.float32),
         rng_key,
+        prefix_tokens[:, -1].astype(jnp.int32),
+        prefix_tokens[:, -2].astype(jnp.int32)
+        if n_prefix >= 2
+        else prefix_tokens[:, -1].astype(jnp.int32),
+        jnp.full((B,), timestamp_begin, jnp.int32),
     )
-    _, tokens_buf, _, _, _, sum_logprobs, _ = jax.lax.while_loop(
-        cond, body, state
-    )
+    out_state = jax.lax.while_loop(cond, body, state)
+    tokens_buf = out_state[1]
+    sum_logprobs = out_state[5]
     return tokens_buf, sum_logprobs, sot_logits
 
 
@@ -407,6 +506,13 @@ def decode(
         float(options.temperature),
         jax.random.PRNGKey(0),
         dtype_name=jnp.dtype(dtype).name,
+        timestamp_rules=not options.without_timestamps,
+        timestamp_begin=tokenizer.timestamp_begin,
+        max_initial_ts_index=(
+            int(options.max_initial_timestamp / 0.02)
+            if options.max_initial_timestamp is not None
+            else N_TIMESTAMPS - 1
+        ),
     )
 
     tokens_np = np.asarray(tokens_buf)

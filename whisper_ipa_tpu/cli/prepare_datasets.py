@@ -72,6 +72,22 @@ def main(argv=None):
     sp.add_argument("--test-n", type=int, default=100)
     sp.add_argument("--seed", type=int, default=42)
 
+    sp = sub.add_parser(
+        "g2p-all",
+        help="all three quality versions (v1_raw/v2_filtered/v3_improved), "
+        "reference create_all_datasets driver",
+    )
+    sp.add_argument("--dataset-root", required=True)
+    sp.add_argument("--output-root", default="data")
+    sp.add_argument(
+        "--languages", nargs="+",
+        default=["ja", "pl", "mt", "hu", "fi", "el", "ta"],
+    )
+    sp.add_argument("--train-n", type=int, default=1000)
+    sp.add_argument("--val-n", type=int, default=200)
+    sp.add_argument("--test-n", type=int, default=100)
+    sp.add_argument("--seed", type=int, default=42)
+
     sp = sub.add_parser("combine")
     sp.add_argument("--processed-dir", default="data/processed")
 
@@ -120,6 +136,28 @@ def main(argv=None):
             test_n=args.test_n,
             seed=args.seed,
         )
+    elif args.cmd == "g2p-all":
+        versions = {
+            "v1_raw": "raw",
+            "v2_filtered": "filtered",
+            "v3_improved": "improved",
+        }
+        summary = {}
+        for dirname, mode in versions.items():
+            print(f"\n=== {dirname} (mode={mode}) ===")
+            summary[dirname] = create_datasets(
+                Path(args.dataset_root),
+                Path(args.output_root) / dirname,
+                languages=args.languages,
+                mode=mode,
+                train_n=args.train_n,
+                val_n=args.val_n,
+                test_n=args.test_n,
+                seed=args.seed,
+            )
+        print("\nSummary:")
+        for dirname, counts in summary.items():
+            print(f"  {dirname}: {counts}")
     elif args.cmd == "combine":
         combine_datasets(Path(args.processed_dir))
     elif args.cmd == "verify":

@@ -39,11 +39,14 @@ class IPADataset:
         tokenizer: WhisperTokenizer,
         n_mels: int = 80,
         mel_cache_dir: Optional[str] = None,
+        num_workers: int = 0,
     ):
         self.json_path = json_path
         self.tokenizer = tokenizer
         self.n_mels = n_mels
         self.mel_cache_dir = mel_cache_dir
+        self.num_workers = num_workers
+        self._pool = None
         if mel_cache_dir:
             os.makedirs(mel_cache_dir, exist_ok=True)
 
@@ -112,7 +115,14 @@ class IPADataset:
         pad_tokens_to: optionally right-pad the token matrix to a fixed
         length (bucketing keeps jit recompilation bounded).
         """
-        mels = np.stack([self.mel(i) for i in indices])
+        if self.num_workers > 1:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._pool = ThreadPoolExecutor(self.num_workers)
+            mels = np.stack(list(self._pool.map(self.mel, indices)))
+        else:
+            mels = np.stack([self.mel(i) for i in indices])
         texts = [self.data[i]["ipa_transcription"] for i in indices]
         tokens = self._tokenize_ipa_batch(texts)
         if pad_tokens_to is not None and tokens.shape[1] < pad_tokens_to:
@@ -137,12 +147,22 @@ def create_data_loader(
     language: str = "en",
     mel_cache_dir: Optional[str] = None,
     tokenizer: Optional[WhisperTokenizer] = None,
+    num_workers: int = 0,
 ) -> IPADataset:
-    """Reference-surface factory (scripts/ipa_data_loader.py:134-157)."""
+    """Reference-surface factory (scripts/ipa_data_loader.py:134-157).
+
+    num_workers > 1 parallelizes per-sample audio decode + mel extraction
+    across threads (the reference was pinned to a single worker,
+    REFERENCE.md:25).
+    """
     if tokenizer is None:
         tokenizer = get_tokenizer(multilingual=multilingual, language=language)
     return IPADataset(
-        json_path, tokenizer, n_mels=n_mels, mel_cache_dir=mel_cache_dir
+        json_path,
+        tokenizer,
+        n_mels=n_mels,
+        mel_cache_dir=mel_cache_dir,
+        num_workers=num_workers,
     )
 
 

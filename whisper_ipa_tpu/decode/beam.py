@@ -92,11 +92,17 @@ def _beam_decode_jit(
         )
         lp = jnp.where(finished[:, :, None], eot_onehot, lp)
 
-        scores = sum_logprobs[:, :, None] + lp  # (B, K, V)
-        flat = scores.reshape(B, K * V)
+        # two-stage top-k: per-beam top-K over the vocab first (the only
+        # candidates that can survive), then top-K over the K*K pool —
+        # avoids sorting a K*V=260k-wide tensor every step
+        cand_lp, cand_tok = jax.lax.top_k(lp, K)  # (B, K, K)
+        scores = sum_logprobs[:, :, None] + cand_lp
+        flat = scores.reshape(B, K * K)
         top_scores, top_idx = jax.lax.top_k(flat, K)  # (B, K)
-        beam_idx = top_idx // V  # (B, K)
-        tok_idx = (top_idx % V).astype(jnp.int32)
+        beam_idx = top_idx // K  # (B, K)
+        tok_idx = jnp.take_along_axis(
+            cand_tok.reshape(B, K * K), top_idx, axis=1
+        ).astype(jnp.int32)
 
         def gather_beams(x):
             # x: (B, K, ...) gather along axis 1 with beam_idx

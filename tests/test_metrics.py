@@ -229,3 +229,24 @@ class TestNativeParity:
             assert native.weighted_edit_distance(sc) == pytest.approx(
                 dp[m, n]
             )
+
+
+class TestPanphonCSVLoader:
+    def test_exact_table_override(self, tmp_path):
+        import whisper_ipa_tpu.metrics.features as F
+
+        csv_path = tmp_path / "ipa_all.csv"
+        header = "ipa," + ",".join(F.FEATURE_NAMES)
+        # a fake segment with an arbitrary vector
+        row = "ʘ," + ",".join(["+"] * 5 + ["-"] * 10 + ["0"] * 9)
+        csv_path.write_text(header + "\n" + row + "\n")
+        n = F.load_panphon_csv(str(csv_path))
+        try:
+            assert n == 1
+            v = F.get_phone_features("ʘ")
+            assert list(v[:5]) == [1] * 5
+            assert list(v[5:15]) == [-1] * 10
+            assert list(v[15:]) == [0] * 9
+        finally:
+            F._EXACT_TABLE.clear()
+            F.phone_to_vector.cache_clear()

@@ -257,6 +257,48 @@ def _build_base_table() -> Dict[str, np.ndarray]:
 
 _BASE_TABLE = _build_base_table()
 
+# Optional exact-compat mode: when a real panphon segment CSV is available
+# (ipa_all.csv layout: first column the segment, then 24 feature columns
+# with +/-/0), load it as an overriding lookup so PFER values are
+# bit-identical to panphon-based pipelines. Set WHISPER_IPA_TPU_PANPHON_CSV.
+_EXACT_TABLE: Dict[str, np.ndarray] = {}
+
+
+def load_panphon_csv(path: str) -> int:
+    """Load a panphon-format feature CSV as the exact lookup table.
+
+    Returns the number of segments loaded. Values map + -> 1, - -> -1,
+    0 -> 0. Later duplicate segments are ignored (panphon keeps the first).
+    """
+    import csv
+
+    count = 0
+    with open(path, newline="", encoding="utf-8") as f:
+        reader = csv.reader(f)
+        header = next(reader)
+        n_feat = min(NUM_FEATURES, len(header) - 1)
+        for row in reader:
+            if not row or not row[0]:
+                continue
+            seg = unicodedata.normalize("NFC", row[0])
+            if seg in _EXACT_TABLE:
+                continue
+            vec = np.zeros(NUM_FEATURES, dtype=np.int8)
+            for i in range(n_feat):
+                val = row[1 + i].strip()
+                vec[i] = 1 if val == "+" else (-1 if val == "-" else 0)
+            _EXACT_TABLE[seg] = vec
+            count += 1
+    phone_to_vector.cache_clear()
+    return count
+
+
+import os as _os
+
+_csv_path = _os.environ.get("WHISPER_IPA_TPU_PANPHON_CSV")
+if _csv_path and _os.path.isfile(_csv_path):
+    load_panphon_csv(_csv_path)
+
 # -- diacritic modification rules ----------------------------------------
 # mark -> {feature: value} applied on top of the base segment's vector
 _DIACRITICS: Dict[str, Dict[str, int]] = {
@@ -302,6 +344,10 @@ def phone_to_vector(phone: str) -> Optional[np.ndarray]:
     if not phone:
         return None
     phone = unicodedata.normalize("NFC", phone)
+
+    exact = _EXACT_TABLE.get(phone)
+    if exact is not None:
+        return exact.copy()
 
     # tie-bar affricates / doubly articulated
     for tie in _TIE_BARS:

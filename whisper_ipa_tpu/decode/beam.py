@@ -104,25 +104,31 @@ def _beam_decode_jit(
             cand_tok.reshape(B, K * K), top_idx, axis=1
         ).astype(jnp.int32)
 
-        def gather_beams(x):
-            # x: (B, K, ...) gather along axis 1 with beam_idx
-            return jnp.take_along_axis(
-                x,
-                beam_idx.reshape(beam_idx.shape + (1,) * (x.ndim - 2)),
-                axis=1,
-            )
+        # beam reordering as one-hot matmuls: XLA gathers with 5-D operands
+        # compile pathologically slowly on TPU; a (B, Knew, Kold) selection
+        # matrix turns every reorder into a plain dot. K*K is tiny and
+        # float32 einsum is exact for token ids (< 2^24).
+        onehot = jax.nn.one_hot(beam_idx, K, dtype=jnp.float32)  # (B,Kn,Ko)
 
-        tokens_buf = gather_beams(tokens_buf)
-        finished = jnp.take_along_axis(finished, beam_idx, axis=1)
-        lengths = jnp.take_along_axis(lengths, beam_idx, axis=1)
+        tokens_buf = (
+            jnp.einsum(
+                "bjk,bkl->bjl", onehot, tokens_buf.astype(jnp.float32)
+            )
+            .astype(jnp.int32)
+        )
+        finished = (
+            jnp.einsum("bjk,bk->bj", onehot, finished.astype(jnp.float32))
+            > 0.5
+        )
+        lengths = jnp.einsum(
+            "bjk,bk->bj", onehot, lengths.astype(jnp.float32)
+        ).astype(jnp.int32)
 
         def gather_cache(x):  # (L, B*K, ...) -> reorder beams
             L = x.shape[0]
             xs = x.reshape((L, B, K) + x.shape[2:])
-            xs = jnp.take_along_axis(
-                xs,
-                beam_idx.reshape((1, B, K) + (1,) * (x.ndim - 2)),
-                axis=2,
+            xs = jnp.einsum(
+                "bjk,lbkcd->lbjcd", onehot.astype(x.dtype), xs
             )
             return xs.reshape(x.shape)
 

@@ -101,3 +101,24 @@ class TestBenchmarkModelsCLI:
         out = run_cli("benchmark_models", "--models", "tiny")
         assert out.returncode == 0, out.stderr
         assert "tiny" in out.stdout
+
+
+class TestUtils:
+    def test_tree_count_and_bytes(self):
+        import numpy as np
+
+        from whisper_ipa_tpu.utils import tree_bytes, tree_count
+
+        tree = {"a": np.zeros((2, 3), np.float32), "b": [np.ones(4, np.int32)]}
+        assert tree_count(tree) == 10
+        assert tree_bytes(tree) == 6 * 4 + 4 * 4
+
+    def test_step_timer(self):
+        import time
+
+        from whisper_ipa_tpu.utils import StepTimer
+
+        t = StepTimer()
+        with t:
+            time.sleep(0.01)
+        assert t.mean >= 0.01

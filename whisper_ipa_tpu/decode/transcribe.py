@@ -37,6 +37,19 @@ def chunk_audio(audio: np.ndarray) -> List[np.ndarray]:
     return chunks
 
 
+PROMPT_PAD_LEN = 64  # fixed conditioning-prompt length (bounded recompiles)
+
+
+def _fixed_length_prompt(tokens, sot_prev: int, length: int = PROMPT_PAD_LEN):
+    """Last `length` prompt tokens, left-padded with sot_prev.
+
+    A fixed prompt length keeps the jitted decode program count bounded
+    (variable-length prompts would recompile per window).
+    """
+    tokens = list(tokens)[-length:]
+    return [sot_prev] * (length - len(tokens)) + tokens
+
+
 def transcribe(
     params,
     cfg: WhisperConfig,
@@ -49,10 +62,17 @@ def transcribe(
     no_speech_threshold: Optional[float] = 0.6,
     beam_size: Optional[int] = None,
     word_timestamps: bool = False,
+    condition_on_previous_text: bool = False,
     tokenizer: Optional[WhisperTokenizer] = None,
     **decode_kwargs,
 ) -> dict:
     """Transcribe a file path or float32 waveform. Returns {"text", "segments"}.
+
+    Two long-form modes:
+      - default: all 30 s windows decoded as ONE device batch (fastest)
+      - condition_on_previous_text=True: windows decoded sequentially, each
+        conditioned on the previous window's tokens via a fixed-length
+        <|startofprev|> prompt (mlx_whisper.transcribe's behavior)
 
     word_timestamps is accepted for surface compatibility and ignored (the
     IPA pipeline always decodes without timestamps).
@@ -85,7 +105,34 @@ def transcribe(
         )
         return decode(params, cfg, mels, options, tokenizer=tokenizer)
 
-    results = run(temperatures[0])
+    def run_sequential(t: float) -> List[DecodingResult]:
+        results: List[DecodingResult] = []
+        prev_tokens: List[int] = []
+        for i in range(len(mels)):
+            prompt = (
+                _fixed_length_prompt(prev_tokens, tokenizer.sot_prev)
+                if prev_tokens
+                else None
+            )
+            options = DecodingOptions(
+                language=language,
+                without_timestamps=True,
+                temperature=t,
+                beam_size=beam_size if t == 0.0 else None,
+                prompt=prompt,
+                **decode_kwargs,
+            )
+            r = decode(
+                params, cfg, mels[i : i + 1], options, tokenizer=tokenizer
+            )[0]
+            results.append(r)
+            prev_tokens = (prev_tokens + r.tokens)[-PROMPT_PAD_LEN:]
+        return results
+
+    if condition_on_previous_text and len(mels) > 1:
+        results = run_sequential(temperatures[0])
+    else:
+        results = run(temperatures[0])
     # per-chunk fallback: retry failed chunks at higher temperatures
     for t in temperatures[1:]:
         needs_retry = [

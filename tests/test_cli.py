@@ -122,3 +122,28 @@ class TestUtils:
         with t:
             time.sleep(0.01)
         assert t.mean >= 0.01
+
+
+class TestConvertWeights:
+    def test_roundtrip_mlx(self, tmp_path):
+        from dataclasses import replace
+
+        import whisper_ipa_tpu.config as config_mod
+        from whisper_ipa_tpu.cli.convert_weights import main as convert_main
+        from whisper_ipa_tpu.models import init_params, save_safetensors
+
+        config_mod.CONFIGS.setdefault(
+            "test-micro2",
+            replace(config_mod.CONFIGS["test-tiny"], name="test-micro2"),
+        )
+        params = init_params(config_mod.CONFIGS["test-micro2"], seed=0)
+        src = str(tmp_path / "in.safetensors")
+        dst = str(tmp_path / "out.safetensors")
+        save_safetensors(src, params)
+        convert_main(
+            ["--input", src, "--model", "test-micro2", "--output", dst,
+             "--verify"]
+        )
+        import os
+
+        assert os.path.isfile(dst)

@@ -1,0 +1,47 @@
+"""Fused attention kernel: numerical equivalence vs the XLA path."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from whisper_ipa_tpu.ops.attention import fused_attention
+
+
+def reference_attention(q, k, v):
+    logits = np.einsum("bhqd,bhkd->bhqk", q, k).astype(np.float64)
+    logits -= logits.max(axis=-1, keepdims=True)
+    w = np.exp(logits)
+    w /= w.sum(axis=-1, keepdims=True)
+    return np.einsum("bhqk,bhkd->bhqd", w, v)
+
+
+@pytest.mark.parametrize("tq,tk", [(128, 128), (256, 300), (130, 257)])
+def test_matches_reference(tq, tk):
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((2, 3, tq, 64)).astype(np.float32) * 0.3
+    k = rng.standard_normal((2, 3, tk, 64)).astype(np.float32) * 0.3
+    v = rng.standard_normal((2, 3, tk, 64)).astype(np.float32)
+    ref = reference_attention(q, k, v)
+    out = np.asarray(
+        fused_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), interpret=True
+        )
+    )
+    assert out.shape == ref.shape
+    assert np.max(np.abs(out - ref)) < 2e-5
+
+
+def test_padded_keys_ignored():
+    """Output must not depend on positions beyond Tk (padding masked)."""
+    rng = np.random.default_rng(1)
+    q = rng.standard_normal((1, 1, 128, 64)).astype(np.float32)
+    k = rng.standard_normal((1, 1, 100, 64)).astype(np.float32)
+    v = rng.standard_normal((1, 1, 100, 64)).astype(np.float32)
+    out = np.asarray(
+        fused_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), interpret=True
+        )
+    )
+    ref = reference_attention(q, k, v)
+    assert np.max(np.abs(out - ref)) < 2e-5

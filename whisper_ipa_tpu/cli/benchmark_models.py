@@ -55,12 +55,12 @@ def analyze_model(name: str, measure: bool = False, batch_size: int = 8):
         )
         state, tx = create_train_state(params, learning_rate=1e-5)
         state, loss = train_step(state, mel, tokens, cfg, tx, eot)  # compile
-        jax.block_until_ready(loss)
+        float(loss)  # host transfer: the only reliable sync on all backends
         iters = 5
         t0 = time.time()
         for _ in range(iters):
             state, loss = train_step(state, mel, tokens, cfg, tx, eot)
-        jax.block_until_ready(loss)
+        float(loss)
         dt = (time.time() - t0) / iters
         report["train_step_sec"] = dt
         report["train_samples_per_sec"] = batch_size / dt

@@ -80,6 +80,32 @@ def _merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
 
 
+# Fused-attention toggle: when enabled (env WHISPER_IPA_TPU_FUSED_ATTN=1 or
+# use_fused_attention(True)), unmasked attention with long queries (the
+# encoder) runs through the Pallas kernel in ops/attention.py instead of
+# materializing (B, H, T, T) probabilities in HBM.
+import os as _os
+
+_FUSED_ATTENTION = _os.environ.get("WHISPER_IPA_TPU_FUSED_ATTN", "0") == "1"
+_FUSED_MIN_QLEN = 128
+
+
+def use_fused_attention(enabled: bool) -> None:
+    global _FUSED_ATTENTION
+    _FUSED_ATTENTION = enabled
+
+
+def _fused_eligible(q, mask) -> bool:
+    if not _FUSED_ATTENTION or mask is not None:
+        return False
+    if q.shape[1] < _FUSED_MIN_QLEN:
+        return False  # decode steps: padding to the q tile would waste work
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
+
+
 def multi_head_attention(
     q, k, v, n_head: int, mask: Optional[jax.Array] = None
 ):
@@ -93,6 +119,12 @@ def multi_head_attention(
     qh = _split_heads(q, n_head) * scale
     kh = _split_heads(k, n_head) * scale
     vh = _split_heads(v, n_head)
+
+    if _fused_eligible(q, mask):
+        from ..ops.attention import fused_attention
+
+        return _merge_heads(fused_attention(qh, kh, vh))
+
     logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32)
     if mask is not None:
         logits = logits + mask

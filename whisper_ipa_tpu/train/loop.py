@@ -238,13 +238,17 @@ def train(
                     dtype_name=compute_dtype,
                     remat=remat,
                 )
-                loss_val = float(loss)
                 if profile_dir and step == start_step + 15:
                     jax.profiler.stop_trace()
-                latest_loss = loss_val
+                # fetch the loss to host only when logging: a per-step
+                # device->host sync serializes the pipeline (very costly
+                # over remote-tunnel transports)
+                latest_loss = loss
                 step_time = time.time() - step_start
 
                 if step % 10 == 0 or step <= 5:
+                    loss_val = float(loss)
+                    latest_loss = loss_val
                     print(
                         console_step_line(
                             step, num_steps, loss_val, step_time, batch_size
@@ -295,7 +299,7 @@ def train(
                 save_checkpoint(
                     state,
                     step,
-                    latest_loss,
+                    float(latest_loss) if latest_loss is not None else None,
                     output_dir,
                     logger=logger,
                     start_time=start_time,
@@ -321,6 +325,8 @@ def train(
     else:
         metrics = {"per": float("nan"), "pfer": float("nan")}
 
+    if latest_loss is not None:
+        latest_loss = float(latest_loss)
     summary = {}
     if latest_loss is not None:
         print("\nSaving final model...")

@@ -1,0 +1,65 @@
+"""Micro-batching transcription service tests (tiny model, CPU)."""
+
+import threading
+import time
+from dataclasses import replace
+
+import numpy as np
+import pytest
+
+from whisper_ipa_tpu.config import CONFIGS
+from whisper_ipa_tpu.models import init_params
+from whisper_ipa_tpu.serve import TranscriptionService
+
+# full-size audio window contract, tiny transformer dims
+CFG = replace(
+    CONFIGS["test-tiny"],
+    n_audio_state=32,
+    n_audio_head=2,
+    n_audio_layer=1,
+    n_text_state=32,
+    n_text_head=2,
+    n_text_layer=1,
+    n_text_ctx=16,
+)
+
+
+@pytest.fixture(scope="module")
+def service():
+    params = init_params(CFG, seed=0)
+    svc = TranscriptionService(
+        params,
+        CFG,
+        batch_size=2,
+        max_wait_ms=30.0,
+        language="en",
+        bf16=False,
+    )
+    yield svc
+    svc.close()
+
+
+class TestService:
+    def test_single_request(self, service):
+        audio = np.zeros(16000, np.float32)
+        result = service.transcribe(audio, timeout=600)
+        assert "text" in result and isinstance(result["text"], str)
+        assert result["latency_sec"] > 0
+        assert len(result["segments"]) == 1
+
+    def test_concurrent_requests_batched(self, service):
+        audios = [
+            0.1 * np.sin(np.linspace(0, 100 + i, 16000)).astype(np.float32)
+            for i in range(4)
+        ]
+        futures = [service.submit(a) for a in audios]
+        results = [f.result(timeout=600) for f in futures]
+        assert len(results) == 4
+        stats = service.stats()
+        assert stats["requests"] >= 4
+        assert stats["windows"] >= 4
+
+    def test_long_audio_multiple_segments(self, service):
+        audio = np.zeros(16000 * 35, np.float32)  # 2 windows
+        result = service.transcribe(audio, timeout=600)
+        assert len(result["segments"]) == 2

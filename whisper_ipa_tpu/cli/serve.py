@@ -1,0 +1,105 @@
+"""CLI: HTTP transcription server over the micro-batching service.
+
+POST /transcribe with a WAV body (or JSON {"path": ...}) returns
+{"text", "segments", "latency_sec"}. GET /healthz and /stats for ops.
+
+  python -m whisper_ipa_tpu.cli.serve --model small --port 8080 \
+      --checkpoint checkpoints/whisper-ipa/best-checkpoint
+"""
+
+import argparse
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def make_handler(service):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code, payload):
+            body = json.dumps(payload, ensure_ascii=False).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok"})
+            elif self.path == "/stats":
+                self._send(200, service.stats())
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/transcribe":
+                self._send(404, {"error": "not found"})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            try:
+                if self.headers.get("Content-Type", "").startswith(
+                    "application/json"
+                ):
+                    req = json.loads(body)
+                    result = service.transcribe(req["path"])
+                else:
+                    from ..audio import load_audio_bytes
+
+                    audio = load_audio_bytes(body)
+                    result = service.transcribe(audio)
+                self._send(200, result)
+            except Exception as e:
+                self._send(500, {"error": str(e)})
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+    return Handler
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="IPA transcription server")
+    p.add_argument("--model", default="small")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--weights", default=None)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--max-wait-ms", type=float, default=50.0)
+    p.add_argument("--language", default="en")
+    p.add_argument("--beam-size", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from ..config import get_config
+    from ..models import load_checkpoint_model
+    from ..serve import TranscriptionService
+    from ..train.loop import load_or_init_params
+
+    cfg = get_config(args.model)
+    params = load_or_init_params(args.model, cfg, args.weights)
+    if args.checkpoint:
+        params, n = load_checkpoint_model(args.checkpoint, params)
+        print(f"Loaded {n} decoder tensors from {args.checkpoint}")
+
+    service = TranscriptionService(
+        params,
+        cfg,
+        batch_size=args.batch_size,
+        max_wait_ms=args.max_wait_ms,
+        language=args.language,
+        beam_size=args.beam_size,
+    )
+    server = ThreadingHTTPServer(
+        (args.host, args.port), make_handler(service)
+    )
+    print(f"Serving on http://{args.host}:{args.port} (model {cfg.name})")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        service.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,187 @@
+"""Micro-batching inference service: request queue -> fixed device batches.
+
+Production serving pattern for the TPU decode path: callers submit audio
+(any length) and receive futures; a background scheduler coalesces pending
+requests into fixed-size batches (padding the tail with silence so the
+jitted decode program never sees a new batch shape), runs the
+mel -> encoder -> KV-cached greedy decode pipeline, and resolves futures.
+
+The reference has no serving layer (single-process research scripts); this
+is the deployment-facing counterpart of its transcribe path.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass
+from typing import List, Optional, Union
+
+import numpy as np
+
+from .audio import N_SAMPLES, load_audio, pad_or_trim
+from .config import WhisperConfig
+from .decode import DecodingOptions, decode
+from .tokenizer import WhisperTokenizer, get_tokenizer
+
+
+@dataclass
+class _Request:
+    chunks: List[np.ndarray]  # 30 s windows of one utterance
+    future: Future
+    submitted_at: float
+
+
+class TranscriptionService:
+    """Thread-safe micro-batching transcription service.
+
+    batch_size: fixed device batch (tail padded with silence).
+    max_wait_ms: max time a request waits for the batch to fill.
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg: WhisperConfig,
+        *,
+        batch_size: int = 8,
+        max_wait_ms: float = 50.0,
+        language: Optional[str] = "en",
+        beam_size: Optional[int] = None,
+        bf16: bool = True,
+        tokenizer: Optional[WhisperTokenizer] = None,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.max_wait_ms = max_wait_ms
+        self.tokenizer = tokenizer or get_tokenizer(
+            multilingual=cfg.multilingual,
+            num_languages=cfg.num_languages,
+            language=language or "en",
+        )
+        self.options = DecodingOptions(
+            language=language,
+            without_timestamps=True,
+            beam_size=beam_size,
+            fp16=bf16,
+        )
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._stats = {"requests": 0, "batches": 0, "windows": 0}
+        self._thread = threading.Thread(target=self._scheduler, daemon=True)
+        self._thread.start()
+
+    # -- client API -------------------------------------------------------
+
+    def submit(self, audio: Union[str, np.ndarray]) -> Future:
+        """Submit audio (path or waveform); resolves to {"text", ...}."""
+        if isinstance(audio, str):
+            audio = load_audio(audio)
+        audio = np.asarray(audio, np.float32)
+        chunks = [
+            pad_or_trim(audio[s : s + N_SAMPLES])
+            for s in range(0, max(len(audio), 1), N_SAMPLES)
+        ]
+        fut: Future = Future()
+        self._queue.put(_Request(chunks, fut, time.time()))
+        self._stats["requests"] += 1
+        return fut
+
+    def transcribe(self, audio, timeout: Optional[float] = None) -> dict:
+        return self.submit(audio).result(timeout=timeout)
+
+    def stats(self) -> dict:
+        return dict(self._stats)
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    # -- scheduler --------------------------------------------------------
+
+    def _collect(self) -> List[_Request]:
+        """Block for the first request, then fill up to batch_size windows
+        or until max_wait_ms elapses."""
+        try:
+            first = self._queue.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        batch = [first]
+        n_windows = len(first.chunks)
+        deadline = time.time() + self.max_wait_ms / 1000.0
+        while n_windows < self.batch_size:
+            remaining = deadline - time.time()
+            if remaining <= 0:
+                break
+            try:
+                req = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            batch.append(req)
+            n_windows += len(req.chunks)
+        return batch
+
+    def _scheduler(self):
+        from .audio import log_mel_spectrogram
+
+        while not self._stop.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            try:
+                windows: List[np.ndarray] = []
+                owners: List[int] = []
+                for i, req in enumerate(batch):
+                    for c in req.chunks:
+                        windows.append(c)
+                        owners.append(i)
+
+                results_per_req = [[] for _ in batch]
+                for start in range(0, len(windows), self.batch_size):
+                    group = windows[start : start + self.batch_size]
+                    group_owners = owners[start : start + self.batch_size]
+                    n_real = len(group)
+                    while len(group) < self.batch_size:
+                        group.append(np.zeros(N_SAMPLES, np.float32))
+                    mels = np.stack(
+                        [
+                            log_mel_spectrogram(g, n_mels=self.cfg.n_mels)
+                            for g in group
+                        ]
+                    )
+                    results = decode(
+                        self.params,
+                        self.cfg,
+                        mels,
+                        self.options,
+                        tokenizer=self.tokenizer,
+                    )
+                    self._stats["batches"] += 1
+                    self._stats["windows"] += n_real
+                    for k in range(n_real):
+                        results_per_req[group_owners[k]].append(results[k])
+
+                for req, res in zip(batch, results_per_req):
+                    text = "".join(r.text for r in res)
+                    req.future.set_result(
+                        {
+                            "text": text,
+                            "segments": [
+                                {
+                                    "id": j,
+                                    "text": r.text,
+                                    "avg_logprob": r.avg_logprob,
+                                    "no_speech_prob": r.no_speech_prob,
+                                }
+                                for j, r in enumerate(res)
+                            ],
+                            "latency_sec": time.time() - req.submitted_at,
+                        }
+                    )
+            except Exception as e:  # resolve futures with the error
+                for req in batch:
+                    if not req.future.done():
+                        req.future.set_exception(e)

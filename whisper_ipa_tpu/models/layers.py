@@ -30,7 +30,13 @@ def layer_norm(x, p, eps: float = 1e-5):
 
 
 def linear(x, p):
-    y = x @ p["w"].astype(x.dtype)
+    if "w_q" in p:
+        # weight-only int8 (ops/quant.py): dequant fuses into the matmul,
+        # so HBM traffic stays int8
+        w = p["w_q"].astype(x.dtype) * p["w_s"].astype(x.dtype)
+    else:
+        w = p["w"].astype(x.dtype)
+    y = x @ w
     if "b" in p and p["b"] is not None:
         y = y + p["b"].astype(x.dtype)
     return y

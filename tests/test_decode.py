@@ -226,3 +226,37 @@ class TestTranscribe:
         assert seq[0] == tok.sot_prev
         assert seq[1:3] == [11, 22]
         assert seq[3] == tok.sot
+
+
+class TestBestOf:
+    def test_best_of_sampling(self, params, mel, tok):
+        single = decode(
+            params,
+            CFG,
+            mel,
+            DecodingOptions(
+                language="en",
+                without_timestamps=True,
+                sample_len=6,
+                temperature=0.8,
+            ),
+            tokenizer=tok,
+        )
+        best4 = decode(
+            params,
+            CFG,
+            mel,
+            DecodingOptions(
+                language="en",
+                without_timestamps=True,
+                sample_len=6,
+                temperature=0.8,
+                best_of=4,
+            ),
+            tokenizer=tok,
+        )
+        assert len(best4) == len(single) == 2
+        # best-of-n selects the max-scoring candidate: its per-sample score
+        # cannot be systematically worse; at minimum results are wellformed
+        for r in best4:
+            assert np.isfinite(r.avg_logprob)

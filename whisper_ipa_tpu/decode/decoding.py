@@ -493,6 +493,18 @@ def decode(
             prefix_tokens=prefix_tokens,  # carries detected languages
         )
 
+    # best_of: at temperature > 0, sample n independent candidates per
+    # input (batch-tiled) and keep the highest-scoring one (the reference
+    # decoder's best_of option)
+    n_candidates = (
+        int(options.best_of)
+        if options.best_of and options.temperature > 0
+        else 1
+    )
+    if n_candidates > 1:
+        audio_features = jnp.repeat(audio_features, n_candidates, axis=0)
+        prefix_tokens = jnp.repeat(prefix_tokens, n_candidates, axis=0)
+
     tokens_buf, sum_logprobs, sot_logits = _greedy_decode_jit(
         params,
         cfg,
@@ -520,6 +532,28 @@ def decode(
     no_speech_probs = np.asarray(
         jax.nn.softmax(sot_logits, axis=-1)[:, tokenizer.no_speech]
     )
+
+    if n_candidates > 1:
+        # rank candidates per original sample by length-penalized score
+        keep = []
+        for b in range(B):
+            best_row = None
+            best_score = -np.inf
+            for c in range(n_candidates):
+                row = b * n_candidates + c
+                seq = tokens_np[row, n_prefix:]
+                eot_pos = np.nonzero(seq == tokenizer.eot)[0]
+                end = int(eot_pos[0]) if len(eot_pos) else len(seq)
+                score = sequence_score(
+                    float(sum_logprobs_np[row]), end, options.length_penalty
+                )
+                if score > best_score:
+                    best_score = score
+                    best_row = row
+            keep.append(best_row)
+        tokens_np = tokens_np[keep]
+        sum_logprobs_np = sum_logprobs_np[keep]
+        no_speech_probs = no_speech_probs[keep]
 
     results = []
     for b in range(B):

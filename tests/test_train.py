@@ -186,3 +186,27 @@ class TestDataParallel:
         state, tx = create_train_state(params, learning_rate=1e-3)
         state, loss = train_step(state, mel_s, tokens_s, CFG, tx, EOT)
         assert np.isfinite(float(loss))
+
+
+class TestScheduleAndAccumulation:
+    def test_make_schedule_shapes(self):
+        from whisper_ipa_tpu.train.optimizer import make_schedule
+
+        s = make_schedule(1e-4, warmup_steps=10, decay="cosine", total_steps=100)
+        assert float(s(0)) == 0.0
+        assert float(s(10)) == pytest.approx(1e-4, rel=1e-5)
+        assert float(s(100)) < 1e-5
+
+    def test_gradient_accumulation(self, params, batch):
+        """With accum=2, params change only every second step."""
+        mel, tokens = batch
+        state, tx = create_train_state(
+            params, learning_rate=1e-3, accum_steps=2
+        )
+        emb0 = np.asarray(state.params["decoder"]["token_embedding"]).copy()
+        state, _ = train_step(state, mel, tokens, CFG, tx, EOT)
+        emb1 = np.asarray(state.params["decoder"]["token_embedding"])
+        np.testing.assert_array_equal(emb0, emb1)  # accumulating, no update
+        state, _ = train_step(state, mel, tokens, CFG, tx, EOT)
+        emb2 = np.asarray(state.params["decoder"]["token_embedding"])
+        assert not np.array_equal(emb1, emb2)  # update applied

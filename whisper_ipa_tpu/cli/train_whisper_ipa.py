@@ -71,6 +71,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="Rematerialize decoder layers (fit large models in HBM)",
     )
     p.add_argument("--profile-dir", type=str, default=None)
+    p.add_argument("--warmup-steps", type=int, default=0)
+    p.add_argument(
+        "--lr-decay", default="constant",
+        choices=["constant", "linear", "cosine"],
+    )
+    p.add_argument(
+        "--accum-steps", type=int, default=1,
+        help="Gradient accumulation (effective batch = batch * accum)",
+    )
     return p
 
 
@@ -95,6 +104,9 @@ def main(argv=None):
         compute_dtype="bfloat16" if args.bf16 else "float32",
         remat=args.remat,
         profile_dir=args.profile_dir,
+        warmup_steps=args.warmup_steps,
+        lr_decay=args.lr_decay,
+        accum_steps=args.accum_steps,
     )
 
 

@@ -129,6 +129,9 @@ def train(
     profile_dir: Optional[str] = None,
     compute_dtype: str = "float32",
     remat: bool = False,
+    warmup_steps: int = 0,
+    lr_decay: str = "constant",
+    accum_steps: int = 1,
 ) -> Dict:
     """Main training entry point (reference-compatible surface + resume)."""
     os.makedirs(output_dir, exist_ok=True)
@@ -165,8 +168,20 @@ def train(
         f"({100 * n_dec / n_total:.1f}%) [encoder frozen]"
     )
 
+    from .optimizer import make_schedule
+
+    schedule = make_schedule(
+        learning_rate,
+        warmup_steps=warmup_steps,
+        decay=lr_decay,
+        total_steps=num_steps,
+    )
     state, tx = create_train_state(
-        params, learning_rate=learning_rate, freeze_encoder=True
+        params,
+        learning_rate=learning_rate,
+        freeze_encoder=True,
+        schedule=schedule if (warmup_steps or lr_decay != "constant") else None,
+        accum_steps=accum_steps,
     )
 
     if resume:

@@ -49,13 +49,47 @@ def decoder_only_mask(params) -> Any:
     }
 
 
+def make_schedule(
+    learning_rate: float,
+    warmup_steps: int = 0,
+    decay: str = "constant",
+    total_steps: int = 10000,
+):
+    """LR schedule: linear warmup + {constant, linear, cosine} decay."""
+    if warmup_steps <= 0 and decay == "constant":
+        return learning_rate
+    if decay == "constant":
+        after = optax.constant_schedule(learning_rate)
+    elif decay == "linear":
+        after = optax.linear_schedule(
+            learning_rate, 0.0, max(total_steps - warmup_steps, 1)
+        )
+    elif decay == "cosine":
+        after = optax.cosine_decay_schedule(
+            learning_rate, max(total_steps - warmup_steps, 1)
+        )
+    else:
+        raise ValueError(f"unknown decay: {decay!r}")
+    if warmup_steps <= 0:
+        return after
+    warmup = optax.linear_schedule(0.0, learning_rate, warmup_steps)
+    return optax.join_schedules([warmup, after], [warmup_steps])
+
+
 def make_optimizer(
     learning_rate: float = 1e-5,
     max_grad_norm: float = 1.0,
     weight_decay: float = 0.01,
     freeze_encoder: bool = True,
     schedule: Optional[Callable] = None,
+    accum_steps: int = 1,
 ) -> optax.GradientTransformation:
+    """Per-tensor clip + AdamW (+ optional gradient accumulation).
+
+    accum_steps > 1 wraps the chain in optax.MultiSteps: gradients from N
+    consecutive train_step calls are averaged before one AdamW update —
+    large effective batches without the HBM for them.
+    """
     lr = schedule if schedule is not None else learning_rate
     inner = optax.chain(
         clip_by_per_tensor_norm(max_grad_norm),
@@ -63,12 +97,14 @@ def make_optimizer(
             lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay
         ),
     )
-    if not freeze_encoder:
-        return inner
-    return optax.multi_transform(
-        {"train": inner, "freeze": optax.set_to_zero()},
-        lambda params: jax.tree.map(
-            lambda is_dec: "train" if is_dec else "freeze",
-            decoder_only_mask(params),
-        ),
-    )
+    if freeze_encoder:
+        inner = optax.multi_transform(
+            {"train": inner, "freeze": optax.set_to_zero()},
+            lambda params: jax.tree.map(
+                lambda is_dec: "train" if is_dec else "freeze",
+                decoder_only_mask(params),
+            ),
+        )
+    if accum_steps > 1:
+        inner = optax.MultiSteps(inner, every_k_schedule=accum_steps)
+    return inner

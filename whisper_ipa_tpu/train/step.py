@@ -33,11 +33,15 @@ def create_train_state(
     learning_rate: float = 1e-5,
     max_grad_norm: float = 1.0,
     freeze_encoder: bool = True,
+    schedule=None,
+    accum_steps: int = 1,
 ) -> Tuple[TrainState, optax.GradientTransformation]:
     tx = make_optimizer(
         learning_rate=learning_rate,
         max_grad_norm=max_grad_norm,
         freeze_encoder=freeze_encoder,
+        schedule=schedule,
+        accum_steps=accum_steps,
     )
     return (
         TrainState(

@@ -10,6 +10,7 @@ from .decoding import (
     sequence_score,
 )
 from .transcribe import chunk_audio, transcribe
+from .word_timestamps import phone_timestamps, token_alignment
 
 __all__ = [
     "DecodingOptions",
@@ -23,4 +24,6 @@ __all__ = [
     "initial_tokens",
     "sequence_score",
     "transcribe",
+    "phone_timestamps",
+    "token_alignment",
 ]

@@ -234,6 +234,57 @@ def decoder_logits(
 logits = decoder_logits  # reference-surface alias (model.logits)
 
 
+def decoder_cross_attentions(
+    params: Params,
+    cfg: WhisperConfig,
+    tokens,
+    audio_features,
+    dtype=jnp.float32,
+):
+    """Teacher-forced forward that also returns cross-attention weights.
+
+    Returns (logits (B, T, V), weights (L, B, H, T, 1500)) — the alignment
+    signal used for phone-level timestamps (decode/word_timestamps.py).
+    """
+    from .layers import _merge_heads, _split_heads
+
+    dec = params["decoder"]
+    B, T = tokens.shape
+    x = dec["token_embedding"][tokens].astype(dtype)
+    x = x + dec["positional_embedding"][:T].astype(dtype)
+    mask = jnp.asarray(causal_mask(T))
+    audio_features = audio_features.astype(dtype)
+    stacked = _stack_blocks(dec["blocks"])
+    H = cfg.n_text_head
+    d_head = cfg.n_text_head_dim
+    scale = d_head ** -0.25
+
+    def body(x, block):
+        h, _ = attention_block(
+            layer_norm(x, block["attn_ln"]), block["attn"], H, mask=mask
+        )
+        x = x + h
+        xn = layer_norm(x, block["cross_attn_ln"])
+        q = _split_heads(linear(xn, block["cross_attn"]["query"]), H) * scale
+        k = _split_heads(
+            linear(audio_features, block["cross_attn"]["key"]), H
+        ) * scale
+        v = _split_heads(linear(audio_features, block["cross_attn"]["value"]), H)
+        logits_attn = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+        w = jax.nn.softmax(logits_attn, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), v)
+        x = x + linear(_merge_heads(out), block["cross_attn"]["out"])
+        x = x + mlp_block(layer_norm(x, block["mlp_ln"]), block)
+        return x, w
+
+    x, weights = jax.lax.scan(body, x, stacked)
+    x = layer_norm(x, dec["ln"])
+    logits = jnp.matmul(
+        x.astype(jnp.float32), dec["token_embedding"].T.astype(jnp.float32)
+    )
+    return logits, weights
+
+
 # -- decoder (incremental, KV-cached) -------------------------------------
 
 class DecoderCache(NamedTuple):

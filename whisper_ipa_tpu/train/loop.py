@@ -214,6 +214,18 @@ def train(
         train_dataset.data = train_dataset.data[:100]
         num_steps = min(num_steps, 100)
 
+    # multi-host: each process keeps only its shard of the training data
+    # (host-local IO; the global batch assembles over the mesh)
+    if jax.process_count() > 1:
+        from ..parallel.distributed import local_shard_indices
+
+        shard = local_shard_indices(len(train_dataset))
+        train_dataset.data = [train_dataset.data[i] for i in shard]
+        print(
+            f"Host {jax.process_index()}/{jax.process_count()}: "
+            f"{len(train_dataset.data)} local training samples"
+        )
+
     print("\n" + "=" * 70)
     print(f"Starting training for {num_steps} steps")
     print("=" * 70)

@@ -74,8 +74,8 @@ def transcribe(
         conditioned on the previous window's tokens via a fixed-length
         <|startofprev|> prompt (mlx_whisper.transcribe's behavior)
 
-    word_timestamps is accepted for surface compatibility and ignored (the
-    IPA pipeline always decodes without timestamps).
+    word_timestamps=True adds per-IPA-phone timing to each segment via
+    cross-attention DTW alignment (decode/word_timestamps.py).
     """
     if isinstance(audio, str):
         audio = load_audio(audio)
@@ -172,19 +172,39 @@ def transcribe(
             )
         ):
             continue  # silent chunk
-        segments.append(
-            {
-                "id": i,
-                "start": i * 30.0,
-                "end": min((i + 1) * 30.0, len(audio) / SAMPLE_RATE),
-                "text": r.text,
-                "tokens": r.tokens,
-                "avg_logprob": r.avg_logprob,
-                "no_speech_prob": r.no_speech_prob,
-                "compression_ratio": r.compression_ratio,
-                "temperature": r.temperature,
-            }
-        )
+        segment = {
+            "id": i,
+            "start": i * 30.0,
+            "end": min((i + 1) * 30.0, len(audio) / SAMPLE_RATE),
+            "text": r.text,
+            "tokens": r.tokens,
+            "avg_logprob": r.avg_logprob,
+            "no_speech_prob": r.no_speech_prob,
+            "compression_ratio": r.compression_ratio,
+            "temperature": r.temperature,
+        }
+        if word_timestamps and r.tokens:
+            from .word_timestamps import phone_timestamps
+
+            window_secs = min(30.0, len(audio) / SAMPLE_RATE - i * 30.0)
+            phones = phone_timestamps(
+                params,
+                cfg,
+                r.tokens,
+                mels[i : i + 1],
+                tokenizer=tokenizer,
+                audio_seconds=max(window_secs, 0.1),
+            )
+            offset = i * 30.0
+            segment["phones"] = [
+                {
+                    "phone": p["phone"],
+                    "start": p["start"] + offset,
+                    "end": p["end"] + offset,
+                }
+                for p in phones
+            ]
+        segments.append(segment)
         texts.append(r.text)
 
     return {

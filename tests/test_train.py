@@ -210,3 +210,25 @@ class TestScheduleAndAccumulation:
         state, _ = train_step(state, mel, tokens, CFG, tx, EOT)
         emb2 = np.asarray(state.params["decoder"]["token_embedding"])
         assert not np.array_equal(emb1, emb2)  # update applied
+
+
+class TestOrbaxBackend:
+    def test_orbax_roundtrip(self, params, batch, tmp_path):
+        from whisper_ipa_tpu.train.checkpoints import (
+            restore_checkpoint_orbax,
+            save_checkpoint_orbax,
+        )
+
+        mel, tokens = batch
+        state, tx = create_train_state(params, learning_rate=1e-3)
+        state, _ = train_step(state, mel, tokens, CFG, tx, EOT)
+        path = save_checkpoint_orbax(state, 1, str(tmp_path))
+
+        template, _ = create_train_state(init_params(CFG, seed=0))
+        restored = restore_checkpoint_orbax(path, template)
+        np.testing.assert_allclose(
+            np.asarray(restored.params["decoder"]["token_embedding"]),
+            np.asarray(state.params["decoder"]["token_embedding"]),
+            atol=0,
+        )
+        assert int(restored.step) == int(state.step)

@@ -141,6 +141,31 @@ def save_best_checkpoint(
     return best_dir
 
 
+# -- orbax backend (optional) ---------------------------------------------
+
+def save_checkpoint_orbax(state: TrainState, step: int, output_dir: str) -> str:
+    """Full TrainState via orbax (async-capable, multi-host-aware).
+
+    The TPU-ecosystem alternative to the safetensors format: one call per
+    train state, sharding-aware on pods. The safetensors path remains the
+    reference-compatible interchange format.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(output_dir, f"orbax-{step}"))
+    checkpointer = ocp.StandardCheckpointer()
+    checkpointer.save(path, state)
+    checkpointer.wait_until_finished()
+    return path
+
+
+def restore_checkpoint_orbax(path: str, state_template: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    checkpointer = ocp.StandardCheckpointer()
+    return checkpointer.restore(os.path.abspath(path), state_template)
+
+
 def latest_checkpoint(output_dir: str) -> Optional[str]:
     """Find the highest-step checkpoint-N directory."""
     if not os.path.isdir(output_dir):

@@ -80,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--accum-steps", type=int, default=1,
         help="Gradient accumulation (effective batch = batch * accum)",
     )
+    p.add_argument(
+        "--blockwise-loss", action="store_true",
+        help="Memory-efficient CE (never materializes B*T*51865 logits)",
+    )
     return p
 
 
@@ -107,6 +111,7 @@ def main(argv=None):
         warmup_steps=args.warmup_steps,
         lr_decay=args.lr_decay,
         accum_steps=args.accum_steps,
+        blockwise_loss=args.blockwise_loss,
     )
 
 

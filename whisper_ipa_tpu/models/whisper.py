@@ -176,7 +176,7 @@ embed_audio = encode
 
 # -- decoder (teacher forcing / full sequence) ----------------------------
 
-def decoder_logits(
+def decoder_hidden(
     params: Params,
     cfg: WhisperConfig,
     tokens,
@@ -184,12 +184,10 @@ def decoder_logits(
     dtype=jnp.float32,
     remat: bool = False,
 ):
-    """Teacher-forced decoder: (B, T) x (B, 1500, d) -> (B, T, n_vocab).
+    """Decoder final hidden states (B, T, d), before the logits matmul.
 
-    Used by training (reference compute_loss calls model.logits at
-    scripts/train_whisper_ipa.py:232). remat=True checkpoints each layer
-    (activations recomputed in the backward pass — trades FLOPs for HBM,
-    needed to fit large-v3 training).
+    remat=True checkpoints each layer (activations recomputed in the
+    backward pass — trades FLOPs for HBM, needed for large-v3 training).
     """
     dec = params["decoder"]
     B, T = tokens.shape
@@ -224,11 +222,29 @@ def decoder_logits(
     if remat:
         body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, stacked)
-    x = layer_norm(x, dec["ln"])
-    logits = jnp.matmul(
-        x.astype(jnp.float32), dec["token_embedding"].T.astype(jnp.float32)
+    return layer_norm(x, dec["ln"])
+
+
+def decoder_logits(
+    params: Params,
+    cfg: WhisperConfig,
+    tokens,
+    audio_features,
+    dtype=jnp.float32,
+    remat: bool = False,
+):
+    """Teacher-forced decoder: (B, T) x (B, 1500, d) -> (B, T, n_vocab).
+
+    Used by training (reference compute_loss calls model.logits at
+    scripts/train_whisper_ipa.py:232).
+    """
+    x = decoder_hidden(
+        params, cfg, tokens, audio_features, dtype=dtype, remat=remat
     )
-    return logits
+    return jnp.matmul(
+        x.astype(jnp.float32),
+        params["decoder"]["token_embedding"].T.astype(jnp.float32),
+    )
 
 
 logits = decoder_logits  # reference-surface alias (model.logits)

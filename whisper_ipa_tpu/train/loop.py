@@ -132,6 +132,7 @@ def train(
     warmup_steps: int = 0,
     lr_decay: str = "constant",
     accum_steps: int = 1,
+    blockwise_loss: bool = False,
 ) -> Dict:
     """Main training entry point (reference-compatible surface + resume)."""
     os.makedirs(output_dir, exist_ok=True)
@@ -264,6 +265,7 @@ def train(
                     freeze_encoder=True,
                     dtype_name=compute_dtype,
                     remat=remat,
+                    blockwise=blockwise_loss,
                 )
                 if profile_dir and step == start_step + 15:
                     jax.profiler.stop_trace()

@@ -44,6 +44,7 @@ def compute_loss(
     freeze_encoder: bool = True,
     dtype=jnp.float32,
     remat: bool = False,
+    blockwise: bool = False,
 ):
     """CE loss for a batch (reference compute_loss surface).
 
@@ -58,8 +59,26 @@ def compute_loss(
 
     decoder_input = tokens[:, :-1]
     target_tokens = tokens[:, 1:]
+    mask = eot_loss_mask(target_tokens, eot)
+
+    if blockwise:
+        # memory-efficient path: never materializes (B, T, V) logits
+        from ..models.whisper import decoder_hidden
+        from ..ops.blockwise_ce import blockwise_cross_entropy
+
+        hidden = decoder_hidden(
+            params, cfg, decoder_input, audio_features, dtype=dtype,
+            remat=remat,
+        )
+        B, T, d = hidden.shape
+        return blockwise_cross_entropy(
+            hidden.astype(jnp.float32).reshape(B * T, d),
+            params["decoder"]["token_embedding"],
+            target_tokens.reshape(B * T),
+            mask.reshape(B * T),
+        )
+
     logits = decoder_logits(
         params, cfg, decoder_input, audio_features, dtype=dtype, remat=remat
     )
-    mask = eot_loss_mask(target_tokens, eot)
     return masked_cross_entropy(logits, target_tokens, mask)

@@ -55,7 +55,10 @@ def create_train_state(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "tx", "eot", "freeze_encoder", "dtype_name", "remat"),
+    static_argnames=(
+        "cfg", "tx", "eot", "freeze_encoder", "dtype_name", "remat",
+        "blockwise",
+    ),
     donate_argnames=("state",),
 )
 def train_step(
@@ -68,6 +71,7 @@ def train_step(
     freeze_encoder: bool = True,
     dtype_name: str = "float32",
     remat: bool = False,
+    blockwise: bool = False,
 ) -> Tuple[TrainState, jax.Array]:
     """One optimization step. Returns (new_state, loss).
 
@@ -86,6 +90,7 @@ def train_step(
             freeze_encoder=freeze_encoder,
             dtype=jnp.dtype(dtype_name),
             remat=remat,
+            blockwise=blockwise,
         )
 
     loss, grads = jax.value_and_grad(loss_fn)(state.params)

@@ -113,3 +113,48 @@ class TestLogMel:
         assert out.shape == (2, N_FRAMES, 80)
         single = np.asarray(log_mel_spectrogram_jax(batch[0], n_mels=80))
         assert np.max(np.abs(out[0] - single)) < 1e-5
+
+
+class TestNativeDecoder:
+    def test_native_matches_python(self, tmp_path):
+        native = pytest.importorskip("whisper_ipa_tpu.audio.native")
+        audio = sine_audio(0.5)
+        path = str(tmp_path / "n.wav")
+        write_wav(path, audio)
+        out = native.decode_wav_file(path, 16000)
+        assert out.shape == audio.shape
+        assert np.max(np.abs(out - audio)) < 1e-3
+
+    def test_native_resamples(self, tmp_path):
+        native = pytest.importorskip("whisper_ipa_tpu.audio.native")
+        audio = sine_audio(1.0, freq=220.0, sr=8000)
+        path = str(tmp_path / "n8.wav")
+        write_wav(path, audio, sr=8000)
+        out = native.decode_wav_file(path, 16000)
+        assert abs(len(out) - 16000) <= 2
+        # tone frequency preserved: spectral peak at 220 Hz
+        spec = np.abs(np.fft.rfft(out * np.hanning(len(out))))
+        peak_hz = np.argmax(spec) * 16000 / len(out)
+        assert abs(peak_hz - 220.0) < 5.0
+
+    def test_native_downsample(self, tmp_path):
+        native = pytest.importorskip("whisper_ipa_tpu.audio.native")
+        audio = sine_audio(0.5, freq=440.0, sr=44100)
+        path = str(tmp_path / "n44.wav")
+        write_wav(path, audio, sr=44100)
+        out = native.decode_wav_file(path, 16000)
+        assert abs(len(out) - 8000) <= 3
+        # compare against the pure-Python path (scipy polyphase) explicitly
+        from whisper_ipa_tpu.audio.io import _decode_wav, resample as _rs
+
+        data, orig_sr = _decode_wav(path)
+        ref = _rs(data, orig_sr, 16000)
+        n = min(len(out), len(ref))
+        # same signal up to filter differences
+        corr = np.corrcoef(out[:n], ref[:n])[0, 1]
+        assert corr > 0.98
+
+    def test_malformed_rejected(self):
+        native = pytest.importorskip("whisper_ipa_tpu.audio.native")
+        with pytest.raises(ValueError):
+            native.decode_wav_bytes(b"not a wav at all")

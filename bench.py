@@ -43,7 +43,7 @@ def main():
     params = init_params(cfg, seed=0)
     tokenizer = get_tokenizer(multilingual=True, language="en")
 
-    batch = 16
+    batch = 32
     sample_len = 64
     rng = np.random.default_rng(0)
     audio = rng.standard_normal((batch, N_SAMPLES)).astype(np.float32) * 0.1

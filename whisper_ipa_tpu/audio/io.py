@@ -13,8 +13,6 @@ import io
 import shutil
 import subprocess
 import wave
-from typing import Optional, Union
-
 import numpy as np
 
 SAMPLE_RATE = 16000

@@ -7,7 +7,6 @@ that and uses the Python decoder.
 from __future__ import annotations
 
 import ctypes
-import os
 
 import numpy as np
 

@@ -5,16 +5,13 @@ batches inference (the reference transcribes sample-by-sample at batch 1).
 """
 
 import argparse
-import json
 from typing import Dict, List, Optional
-
-import numpy as np
 
 from ..config import get_config
 from ..data.dataset import create_data_loader
 from ..decode import DecodingOptions, decode
 from ..metrics import evaluate_batch, phone_error_rate, phone_feature_error_rate
-from ..models import init_params, load_checkpoint_model
+from ..models import load_checkpoint_model
 from ..tokenizer import get_tokenizer
 from ..train.loop import load_or_init_params
 

@@ -9,7 +9,6 @@ scripts/data_prep/prepare_{timit_dataset,metu_turkish,ogi_spelled}.py.
 from __future__ import annotations
 
 import json
-import os
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 

@@ -13,9 +13,8 @@ always used.
 from __future__ import annotations
 
 import json
-import os
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 from .audio_meta import get_audio_duration
 from .g2p import SUPPORTED_LANGUAGES, text_to_ipa

@@ -12,16 +12,16 @@ round-trips — the reference pays a device sync per token.
 from __future__ import annotations
 
 import zlib
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from functools import partial
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import List, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import WhisperConfig
-from ..models.whisper import DecoderCache, decode_step, encode, init_cache
+from ..models.whisper import decode_step, encode, init_cache
 from ..tokenizer import WhisperTokenizer, get_tokenizer
 from ..tokenizer.whisper_tokenizer import N_TIMESTAMPS
 

@@ -10,7 +10,6 @@ fallback follows Whisper's ladder (compression ratio / avg-logprob gates).
 
 from __future__ import annotations
 
-from dataclasses import replace
 from typing import List, Optional, Union
 
 import numpy as np

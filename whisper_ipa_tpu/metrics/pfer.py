@@ -18,7 +18,7 @@ the Hamming structure) or through the native C++ core when available.
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

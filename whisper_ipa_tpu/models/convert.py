@@ -18,13 +18,10 @@ conv kernels; MLX stores (out, in) and (O, W, I), HF-PyTorch (out, in) and
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
-
-from ..config import WhisperConfig
 
 Params = Dict[str, Any]
 

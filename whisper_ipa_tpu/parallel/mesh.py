@@ -11,7 +11,7 @@ parameters are replicated, so XLA emits a psum over 'data' for the grads.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np

@@ -15,9 +15,8 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from ..config import WhisperConfig, get_config, n_mels_for_model
+from ..config import WhisperConfig, get_config
 from ..data.dataset import IPADataset, PrefetchLoader, create_data_loader
 from ..decode import DecodingOptions, decode
 from ..metrics import evaluate_batch
@@ -36,7 +35,7 @@ from .logger import (
     get_hardware_info,
     save_training_config,
 )
-from .step import TrainState, create_train_state, train_step
+from .step import create_train_state, train_step
 
 
 def validate(

@@ -132,3 +132,11 @@ class TestEndToEndTraining:
         assert os.path.isfile(os.path.join(out, "training_log.csv"))
         assert os.path.isdir(os.path.join(out, "checkpoint-2"))
         assert np.isfinite(summary["final_loss"])
+
+
+class TestPrefetchClose:
+    def test_close_mid_iteration(self, dataset):
+        loader = PrefetchLoader(dataset, batch_size=2, num_steps=50, seed=0)
+        it = iter(loader)
+        next(it)
+        loader.close()  # must not deadlock or raise

@@ -63,3 +63,53 @@ class TestService:
         audio = np.zeros(16000 * 35, np.float32)  # 2 windows
         result = service.transcribe(audio, timeout=600)
         assert len(result["segments"]) == 2
+
+
+class TestHTTPServer:
+    def test_http_roundtrip(self, service):
+        import io
+        import json as _json
+        import threading
+        import urllib.request
+        import wave
+        from http.server import ThreadingHTTPServer
+
+        from whisper_ipa_tpu.cli.serve import make_handler
+
+        server = ThreadingHTTPServer(
+            ("127.0.0.1", 0), make_handler(service)
+        )
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            # health
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30
+            ) as r:
+                assert _json.loads(r.read())["status"] == "ok"
+
+            # transcribe a WAV body
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes(b"\x00\x00" * 8000)
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/transcribe",
+                data=buf.getvalue(),
+                headers={"Content-Type": "audio/wav"},
+            )
+            with urllib.request.urlopen(req, timeout=600) as r:
+                payload = _json.loads(r.read())
+            assert "text" in payload
+
+            # stats
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/stats", timeout=30
+            ) as r:
+                stats = _json.loads(r.read())
+            assert stats["requests"] >= 1
+        finally:
+            server.shutdown()

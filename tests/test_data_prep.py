@@ -217,3 +217,15 @@ class TestIAA:
         assert len(out["candidates"]) == 4
         # identical first pair contributes 0 to all metrics
         assert out["ariga_ref"]["per_scores"][0] == 0.0
+
+
+class TestMappingCSVLoader:
+    def test_epitran_style_csv(self, tmp_path):
+        from whisper_ipa_tpu.data.prep.g2p.engine import from_mapping_csv
+
+        csv_path = tmp_path / "xyz-Latn.csv"
+        csv_path.write_text("Orth,Phon\na,ɑ\nsz,s\ns,ʃ\n")
+        conv = from_mapping_csv(str(csv_path))
+        # longest match: sz -> s beats s -> ʃ
+        assert conv("sza") == "sɑ"
+        assert conv("sa") == "ʃɑ"

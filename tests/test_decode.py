@@ -260,3 +260,59 @@ class TestBestOf:
         # cannot be systematically worse; at minimum results are wellformed
         for r in best4:
             assert np.isfinite(r.avg_logprob)
+
+
+class TestTimestampSegmentParsing:
+    def test_paired_segments(self, tok):
+        tb = tok.timestamp_begin
+        tokens = [tb + 0, 100, 101, tb + 50, tb + 50, 102, tb + 90]
+        from whisper_ipa_tpu.decode.transcribe import parse_timestamp_segments
+
+        segments, advance = parse_timestamp_segments(tokens, tb)
+        assert segments[0] == (0, 50, [100, 101])
+        # consecutive pair at <|1.00|> drives the seek advance
+        assert advance == 50
+
+    def test_no_consecutive_pair(self, tok):
+        tb = tok.timestamp_begin
+        tokens = [tb + 0, 100, tb + 40]
+        from whisper_ipa_tpu.decode.transcribe import parse_timestamp_segments
+
+        segments, advance = parse_timestamp_segments(tokens, tb)
+        assert segments == [(0, 40, [100])]
+        assert advance is None
+
+    def test_sequential_timestamps_mode(self, params, tok):
+        """End-to-end: tiny model, 2 s of audio, timestamped windows."""
+        from whisper_ipa_tpu.decode import transcribe
+
+        audio = np.zeros(16000 * 2, np.float32)
+        # CFG is a 32-ctx toy; use full-window contract via the real config
+        # path: run with the toy config anyway — mel gets padded to 3000
+        # frames which the toy encoder cannot take, so instead just verify
+        # the segment parser + seek logic through a micro config
+        from dataclasses import replace as _replace
+
+        micro = _replace(
+            CONFIGS["test-tiny"],
+            n_audio_state=32,
+            n_audio_head=2,
+            n_audio_layer=1,
+            n_text_state=32,
+            n_text_head=2,
+            n_text_layer=1,
+            n_text_ctx=16,
+        )
+        from whisper_ipa_tpu.models import init_params as _init
+
+        mp = _init(micro, seed=0)
+        out = transcribe(
+            mp,
+            micro,
+            audio,
+            language="en",
+            sequential_timestamps=True,
+            temperature=0.0,
+            sample_len=8,
+        )
+        assert "text" in out and "segments" in out

@@ -76,3 +76,25 @@ def geminate(rules: Iterable[Rule]) -> List[Rule]:
         if len(k) == 1 and k.isalpha() and v and "ː" not in v:
             out.append((k + k, v + "ː"))
     return out
+
+
+def from_mapping_csv(path: str, **kwargs) -> "RuleG2P":
+    """Build a converter from an Epitran-style mapping CSV (Orth,Phon).
+
+    Lets users plug in any of Epitran's published map files (the dependency
+    the reference used for hu/pl) without the package itself.
+    """
+    import csv
+
+    rules = []
+    with open(path, newline="", encoding="utf-8") as f:
+        reader = csv.reader(f)
+        header = next(reader, None)
+        if header and header[0].strip().lower() not in ("orth", "grapheme"):
+            # no header: treat the first row as data
+            if len(header) >= 2:
+                rules.append((header[0], header[1]))
+        for row in reader:
+            if len(row) >= 2 and row[0]:
+                rules.append((row[0], row[1]))
+    return RuleG2P(rules, **kwargs)

@@ -49,6 +49,50 @@ def _fixed_length_prompt(tokens, sot_prev: int, length: int = PROMPT_PAD_LEN):
     return [sot_prev] * (length - len(tokens)) + tokens
 
 
+def parse_timestamp_segments(tokens, timestamp_begin: int):
+    """Split a timestamped token stream into segments.
+
+    Returns (segments, seek_advance_frames): segments are
+    (start_frame, end_frame, text_tokens) triples; seek advance follows
+    Whisper's rule — jump to the last *consecutive* timestamp pair if one
+    exists, else consume the whole window.
+    """
+    ts_positions = [
+        i for i, t in enumerate(tokens) if t >= timestamp_begin
+    ]
+    consecutive_ends = [
+        ts_positions[k + 1]
+        for k in range(len(ts_positions) - 1)
+        if ts_positions[k + 1] == ts_positions[k] + 1
+    ]
+
+    segments = []
+    start_idx = None
+    for i, t in enumerate(tokens):
+        if t >= timestamp_begin:
+            if start_idx is None:
+                start_idx = i
+            else:
+                text = [
+                    x for x in tokens[start_idx + 1 : i]
+                    if x < timestamp_begin
+                ]
+                if text:
+                    segments.append(
+                        (
+                            tokens[start_idx] - timestamp_begin,
+                            t - timestamp_begin,
+                            text,
+                        )
+                    )
+                start_idx = i if tokens[i] >= timestamp_begin else None
+    if consecutive_ends:
+        seek_advance = tokens[consecutive_ends[-1]] - timestamp_begin
+    else:
+        seek_advance = None  # consume the full window
+    return segments, seek_advance
+
+
 def transcribe(
     params,
     cfg: WhisperConfig,
@@ -62,6 +106,7 @@ def transcribe(
     beam_size: Optional[int] = None,
     word_timestamps: bool = False,
     condition_on_previous_text: bool = False,
+    sequential_timestamps: bool = False,
     tokenizer: Optional[WhisperTokenizer] = None,
     **decode_kwargs,
 ) -> dict:
@@ -85,6 +130,16 @@ def transcribe(
             multilingual=cfg.multilingual,
             num_languages=cfg.num_languages,
             language=language or "en",
+        )
+
+    if sequential_timestamps:
+        return _transcribe_sequential_timestamps(
+            params,
+            cfg,
+            audio,
+            language=language,
+            tokenizer=tokenizer,
+            **decode_kwargs,
         )
 
     chunks = chunk_audio(audio)
@@ -211,3 +266,87 @@ def transcribe(
         "segments": segments,
         "language": language,
     }
+
+
+def _transcribe_sequential_timestamps(
+    params,
+    cfg: WhisperConfig,
+    audio: np.ndarray,
+    *,
+    language: Optional[str] = "en",
+    tokenizer: Optional[WhisperTokenizer] = None,
+    max_windows: int = 200,
+    **decode_kwargs,
+) -> dict:
+    """Whisper's true long-form mode: decode WITH timestamps, advance the
+    window to the last complete segment boundary (not fixed 30 s jumps).
+
+    Produces segments with model-predicted times; more faithful on speech
+    that straddles window edges than the batched fixed-window mode.
+    """
+    if tokenizer is None:
+        tokenizer = get_tokenizer(
+            multilingual=cfg.multilingual,
+            num_languages=cfg.num_languages,
+            language=language or "en",
+        )
+    ts_begin = tokenizer.timestamp_begin
+    frame_sec = 0.02
+
+    segments = []
+    texts = []
+    seek = 0  # in samples
+    window = 0
+    options = DecodingOptions(
+        language=language, without_timestamps=False, **decode_kwargs
+    )
+    while seek < len(audio) and window < max_windows:
+        chunk = pad_or_trim(audio[seek : seek + N_SAMPLES])
+        mel = log_mel_spectrogram(chunk, n_mels=cfg.n_mels)[None]
+        r = decode(params, cfg, mel, options, tokenizer=tokenizer)[0]
+
+        # recover the raw token stream incl. timestamps
+        window_segments, advance = parse_timestamp_segments(
+            r.tokens, ts_begin
+        )
+        offset_sec = seek / SAMPLE_RATE
+        for s_frame, e_frame, text_tokens in window_segments:
+            text = tokenizer.decode_text(text_tokens).strip()
+            if not text:
+                continue
+            segments.append(
+                {
+                    "id": len(segments),
+                    "start": offset_sec + s_frame * frame_sec,
+                    "end": offset_sec + e_frame * frame_sec,
+                    "text": text,
+                    "tokens": text_tokens,
+                    "avg_logprob": r.avg_logprob,
+                    "no_speech_prob": r.no_speech_prob,
+                    "temperature": r.temperature,
+                }
+            )
+            texts.append(text)
+        if not window_segments and r.text.strip():
+            # model emitted text without closing timestamps: keep it
+            segments.append(
+                {
+                    "id": len(segments),
+                    "start": offset_sec,
+                    "end": min(offset_sec + 30.0, len(audio) / SAMPLE_RATE),
+                    "text": r.text.strip(),
+                    "tokens": r.tokens,
+                    "avg_logprob": r.avg_logprob,
+                    "no_speech_prob": r.no_speech_prob,
+                    "temperature": r.temperature,
+                }
+            )
+            texts.append(r.text.strip())
+
+        if advance is not None and advance > 0:
+            seek += int(advance * frame_sec * SAMPLE_RATE)
+        else:
+            seek += N_SAMPLES
+        window += 1
+
+    return {"text": "".join(texts), "segments": segments, "language": language}

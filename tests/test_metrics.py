@@ -250,3 +250,28 @@ class TestPanphonCSVLoader:
         finally:
             F._EXACT_TABLE.clear()
             F.phone_to_vector.cache_clear()
+
+
+class TestErrorAnalysis:
+    def test_alignment_ops(self):
+        from whisper_ipa_tpu.metrics.analysis import align_phones
+
+        ops = align_phones(["k", "æ", "t"], ["k", "ɛ", "t"])
+        assert [o[0] for o in ops] == ["match", "sub", "match"]
+        assert ops[1][1:] == ("æ", "ɛ")
+
+        ops = align_phones(["k", "æ", "t"], ["k", "t"])
+        kinds = [o[0] for o in ops]
+        assert kinds.count("del") == 1 and kinds.count("match") == 2
+
+    def test_confusion_analysis(self):
+        from whisper_ipa_tpu.metrics.analysis import confusion_analysis
+
+        report = confusion_analysis(
+            ["kæt", "kæt", "siː"], ["kɛt", "kæt", "siːs"]
+        )
+        assert report["num_pairs"] == 3
+        assert (("æ", "ɛ"), 1) in report["top_substitutions"]
+        assert ("s", 1) in report["top_insertions"]
+        assert 0 < report["phone_accuracy"] <= 1
+        assert report["per"]["mean"] > 0

@@ -108,3 +108,47 @@ class TestTrainingSequence:
     def test_nonspeech_tokens_exist(self, tok):
         assert len(tok.non_speech_tokens) > 0
         assert all(t < tok.n_base for t in tok.non_speech_tokens)
+
+
+class TestRankFileLoader:
+    """tiktoken-format rank files: loading + real BPE merge behavior."""
+
+    def make_ranks_file(self, path):
+        import base64
+
+        # a tiny vocabulary: bytes for a-d + two merged tokens "ab", "abc"
+        entries = []
+        for i in range(256):
+            entries.append((bytes([i]), i))
+        entries.append((b"ab", 256))
+        entries.append((b"abc", 257))
+        with open(path, "wb") as f:
+            for token, rank in entries:
+                f.write(base64.b64encode(token) + b" " + str(rank).encode() + b"\n")
+
+    def test_load_and_merge(self, tmp_path):
+        from whisper_ipa_tpu.tokenizer import BPE, load_tiktoken_ranks
+
+        path = str(tmp_path / "ranks.tiktoken")
+        self.make_ranks_file(path)
+        ranks = load_tiktoken_ranks(path)
+        assert ranks[b"ab"] == 256
+        bpe = BPE(ranks)
+        # greedy lowest-rank merging: "abc" -> [ab][c] -> [abc]
+        assert bpe.encode("abc") == [257]
+        assert bpe.encode("abd") == [256, ord("d")]
+        assert bpe.decode([257, ord("d")]) == "abcd"
+
+    def test_get_tokenizer_with_ranks_env(self, tmp_path, monkeypatch):
+        from whisper_ipa_tpu.tokenizer import get_tokenizer
+        from whisper_ipa_tpu.tokenizer.whisper_tokenizer import RANKS_ENV_VAR
+
+        path = str(tmp_path / "ranks.tiktoken")
+        self.make_ranks_file(path)
+        monkeypatch.setenv(RANKS_ENV_VAR, path)
+        tok = get_tokenizer(multilingual=True)
+        # base vocab = max rank + 1 = 258; specials start right after
+        assert tok.n_base == 258
+        assert tok.eot == 258
+        assert tok.sot == 259
+        assert tok.encode("abc") == [257]

@@ -68,6 +68,11 @@ def main(argv=None):
     p.add_argument("--max-wait-ms", type=float, default=50.0)
     p.add_argument("--language", default="en")
     p.add_argument("--beam-size", type=int, default=None)
+    p.add_argument(
+        "--warmup",
+        action="store_true",
+        help="Run one dummy batch before binding (absorbs XLA compiles)",
+    )
     args = p.parse_args(argv)
 
     from ..config import get_config
@@ -89,6 +94,13 @@ def main(argv=None):
         language=args.language,
         beam_size=args.beam_size,
     )
+    if args.warmup:
+        import numpy as np
+
+        print("Warming up (compiling decode programs)...")
+        service.transcribe(np.zeros(16000, np.float32))
+        print("Warmup done.")
+
     server = ThreadingHTTPServer(
         (args.host, args.port), make_handler(service)
     )

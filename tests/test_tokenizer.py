@@ -152,3 +152,21 @@ class TestRankFileLoader:
         assert tok.eot == 258
         assert tok.sot == 259
         assert tok.encode("abc") == [257]
+
+
+class TestVariants:
+    def test_english_only_layout(self):
+        tok = get_tokenizer(multilingual=False)
+        assert tok.n_base == 50256
+        assert tok.eot == 50256
+        assert tok.sot == 50257
+        # English-only: no language/task tokens in the SOT sequence
+        assert tok.sot_sequence == (tok.sot,)
+
+    def test_translate_task(self):
+        tok = get_tokenizer(multilingual=True, language="de", task="translate")
+        assert tok.sot_sequence == (
+            tok.sot,
+            tok.language_token("de"),
+            tok.translate,
+        )

@@ -140,3 +140,48 @@ class TestPrefetchClose:
         it = iter(loader)
         next(it)
         loader.close()  # must not deadlock or raise
+
+
+class TestFailureHandling:
+    def test_emergency_checkpoint_on_step_error(self, dataset_json, tmp_path,
+                                                monkeypatch):
+        """A mid-training exception must leave a usable checkpoint and stop
+        (reference broke with no save — SURVEY §5 failure detection)."""
+        from dataclasses import replace
+
+        import whisper_ipa_tpu.config as config_mod
+        import whisper_ipa_tpu.train.loop as loop_mod
+
+        config_mod.CONFIGS["test-micro3"] = replace(
+            config_mod.CONFIGS["test-tiny"], name="test-micro3"
+        )
+
+        real_step = loop_mod.train_step
+        calls = {"n": 0}
+
+        def exploding_step(*args, **kwargs):
+            calls["n"] += 1
+            if calls["n"] >= 3:
+                raise RuntimeError("injected failure")
+            return real_step(*args, **kwargs)
+
+        monkeypatch.setattr(loop_mod, "train_step", exploding_step)
+        out = str(tmp_path / "run")
+        loop_mod.train(
+            model_name="test-micro3",
+            train_data_path=dataset_json,
+            test_data_path=dataset_json,
+            output_dir=out,
+            num_steps=10,
+            batch_size=2,
+            validate_every=0,
+            save_every=0,
+            data_parallel=False,
+            final_validate=False,
+        )
+        # emergency checkpoint written at the failing step
+        ckpts = [d for d in os.listdir(out) if d.startswith("checkpoint-")]
+        assert ckpts, os.listdir(out)
+        assert os.path.isfile(
+            os.path.join(out, ckpts[0], "model.safetensors")
+        )

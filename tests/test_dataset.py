@@ -185,3 +185,19 @@ class TestFailureHandling:
         assert os.path.isfile(
             os.path.join(out, ckpts[0], "model.safetensors")
         )
+
+
+class TestLoaderErrorPropagation:
+    def test_worker_exception_raises_in_consumer(self, dataset_json, tmp_path):
+        """A bad audio path must raise in the training loop, not silently
+        truncate the run."""
+        import copy
+
+        ds = create_data_loader(dataset_json, n_mels=80)
+        broken = copy.deepcopy(ds.data)
+        for e in broken:
+            e["audio_path"] = "/nonexistent/missing.wav"
+        ds.data = broken
+        loader = PrefetchLoader(ds, batch_size=2, num_steps=3, seed=0)
+        with pytest.raises(RuntimeError, match="input pipeline"):
+            list(loader)

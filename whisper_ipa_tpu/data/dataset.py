@@ -166,6 +166,13 @@ def create_data_loader(
     )
 
 
+class _LoaderError:
+    """Sentinel carrying a worker exception to the consuming thread."""
+
+    def __init__(self, error: Exception):
+        self.error = error
+
+
 def _round_up_pow2(n: int, minimum: int = 32) -> int:
     out = minimum
     while out < n:
@@ -209,38 +216,45 @@ class PrefetchLoader:
             for _ in range(self.num_steps):
                 if self._stop.is_set():
                     break
-                # without replacement within a batch (reference behavior);
-                # with replacement when the dataset is smaller than the
-                # batch, so the batch size stays fixed for DP sharding
-                indices = self._rng.choice(
-                    len(self.dataset),
-                    size=self.batch_size,
-                    replace=self.batch_size > len(self.dataset),
-                ).tolist()
-                batch = self.dataset.get_batch(indices)
-                if self.bucket_tokens:
-                    tokens = batch["tokens"]
-                    target = min(
-                        _round_up_pow2(tokens.shape[1]), self.max_token_len
-                    )
-                    if tokens.shape[1] < target:
-                        pad = np.full(
-                            (tokens.shape[0], target - tokens.shape[1]),
-                            self.dataset.tokenizer.eot,
-                            np.int32,
-                        )
-                        batch["tokens"] = np.concatenate(
-                            [tokens, pad], axis=1
-                        )
-                self._queue.put(batch)
+                try:
+                    self._queue.put(self._produce_one())
+                except Exception as e:  # surface errors to the consumer
+                    self._queue.put(_LoaderError(e))
+                    return
         finally:
             self._queue.put(None)
+
+    def _produce_one(self) -> Dict:
+        # without replacement within a batch (reference behavior); with
+        # replacement when the dataset is smaller than the batch, so the
+        # batch size stays fixed for DP sharding
+        indices = self._rng.choice(
+            len(self.dataset),
+            size=self.batch_size,
+            replace=self.batch_size > len(self.dataset),
+        ).tolist()
+        batch = self.dataset.get_batch(indices)
+        if self.bucket_tokens:
+            tokens = batch["tokens"]
+            target = min(_round_up_pow2(tokens.shape[1]), self.max_token_len)
+            if tokens.shape[1] < target:
+                pad = np.full(
+                    (tokens.shape[0], target - tokens.shape[1]),
+                    self.dataset.tokenizer.eot,
+                    np.int32,
+                )
+                batch["tokens"] = np.concatenate([tokens, pad], axis=1)
+        return batch
 
     def __iter__(self) -> Iterator[Dict]:
         while True:
             batch = self._queue.get()
             if batch is None:
                 break
+            if isinstance(batch, _LoaderError):
+                raise RuntimeError(
+                    "input pipeline worker failed"
+                ) from batch.error
             yield batch
 
     def close(self):

@@ -1,0 +1,13 @@
+#!/usr/bin/env python
+"""Reference-invocation shim: `python scripts/parse_zeroshot_test.py ...` works exactly
+as in the upstream repo; the implementation lives in
+whisper_ipa_tpu.cli.parse_zeroshot_test."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from whisper_ipa_tpu.cli.parse_zeroshot_test import main
+
+if __name__ == "__main__":
+    main()

@@ -297,3 +297,19 @@ def load_checkpoint_model(
         weights_path = os.path.join(checkpoint_path, "model.safetensors")
     flat = load_safetensors_flat(weights_path)
     return overlay_decoder_weights(base_params, flat)
+
+
+def cast_tree_dtype(tree, dtype):
+    """Cast every floating leaf of a param subtree (e.g. a frozen encoder
+    stored in bfloat16 — halves its HBM residency with no training effect,
+    since frozen-encoder activations are computed in the activation dtype
+    anyway)."""
+    def cast(x):
+        arr = jnp.asarray(x)
+        if jnp.issubdtype(arr.dtype, jnp.floating):
+            return arr.astype(dtype)
+        return arr
+
+    import jax as _jax
+
+    return _jax.tree.map(cast, tree)

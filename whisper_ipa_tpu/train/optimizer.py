@@ -83,18 +83,24 @@ def make_optimizer(
     freeze_encoder: bool = True,
     schedule: Optional[Callable] = None,
     accum_steps: int = 1,
+    mu_dtype: Optional[str] = None,
 ) -> optax.GradientTransformation:
     """Per-tensor clip + AdamW (+ optional gradient accumulation).
 
     accum_steps > 1 wraps the chain in optax.MultiSteps: gradients from N
     consecutive train_step calls are averaged before one AdamW update —
     large effective batches without the HBM for them.
+
+    mu_dtype="bfloat16" halves the first-moment memory (the variance stays
+    float32) — together with bf16 frozen-encoder storage this is what lets
+    large-v3 decoder fine-tuning fit a single 16 GB chip.
     """
     lr = schedule if schedule is not None else learning_rate
     inner = optax.chain(
         clip_by_per_tensor_norm(max_grad_norm),
         optax.adamw(
-            lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay
+            lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay,
+            mu_dtype=mu_dtype,
         ),
     )
     if freeze_encoder:

@@ -35,6 +35,7 @@ def create_train_state(
     freeze_encoder: bool = True,
     schedule=None,
     accum_steps: int = 1,
+    mu_dtype=None,
 ) -> Tuple[TrainState, optax.GradientTransformation]:
     tx = make_optimizer(
         learning_rate=learning_rate,
@@ -42,6 +43,7 @@ def create_train_state(
         freeze_encoder=freeze_encoder,
         schedule=schedule,
         accum_steps=accum_steps,
+        mu_dtype=mu_dtype,
     )
     return (
         TrainState(

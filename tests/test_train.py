@@ -232,3 +232,39 @@ class TestOrbaxBackend:
             atol=0,
         )
         assert int(restored.step) == int(state.step)
+
+
+class TestMemoryOptions:
+    def test_mu_dtype_bf16_moments(self, params, batch):
+        mel, tokens = batch
+        state, tx = create_train_state(
+            params, learning_rate=1e-3, mu_dtype="bfloat16"
+        )
+        state, loss = train_step(state, mel, tokens, CFG, tx, EOT)
+        # find a mu leaf and check its dtype
+        leaves = jax.tree_util.tree_flatten_with_path(state.opt_state)[0]
+        mus = [
+            l for p, l in leaves if ".mu" in jax.tree_util.keystr(p)
+            and hasattr(l, "dtype") and l.ndim >= 2
+        ]
+        assert mus and all(l.dtype == jnp.bfloat16 for l in mus)
+        assert np.isfinite(float(loss))
+
+    def test_encoder_bf16_cast(self, params):
+        from whisper_ipa_tpu.models.convert import cast_tree_dtype
+
+        enc = cast_tree_dtype(params["encoder"], jnp.bfloat16)
+        assert enc["conv1"]["w"].dtype == jnp.bfloat16
+        # forward still works with bf16 encoder params
+        from whisper_ipa_tpu.models.whisper import encode
+
+        rng = np.random.default_rng(0)
+        mel = jnp.asarray(
+            rng.standard_normal((1, N_MEL_FRAMES, CFG.n_mels)).astype(
+                np.float32
+            )
+        )
+        p2 = dict(params)
+        p2["encoder"] = enc
+        feats = encode(p2, CFG, mel, dtype=jnp.bfloat16)
+        assert np.isfinite(np.asarray(feats, np.float32)).all()

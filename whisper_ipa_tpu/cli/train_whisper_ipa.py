@@ -84,11 +84,29 @@ def build_parser() -> argparse.ArgumentParser:
         "--blockwise-loss", action="store_true",
         help="Memory-efficient CE (never materializes B*T*51865 logits)",
     )
+    p.add_argument("--mu-dtype", default=None, choices=[None, "bfloat16"])
+    p.add_argument(
+        "--encoder-bf16", action="store_true",
+        help="Store the frozen encoder in bfloat16 (halves its HBM)",
+    )
+    p.add_argument(
+        "--preset",
+        default=None,
+        choices=["large-single-chip"],
+        help="large-single-chip: remat + bf16 activations/moments + "
+        "blockwise CE + bf16 frozen encoder (fits large-v3 on 16 GB)",
+    )
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.preset == "large-single-chip":
+        args.remat = True
+        args.bf16 = True
+        args.blockwise_loss = True
+        args.mu_dtype = "bfloat16"
+        args.encoder_bf16 = True
     train(
         model_name=args.model,
         train_data_path=args.train_data,
@@ -112,6 +130,8 @@ def main(argv=None):
         lr_decay=args.lr_decay,
         accum_steps=args.accum_steps,
         blockwise_loss=args.blockwise_loss,
+        mu_dtype=args.mu_dtype,
+        encoder_bf16=args.encoder_bf16,
     )
 
 

@@ -132,6 +132,8 @@ def train(
     lr_decay: str = "constant",
     accum_steps: int = 1,
     blockwise_loss: bool = False,
+    mu_dtype: Optional[str] = None,
+    encoder_bf16: bool = False,
 ) -> Dict:
     """Main training entry point (reference-compatible surface + resume)."""
     os.makedirs(output_dir, exist_ok=True)
@@ -160,6 +162,11 @@ def train(
     print(f"\nModel: {model_name} (n_mels={n_mels})")
 
     params = load_or_init_params(model_name, cfg, weights)
+    if encoder_bf16:
+        from ..models.convert import cast_tree_dtype
+
+        params["encoder"] = cast_tree_dtype(params["encoder"], jnp.bfloat16)
+        print("Frozen encoder stored in bfloat16 (halved HBM residency)")
 
     n_dec = count_parameters(params["decoder"])
     n_total = count_parameters(params)
@@ -182,6 +189,7 @@ def train(
         freeze_encoder=True,
         schedule=schedule if (warmup_steps or lr_decay != "constant") else None,
         accum_steps=accum_steps,
+        mu_dtype=mu_dtype,
     )
 
     if resume:

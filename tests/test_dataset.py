@@ -201,3 +201,18 @@ class TestLoaderErrorPropagation:
         loader = PrefetchLoader(ds, batch_size=2, num_steps=3, seed=0)
         with pytest.raises(RuntimeError, match="input pipeline"):
             list(loader)
+
+
+class TestJSONL:
+    def test_jsonl_loading(self, dataset_json, tmp_path):
+        import json as _json
+
+        with open(dataset_json) as f:
+            entries = _json.load(f)
+        jsonl = str(tmp_path / "ds.jsonl")
+        with open(jsonl, "w") as f:
+            for e in entries:
+                f.write(_json.dumps(e, ensure_ascii=False) + "\n")
+        ds = create_data_loader(jsonl, n_mels=80)
+        assert len(ds) == len(entries)
+        assert ds[0]["ipa_text"] == entries[0]["ipa_transcription"]

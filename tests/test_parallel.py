@@ -78,3 +78,47 @@ class TestDistributed:
         arr = global_batch_from_local(mesh, local)
         assert arr.shape == (8, 2)
         np.testing.assert_array_equal(np.asarray(arr), local)
+
+
+class TestTensorParallelInference:
+    def test_tp_sharded_decode(self):
+        """Greedy decode with TP-sharded params over the virtual mesh."""
+        from dataclasses import replace
+
+        import jax.numpy as jnp
+
+        from whisper_ipa_tpu.config import CONFIGS
+        from whisper_ipa_tpu.decode import DecodingOptions, decode
+        from whisper_ipa_tpu.models import init_params
+        from whisper_ipa_tpu.tokenizer import get_tokenizer
+
+        cfg = replace(CONFIGS["test-tiny"], n_audio_ctx=32, n_text_ctx=32)
+        params = init_params(cfg, seed=0)
+        mesh = make_mesh(model=2)
+        sharded = shard_params(mesh, params, tensor_parallel=True)
+
+        tok = get_tokenizer(multilingual=True, language="en")
+        rng = np.random.default_rng(0)
+        mel = jnp.asarray(
+            rng.standard_normal((2, 64, cfg.n_mels)).astype(np.float32)
+        )
+        plain = decode(
+            params,
+            cfg,
+            mel,
+            DecodingOptions(
+                language="en", without_timestamps=True, sample_len=4
+            ),
+            tokenizer=tok,
+        )
+        tp = decode(
+            sharded,
+            cfg,
+            mel,
+            DecodingOptions(
+                language="en", without_timestamps=True, sample_len=4
+            ),
+            tokenizer=tok,
+        )
+        # TP-sharded execution must produce the same tokens
+        assert [r.tokens for r in tp] == [r.tokens for r in plain]

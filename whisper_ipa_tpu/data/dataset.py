@@ -50,8 +50,17 @@ class IPADataset:
         if mel_cache_dir:
             os.makedirs(mel_cache_dir, exist_ok=True)
 
-        with open(json_path) as f:
-            self.data = json.load(f)
+        if str(json_path).endswith(".jsonl"):
+            # JSON-lines: streaming-friendly for very large corpora
+            self.data = []
+            with open(json_path) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        self.data.append(json.loads(line))
+        else:
+            with open(json_path) as f:
+                self.data = json.load(f)
         print(f"Loaded {len(self.data)} samples from {json_path}")
 
     def __len__(self) -> int:

@@ -316,3 +316,33 @@ class TestTimestampSegmentParsing:
             sample_len=8,
         )
         assert "text" in out and "segments" in out
+
+
+class TestBeamPatience:
+    def test_patience_pool_size(self, params, mel, tok):
+        """patience > 1 collects a larger finished pool; results remain
+        well-formed and at least as good as patience=1."""
+        base = decode(
+            params,
+            CFG,
+            mel,
+            DecodingOptions(
+                language="en", without_timestamps=True, sample_len=8,
+                beam_size=3, length_penalty=1.0,
+            ),
+            tokenizer=tok,
+        )
+        patient = decode(
+            params,
+            CFG,
+            mel,
+            DecodingOptions(
+                language="en", without_timestamps=True, sample_len=8,
+                beam_size=3, patience=2.0, length_penalty=1.0,
+            ),
+            tokenizer=tok,
+        )
+        assert len(patient) == len(base) == 2
+        for r in patient:
+            assert np.isfinite(r.avg_logprob)
+            assert all(t != tok.eot for t in r.tokens)

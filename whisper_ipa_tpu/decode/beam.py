@@ -1,17 +1,26 @@
 """Batched beam-search decoding under a single jitted while_loop.
 
-Standard batched beam search with in-graph KV-cache reordering (gather over
-the beam axis each step) — the TPU-friendly formulation of the reference's
-beam decoder (mlx_whisper BeamSearchDecoder). Finished beams are frozen
-(forced-EOT continuations at zero cost) rather than moved to a side pool;
-final ranking uses the same GNMT length penalty as the reference
-(length_penalty option, reference scripts/train_whisper_ipa.py:342).
+Whisper-parity semantics: finished hypotheses move to a per-sample pool of
+completed candidates (scored with the GNMT length penalty) and their beam
+slots are reclaimed by the best unfinished continuations; decoding stops
+when every sample has collected ``ceil(beam_size * patience)`` finished
+candidates (patience=1.0 default) or the length limit hits. The final
+answer is the best pooled candidate (falling back to the best active beam
+when nothing finished).
+
+TPU formulation notes:
+  - per-beam top-(K+1) then a K*(K+1) pool: guarantees K unfinished
+    candidates without sorting the vocab axis (V=51865) per step
+  - every beam/pool reorder is a one-hot einsum, not a gather — >3-D XLA
+    gathers compile pathologically slowly on TPU
+  - the KV cache is reordered in-graph each step (batch*beam layout)
 """
 
 from __future__ import annotations
 
+import math
 from functools import partial
-from typing import List
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -27,9 +36,23 @@ from .decoding import (
 )
 
 
+def _gnmt_penalty(length, length_penalty):
+    if length_penalty is None:
+        return jnp.maximum(length, 1).astype(jnp.float32)
+    return ((5.0 + length.astype(jnp.float32)) / 6.0) ** length_penalty
+
+
 @partial(
     jax.jit,
-    static_argnames=("cfg", "n_prefix", "sample_len", "beam_size"),
+    static_argnames=(
+        "cfg",
+        "n_prefix",
+        "sample_len",
+        "beam_size",
+        "n_pool",
+        "has_length_penalty",
+        "length_penalty_value",
+    ),
 )
 def _beam_decode_jit(
     params,
@@ -42,20 +65,22 @@ def _beam_decode_jit(
     n_prefix: int,
     sample_len: int,
     beam_size: int,
+    n_pool: int,
+    has_length_penalty: bool,
+    length_penalty_value: float,
 ):
     B = audio_features.shape[0]
     K = beam_size
+    C = K + 1  # candidates per beam: at most one can be EOT
     max_len = n_prefix + sample_len
+    lp_arg = length_penalty_value if has_length_penalty else None
+    neg_inf = jnp.float32(-jnp.inf)
+    V = cfg.n_vocab
 
     # prefix pass at batch B, then tile cache across beams -> batch B*K
     cache = init_cache(params, cfg, audio_features, max_len=max_len)
     prefix_logits, cache = decode_step(params, cfg, prefix_tokens, cache, 0)
-
-    def tile_beams(x):  # (L, B, ...) -> (L, B*K, ...)
-        reps = (1, K) + (1,) * (x.ndim - 2)
-        return jnp.repeat(x, K, axis=1)
-
-    cache = DecoderCache(*[tile_beams(x) for x in cache])
+    cache = DecoderCache(*[jnp.repeat(x, K, axis=1) for x in cache])
 
     # first expansion: top-K tokens from the prefix logits
     logits0 = prefix_logits[:, -1] + suppress_mask + blank_mask  # (B, V)
@@ -71,107 +96,170 @@ def _beam_decode_jit(
     tokens_buf = jax.lax.dynamic_update_slice(
         tokens_buf, top_tok[:, :, None].astype(jnp.int32), (0, 0, n_prefix)
     )
-    sum_logprobs = top_lp  # (B, K)
-    finished = top_tok == eot
-    lengths = jnp.ones((B, K), jnp.int32)  # tokens emitted per beam
+    sum_logprobs = top_lp  # (B, K) raw sums of ACTIVE beams
+    lengths = jnp.ones((B, K), jnp.int32)
+
+    # finished-candidate pool (penalized scores; raw sums kept for output)
+    pool_scores = jnp.full((B, n_pool), neg_inf)
+    pool_sums = jnp.zeros((B, n_pool), jnp.float32)
+    pool_lens = jnp.zeros((B, n_pool), jnp.int32)
+    pool_tokens = jnp.full((B, n_pool, max_len), eot, jnp.int32)
 
     flat_tok = top_tok.reshape(B * K, 1).astype(jnp.int32)
     logits, cache = decode_step(params, cfg, flat_tok, cache, n_prefix)
-    logits = logits[:, 0].reshape(B, K, -1)
+    logits = logits[:, 0].reshape(B, K, V)
 
-    V = cfg.n_vocab
-    neg_inf = jnp.float32(-jnp.inf)
+    def merge_pool(pool_sc, pool_sm, pool_ln, pool_tk, new_sc, new_sm,
+                   new_ln, new_tk):
+        """Keep the best n_pool of (pool + new) by penalized score."""
+        all_sc = jnp.concatenate([pool_sc, new_sc], axis=1)  # (B, P+K)
+        all_sm = jnp.concatenate([pool_sm, new_sm], axis=1)
+        all_ln = jnp.concatenate([pool_ln, new_ln], axis=1)
+        all_tk = jnp.concatenate([pool_tk, new_tk], axis=1)
+        best_sc, best_idx = jax.lax.top_k(all_sc, n_pool)  # (B, n_pool)
+        onehot = jax.nn.one_hot(
+            best_idx, all_sc.shape[1], dtype=jnp.float32
+        )  # (B, n_pool, P+K)
+        sm = jnp.einsum("bpj,bj->bp", onehot, all_sm)
+        ln = jnp.einsum("bpj,bj->bp", onehot, all_ln.astype(jnp.float32))
+        tk = jnp.einsum("bpj,bjl->bpl", onehot, all_tk.astype(jnp.float32))
+        return (
+            best_sc,
+            sm,
+            ln.astype(jnp.int32),
+            tk.astype(jnp.int32),
+        )
 
     def body(state):
-        step, tokens_buf, cache, logits, finished, sum_logprobs, lengths = state
+        (
+            step,
+            tokens_buf,
+            cache,
+            logits,
+            sum_logprobs,
+            lengths,
+            pool_scores,
+            pool_sums,
+            pool_lens,
+            pool_tokens,
+        ) = state
+
         lp = jax.nn.log_softmax(logits + suppress_mask, axis=-1)  # (B,K,V)
+        cand_lp, cand_tok = jax.lax.top_k(lp, C)  # (B, K, C)
+        cand_scores = sum_logprobs[:, :, None] + cand_lp
+        flat_scores = cand_scores.reshape(B, K * C)
+        flat_tok = cand_tok.reshape(B, K * C)
+        is_eot = flat_tok == eot
 
-        # finished beams: only EOT continuation, at zero added cost
-        eot_onehot = jnp.where(
-            jnp.arange(V)[None, None, :] == eot, 0.0, neg_inf
-        )
-        lp = jnp.where(finished[:, :, None], eot_onehot, lp)
-
-        # two-stage top-k: per-beam top-K over the vocab first (the only
-        # candidates that can survive), then top-K over the K*K pool —
-        # avoids sorting a K*V=260k-wide tensor every step
-        cand_lp, cand_tok = jax.lax.top_k(lp, K)  # (B, K, K)
-        scores = sum_logprobs[:, :, None] + cand_lp
-        flat = scores.reshape(B, K * K)
-        top_scores, top_idx = jax.lax.top_k(flat, K)  # (B, K)
-        beam_idx = top_idx // K  # (B, K)
-        tok_idx = jnp.take_along_axis(
-            cand_tok.reshape(B, K * K), top_idx, axis=1
+        # ---- finished candidates -> pool
+        fin_scores_raw = jnp.where(is_eot, flat_scores, neg_inf)
+        fin_top, fin_idx = jax.lax.top_k(fin_scores_raw, K)  # (B, K)
+        fin_onehot = jax.nn.one_hot(fin_idx, K * C, dtype=jnp.float32)
+        parent = fin_idx // C  # (B, K) parent beam of each finished cand
+        parent_onehot = jax.nn.one_hot(parent, K, dtype=jnp.float32)
+        fin_lens = jnp.einsum(
+            "bkj,bj->bk", parent_onehot, lengths.astype(jnp.float32)
         ).astype(jnp.int32)
+        fin_tokens = jnp.einsum(
+            "bkj,bjl->bkl", parent_onehot, tokens_buf.astype(jnp.float32)
+        ).astype(jnp.int32)
+        fin_pen = fin_top / _gnmt_penalty(fin_lens, lp_arg)
+        fin_pen = jnp.where(fin_top == neg_inf, neg_inf, fin_pen)
+        pool_scores, pool_sums, pool_lens, pool_tokens = merge_pool(
+            pool_scores, pool_sums, pool_lens, pool_tokens,
+            fin_pen, fin_top, fin_lens, fin_tokens,
+        )
 
-        # beam reordering as one-hot matmuls: XLA gathers with 5-D operands
-        # compile pathologically slowly on TPU; a (B, Knew, Kold) selection
-        # matrix turns every reorder into a plain dot. K*K is tiny and
-        # float32 einsum is exact for token ids (< 2^24).
+        # ---- unfinished candidates -> new active beams
+        unf_scores = jnp.where(is_eot, neg_inf, flat_scores)
+        new_sums, unf_idx = jax.lax.top_k(unf_scores, K)  # (B, K)
+        new_tok = jnp.take_along_axis(flat_tok, unf_idx, axis=1).astype(
+            jnp.int32
+        )
+        beam_idx = unf_idx // C
         onehot = jax.nn.one_hot(beam_idx, K, dtype=jnp.float32)  # (B,Kn,Ko)
 
-        tokens_buf = (
-            jnp.einsum(
-                "bjk,bkl->bjl", onehot, tokens_buf.astype(jnp.float32)
-            )
-            .astype(jnp.int32)
-        )
-        finished = (
-            jnp.einsum("bjk,bk->bj", onehot, finished.astype(jnp.float32))
-            > 0.5
-        )
+        tokens_buf = jnp.einsum(
+            "bjk,bkl->bjl", onehot, tokens_buf.astype(jnp.float32)
+        ).astype(jnp.int32)
         lengths = jnp.einsum(
             "bjk,bk->bj", onehot, lengths.astype(jnp.float32)
         ).astype(jnp.int32)
 
-        def gather_cache(x):  # (L, B*K, ...) -> reorder beams
+        def gather_cache(x):  # (L, B*K, ...) beams reordered per sample
             L = x.shape[0]
             xs = x.reshape((L, B, K) + x.shape[2:])
-            xs = jnp.einsum(
-                "bjk,lbkcd->lbjcd", onehot.astype(x.dtype), xs
-            )
+            xs = jnp.einsum("bjk,lbkcd->lbjcd", onehot.astype(x.dtype), xs)
             return xs.reshape(x.shape)
 
         cache = DecoderCache(*[gather_cache(x) for x in cache])
 
-        sum_logprobs = top_scores
         pos = n_prefix + step + 1
         tokens_buf = jax.lax.dynamic_update_slice(
-            tokens_buf, tok_idx[:, :, None], (0, 0, pos)
+            tokens_buf, new_tok[:, :, None], (0, 0, pos)
         )
-        lengths = lengths + jnp.where(finished, 0, 1)
-        finished = finished | (tok_idx == eot)
+        lengths = lengths + 1
+        sum_logprobs = new_sums
 
-        flat_tok = tok_idx.reshape(B * K, 1)
-        new_logits, cache = decode_step(params, cfg, flat_tok, cache, pos)
+        new_logits, cache = decode_step(
+            params, cfg, new_tok.reshape(B * K, 1), cache, pos
+        )
         new_logits = new_logits[:, 0].reshape(B, K, V)
         return (
             step + 1,
             tokens_buf,
             cache,
             new_logits,
-            finished,
             sum_logprobs,
             lengths,
+            pool_scores,
+            pool_sums,
+            pool_lens,
+            pool_tokens,
         )
 
     def cond(state):
-        step, _, _, _, finished, _, _ = state
-        return (step < sample_len - 1) & ~jnp.all(finished)
+        step = state[0]
+        pool_scores = state[6]
+        enough = jnp.all(
+            jnp.sum(pool_scores > neg_inf, axis=1) >= n_pool
+        )
+        return (step < sample_len - 1) & ~enough
 
     state = (
         jnp.array(0, jnp.int32),
         tokens_buf,
         cache,
         logits,
-        finished,
         sum_logprobs,
         lengths,
+        pool_scores,
+        pool_sums,
+        pool_lens,
+        pool_tokens,
     )
-    _, tokens_buf, _, _, finished, sum_logprobs, lengths = jax.lax.while_loop(
-        cond, body, state
+    out = jax.lax.while_loop(cond, body, state)
+    (
+        _,
+        tokens_buf,
+        _,
+        _,
+        sum_logprobs,
+        lengths,
+        pool_scores,
+        pool_sums,
+        pool_lens,
+        pool_tokens,
+    ) = out
+    return (
+        tokens_buf,
+        sum_logprobs,
+        lengths,
+        pool_scores,
+        pool_sums,
+        pool_lens,
+        pool_tokens,
     )
-    return tokens_buf, sum_logprobs, lengths
 
 
 def beam_decode(
@@ -194,12 +282,24 @@ def beam_decode(
             jnp.asarray(prefix, jnp.int32)[None, :], (B, 1)
         )
 
+    K = int(options.beam_size)
+    patience = float(options.patience) if options.patience else 1.0
+    n_pool = max(K, int(math.ceil(K * patience)))
+
     blank = (
         blank_mask
         if options.suppress_blank
         else jnp.zeros_like(suppress_mask)
     )
-    tokens_buf, sum_logprobs, lengths = _beam_decode_jit(
+    (
+        tokens_buf,
+        sum_logprobs,
+        lengths,
+        pool_scores,
+        pool_sums,
+        pool_lens,
+        pool_tokens,
+    ) = _beam_decode_jit(
         params,
         cfg,
         audio_features,
@@ -209,30 +309,50 @@ def beam_decode(
         tokenizer.eot,
         n_prefix,
         int(sample_len),
-        int(options.beam_size),
+        K,
+        n_pool,
+        options.length_penalty is not None,
+        float(options.length_penalty or 0.0),
     )
 
     tokens_np = np.asarray(tokens_buf)
-    lp_np = np.asarray(sum_logprobs)
+    sums_np = np.asarray(sum_logprobs)
+    pool_scores_np = np.asarray(pool_scores)
+    pool_sums_np = np.asarray(pool_sums)
+    pool_lens_np = np.asarray(pool_lens)
+    pool_tokens_np = np.asarray(pool_tokens)
+
     results = []
     for b in range(B):
-        best_score = -np.inf
-        best = None
-        for k in range(options.beam_size):
-            seq = tokens_np[b, k, n_prefix:]
-            eot_pos = np.nonzero(seq == tokenizer.eot)[0]
-            end = int(eot_pos[0]) if len(eot_pos) else len(seq)
-            score = sequence_score(
-                float(lp_np[b, k]), end, options.length_penalty
-            )
-            if score > best_score:
-                best_score = score
-                best = (seq[:end].tolist(), float(lp_np[b, k]), end)
-        out_tokens, total_lp, length = best
-        text = tokenizer.decode_text(out_tokens).strip()
+        finished = pool_scores_np[b] > -np.inf
+        if finished.any():
+            k = int(np.argmax(pool_scores_np[b]))
+            length = int(pool_lens_np[b, k])
+            seq = pool_tokens_np[b, k, n_prefix : n_prefix + length].tolist()
+            total_lp = float(pool_sums_np[b, k])
+        else:
+            # nothing finished within the length limit: best active beam
+            best_score = -np.inf
+            k_best = 0
+            for k in range(K):
+                score = sequence_score(
+                    float(sums_np[b, k]),
+                    int(np.asarray(lengths)[b, k]),
+                    options.length_penalty,
+                )
+                if score > best_score:
+                    best_score = score
+                    k_best = k
+            seq_full = tokens_np[b, k_best, n_prefix:]
+            eot_pos = np.nonzero(seq_full == tokenizer.eot)[0]
+            end = int(eot_pos[0]) if len(eot_pos) else len(seq_full)
+            seq = seq_full[:end].tolist()
+            total_lp = float(sums_np[b, k_best])
+            length = end
+        text = tokenizer.decode_text(seq).strip()
         results.append(
             DecodingResult(
-                tokens=out_tokens,
+                tokens=seq,
                 text=text,
                 avg_logprob=total_lp / (length + 1),
                 no_speech_prob=0.0,

@@ -29,8 +29,28 @@ def layer_norm(x, p, eps: float = 1e-5):
     return (y * p["g"] + p["b"]).astype(x.dtype)
 
 
+import os as _os
+
+_INT8_ACTIVATIONS = _os.environ.get("WHISPER_IPA_TPU_INT8_ACT", "0") == "1"
+
+
+def use_int8_activations(enabled: bool) -> None:
+    """Full int8 serving path: quantized weights AND activations run the
+    Pallas int8 x int8 MXU kernel (ops/quant_matmul.py). Needs quantized
+    params (ops/quant.py) and a non-CPU backend."""
+    global _INT8_ACTIVATIONS
+    _INT8_ACTIVATIONS = enabled
+
+
 def linear(x, p):
     if "w_q" in p:
+        if _INT8_ACTIVATIONS and jax.devices()[0].platform != "cpu":
+            from ..ops.quant_matmul import int8_matmul
+
+            y = int8_matmul(x, p["w_q"], p["w_s"]).astype(x.dtype)
+            if "b" in p and p["b"] is not None:
+                y = y + p["b"].astype(x.dtype)
+            return y
         # weight-only int8 (ops/quant.py): dequant fuses into the matmul,
         # so HBM traffic stays int8
         w = p["w_q"].astype(x.dtype) * p["w_s"].astype(x.dtype)

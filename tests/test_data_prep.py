@@ -106,29 +106,34 @@ class TestG2P:
     def test_hungarian(self):
         assert text_to_ipa("szép", "hu") == "seːp"
         assert text_to_ipa("gyerek", "hu") == "ɟɛrɛk"
-        assert text_to_ipa("család", "hu") == "tʃɒlaːd"
+        assert text_to_ipa("család", "hu") == "t͡ʃɒlaːd"
 
     def test_polish(self):
-        assert text_to_ipa("szczur", "pl") == "ʂtʂur"
-        assert text_to_ipa("łódź", "pl") == "wudʑ"
+        assert text_to_ipa("szczur", "pl") == "ʂt͡ʂur"
+        assert text_to_ipa("łódź", "pl") == "wut͡ɕ"  # final devoicing
         assert text_to_ipa("rzeka", "pl") == "ʐɛka"
+        assert text_to_ipa("przy", "pl") == "pʂɨ"  # rz after voiceless
+        assert text_to_ipa("nie", "pl") == "ɲɛ"  # palatal i-marker
 
     def test_greek(self):
-        assert text_to_ipa("καλημέρα", "el") == "kalimera"
+        assert text_to_ipa("καλημέρα", "el") == "kalimeɾa"
         assert text_to_ipa("θάλασσα", "el") == "θalasa"
+        # αυ/ευ voicing alternation
+        assert text_to_ipa("αυριο", "el") == "avɾio"
+        assert text_to_ipa("ευχαριστώ", "el") == "efxaɾisto"
 
     def test_maltese(self):
         assert text_to_ipa("xemx", "mt") == "ʃɛmʃ"
-        assert text_to_ipa("qattus", "mt") == "ʔattus"
+        assert text_to_ipa("qattus", "mt") == "ʔatːus"  # geminate tt
 
     def test_japanese_kana(self):
-        assert text_to_ipa("ねこ", "ja") == "neko"
-        assert text_to_ipa("きょう", "ja") == "kʲoɯ"
-        assert text_to_ipa("がっこう", "ja") == "ɡakːoɯ".replace("ː", "k")[:6] or True
+        # corpus conventions: centralized ä, lowered o̞, ん assimilation
+        assert text_to_ipa("ねこ", "ja") == "neko̞"
+        assert text_to_ipa("きょう", "ja") == "kʲo̞ɯ"
         # sokuon geminates next consonant
         out = text_to_ipa("がっこう", "ja")
         assert "kk" in out
-        assert text_to_ipa("しんぶん", "ja") == "ɕiɴbɯɴ"
+        assert text_to_ipa("しんぶん", "ja") == "ɕimbɯɴ"  # m before b
 
     def test_japanese_kanji_skipped(self):
         with pytest.raises(ValueError):

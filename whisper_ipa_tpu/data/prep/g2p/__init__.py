@@ -27,6 +27,9 @@ def text_to_ipa(sentence: str, lang: str, mode: str = "raw") -> str:
         ipa = CONVERTERS[lang](sentence)
     else:
         raise ValueError(f"Unknown language: {lang}")
+    # note: identical consonants meeting across word boundaries stay as two
+    # phones (the reference converters geminate only within words, before
+    # the space strip) — verified bit-exact vs the v3_improved corpus
     return "".join(ipa.split())
 
 

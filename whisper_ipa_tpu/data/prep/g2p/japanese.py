@@ -98,7 +98,14 @@ def kana_to_ipa(text: str) -> str:
             out.append(syl[0])
             geminate_next = False
         out.append(syl)
-    return "".join(out)
+    text_out = "".join(out)
+    # corpus vowel conventions (multipa): centralized a, lowered o
+    text_out = text_out.replace("a", "ä").replace("o", "o̞")
+    # ん place assimilation
+    text_out = re.sub(r"ɴ(?=[kɡ])", "ŋ", text_out)
+    text_out = re.sub(r"ɴ(?=[pbm])", "m", text_out)
+    text_out = re.sub(r"ɴ(?=[tdnɾ])", "n", text_out)
+    return text_out
 
 
 class Japanese2IPA:

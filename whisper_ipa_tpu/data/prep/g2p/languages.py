@@ -33,7 +33,7 @@ finnish = RuleG2P(
 
 # -- Hungarian ------------------------------------------------------------
 _HU_SINGLE = [
-    ("a", "ɒ"), ("b", "b"), ("c", "ts"), ("d", "d"), ("e", "ɛ"),
+    ("a", "ɒ"), ("b", "b"), ("c", "t͡s"), ("d", "d"), ("e", "ɛ"),
     ("f", "f"), ("g", "ɡ"), ("h", "h"), ("i", "i"), ("j", "j"),
     ("k", "k"), ("l", "l"), ("m", "m"), ("n", "n"), ("o", "o"),
     ("p", "p"), ("r", "r"), ("s", "ʃ"), ("t", "t"), ("u", "u"),
@@ -44,10 +44,10 @@ hungarian = RuleG2P(
     + [
         ("á", "aː"), ("é", "eː"), ("í", "iː"), ("ó", "oː"),
         ("ö", "ø"), ("ő", "øː"), ("ú", "uː"), ("ü", "y"), ("ű", "yː"),
-        ("cs", "tʃ"), ("dz", "dz"), ("dzs", "dʒ"), ("gy", "ɟ"),
+        ("cs", "t͡ʃ"), ("dz", "d͡z"), ("dzs", "d͡ʒ"), ("gy", "ɟ"),
         ("ly", "j"), ("ny", "ɲ"), ("sz", "s"), ("ty", "c"), ("zs", "ʒ"),
         # geminated digraphs (written as e.g. ssz, tty, nny)
-        ("ssz", "sː"), ("zzs", "ʒː"), ("ccs", "tʃː"), ("tty", "cː"),
+        ("ssz", "sː"), ("zzs", "ʒː"), ("ccs", "t͡ʃː"), ("tty", "cː"),
         ("ggy", "ɟː"), ("nny", "ɲː"), ("lly", "jː"),
     ]
 )
@@ -55,18 +55,49 @@ hungarian = RuleG2P(
 # -- Polish ---------------------------------------------------------------
 polish = RuleG2P(
     [
-        ("a", "a"), ("ą", "ɔ̃"), ("b", "b"), ("c", "ts"), ("ć", "tɕ"),
+        ("a", "a"), ("ą", "ɔ̃"), ("b", "b"), ("c", "t͡s"), ("ć", "tɕ"),
         ("d", "d"), ("e", "ɛ"), ("ę", "ɛ̃"), ("f", "f"), ("g", "ɡ"),
         ("h", "x"), ("i", "i"), ("j", "j"), ("k", "k"), ("l", "l"),
         ("ł", "w"), ("m", "m"), ("n", "n"), ("ń", "ɲ"), ("o", "ɔ"),
         ("ó", "u"), ("p", "p"), ("r", "r"), ("s", "s"), ("ś", "ɕ"),
         ("t", "t"), ("u", "u"), ("w", "v"), ("y", "ɨ"), ("z", "z"),
         ("ź", "ʑ"), ("ż", "ʐ"),
-        ("ch", "x"), ("cz", "tʂ"), ("dz", "dz"), ("dź", "dʑ"),
-        ("dż", "dʐ"), ("rz", "ʐ"), ("sz", "ʂ"),
-        # ci/si/zi/ni + vowel -> palatals
-        ("ci", "tɕi"), ("si", "ɕi"), ("zi", "ʑi"), ("ni", "ɲi"),
-    ]
+        ("ch", "x"), ("cz", "t͡ʂ"), ("dz", "d͡z"), ("dź", "d͡ʑ"),
+        ("dż", "d͡ʐ"), ("rz", "ʐ"), ("sz", "ʂ"),
+        # c -> t͡s (tie-bar convention, matching Epitran's pol-Latn)
+        ("c", "t͡s"), ("ć", "t͡ɕ"),
+        # palatal consonant + i + vowel: i is only a palatalization mark
+        ("cia", "t͡ɕa"), ("cie", "t͡ɕɛ"), ("cio", "t͡ɕɔ"), ("ciu", "t͡ɕu"),
+        ("cią", "t͡ɕɔ̃"), ("cię", "t͡ɕɛ̃"), ("ció", "t͡ɕu"),
+        ("sia", "ɕa"), ("sie", "ɕɛ"), ("sio", "ɕɔ"), ("siu", "ɕu"),
+        ("sią", "ɕɔ̃"), ("się", "ɕɛ̃"), ("sió", "ɕu"),
+        ("zia", "ʑa"), ("zie", "ʑɛ"), ("zio", "ʑɔ"), ("ziu", "ʑu"),
+        ("zią", "ʑɔ̃"), ("zię", "ʑɛ̃"), ("zió", "ʑu"),
+        ("nia", "ɲa"), ("nie", "ɲɛ"), ("nio", "ɲɔ"), ("niu", "ɲu"),
+        ("nią", "ɲɔ̃"), ("nię", "ɲɛ̃"), ("nió", "ɲu"),
+        ("ci", "t͡ɕi"), ("si", "ɕi"), ("zi", "ʑi"), ("ni", "ɲi"),
+        # i before a vowel glides
+        ("ia", "ja"), ("ie", "jɛ"), ("io", "jɔ"), ("iu", "ju"),
+        ("ią", "jɔ̃"), ("ię", "jɛ̃"), ("ió", "ju"),
+    ],
+    post=[
+        # rz devoices after a voiceless obstruent (przy -> pʂɨ)
+        (r"(?<=[ptkxsfɕʂ])ʐ", "ʂ"),
+        # word-final affricate devoicing (before the single-char rules)
+        (r"d͡ʑ(?=\s|$)", "t͡ɕ"),
+        (r"d͡ʐ(?=\s|$)", "t͡ʂ"),
+        (r"d͡z(?=\s|$)", "t͡s"),
+        # word-final obstruent devoicing
+        (r"b(?=\s|$)", "p"),
+        (r"d(?=\s|$)", "t"),
+        (r"ɡ(?=\s|$)", "k"),
+        (r"v(?=\s|$)", "f"),
+        (r"z(?=\s|$)", "s"),
+        (r"ʐ(?=\s|$)", "ʂ"),
+        (r"ʑ(?=\s|$)", "ɕ"),
+        # v devoices after voiceless obstruents (twój -> tfuj)
+        (r"(?<=[ptkxsfɕʂ])v", "f"),
+    ],
 )
 
 # -- Greek (modern) -------------------------------------------------------
@@ -75,10 +106,12 @@ greek = RuleG2P(
         ("α", "a"), ("β", "v"), ("γ", "ɣ"), ("δ", "ð"), ("ε", "e"),
         ("ζ", "z"), ("η", "i"), ("θ", "θ"), ("ι", "i"), ("κ", "k"),
         ("λ", "l"), ("μ", "m"), ("ν", "n"), ("ξ", "ks"), ("ο", "o"),
-        ("π", "p"), ("ρ", "r"), ("σ", "s"), ("ς", "s"), ("τ", "t"),
+        ("π", "p"), ("ρ", "ɾ"), ("σ", "s"), ("ς", "s"), ("τ", "t"),
         ("υ", "i"), ("φ", "f"), ("χ", "x"), ("ψ", "ps"), ("ω", "o"),
         # digraph vowels
         ("αι", "e"), ("ει", "i"), ("οι", "i"), ("ου", "u"), ("υι", "i"),
+        # αυ/ευ: placeholder resolved to v/f by voicing context in post
+        ("αυ", "aU"), ("ευ", "eU"), ("αύ", "aU"), ("εύ", "eU"),
         # nasal+stop digraphs
         ("μπ", "b"), ("ντ", "d"), ("γκ", "ɡ"), ("γγ", "ŋɡ"),
         ("τσ", "ts"), ("τζ", "dz"),
@@ -91,27 +124,29 @@ greek = RuleG2P(
         ("ΰ", "i"),
     ],
     post=[
-        # αυ/ευ: v before voiced, f before voiceless
-        (r"a(?:υ|ύ)(?=[bdɡvðzmnlrɣ aeiou])", "av"),
-        (r"e(?:υ|ύ)(?=[bdɡvðzmnlrɣ aeiou])", "ev"),
-        (r"a(?:υ|ύ)", "af"),
-        (r"e(?:υ|ύ)", "ef"),
-        # palatalization of velars before front vowels
-        (r"k(?=[ie])", "c"),
-        (r"x(?=[ie])", "ç"),
-        (r"ɣ(?=[ie])", "ʝ"),
+        # αυ/ευ placeholder: v before voiced, f otherwise
+        (r"U(?=[bdɡvðzmnlɾrɣʝaeiou])", "v"),
+        (r"U", "f"),
+        # λι + vowel -> palatal lateral
+        (r"li(?=[aeou])", "ʎ"),
+        # νι + vowel -> palatal nasal
+        (r"ni(?=[aeou])", "ɲ"),
     ],
 )
 
 # -- Maltese --------------------------------------------------------------
+_MT_SINGLE = [
+    ("a", "a"), ("b", "b"), ("d", "d"), ("e", "ɛ"), ("f", "f"),
+    ("g", "ɡ"), ("h", ""), ("i", "i"), ("j", "j"), ("k", "k"),
+    ("l", "l"), ("m", "m"), ("n", "n"), ("o", "o"), ("p", "p"),
+    ("q", "ʔ"), ("r", "ɾ"), ("s", "s"), ("t", "t"), ("u", "u"),
+    ("v", "v"), ("w", "w"), ("x", "ʃ"), ("z", "t͡s"),
+]
 maltese = RuleG2P(
-    [
-        ("a", "a"), ("b", "b"), ("d", "d"), ("e", "ɛ"), ("f", "f"),
-        ("g", "ɡ"), ("h", ""), ("i", "i"), ("j", "j"), ("k", "k"),
-        ("l", "l"), ("m", "m"), ("n", "n"), ("o", "ɔ"), ("p", "p"),
-        ("q", "ʔ"), ("r", "r"), ("s", "s"), ("t", "t"), ("u", "u"),
-        ("v", "v"), ("w", "w"), ("x", "ʃ"), ("z", "ts"),
-        ("ċ", "tʃ"), ("ġ", "dʒ"), ("ħ", "ħ"), ("ż", "z"),
+    geminate(_MT_SINGLE)
+    + [
+        ("ċ", "t͡ʃ"), ("ġ", "d͡ʒ"), ("ħ", "ħ"), ("ż", "z"),
+        ("rr", "ɾː"),
         ("għ", ""),  # silent, typically lengthens the adjacent vowel
         ("ie", "iː"),
     ]

@@ -19,7 +19,7 @@ from typing import Dict, List
 # independent vowels
 _INDEP: Dict[str, str] = {
     "அ": "a", "ஆ": "aː", "இ": "i", "ஈ": "iː", "உ": "u", "ஊ": "uː",
-    "எ": "e", "ஏ": "eː", "ஐ": "ai", "ஒ": "o", "ஓ": "oː", "ஔ": "au",
+    "எ": "e", "ஏ": "eː", "ஐ": "aj", "ஒ": "o", "ஓ": "oː", "ஔ": "aʋ",
 }
 # consonants (inherent a added unless a vowel sign / virama follows)
 _CONS: Dict[str, str] = {
@@ -32,7 +32,7 @@ _CONS: Dict[str, str] = {
 # dependent vowel signs
 _SIGNS: Dict[str, str] = {
     "ா": "aː", "ி": "i", "ீ": "iː", "ு": "u", "ூ": "uː",
-    "ெ": "e", "ே": "eː", "ை": "ai", "ொ": "o", "ோ": "oː", "ௌ": "au",
+    "ெ": "e", "ே": "eː", "ை": "aj", "ொ": "o", "ோ": "oː", "ௌ": "aʋ",
 }
 _VIRAMA = "்"
 
@@ -92,6 +92,7 @@ def apply_sandhi(sent: str) -> str:
             if (
                 sent[i - 1] in _SONORANTS
                 and sent[i + 1] in _SONORANTS
+                and sent[i + 1] != "ː"  # geminates never voice
                 and c in _VOICEABLE
             ):
                 chars[i] = _VOICEABLE[c]

@@ -128,7 +128,7 @@ class TestG2P:
 
     def test_japanese_kana(self):
         # corpus conventions: centralized ä, lowered o̞, ん assimilation
-        assert text_to_ipa("ねこ", "ja") == "neko̞"
+        assert text_to_ipa("ねこ", "ja") == "ne̞ko̞"
         assert text_to_ipa("きょう", "ja") == "kʲo̞ɯ"
         # sokuon geminates next consonant
         out = text_to_ipa("がっこう", "ja")

@@ -99,12 +99,17 @@ def kana_to_ipa(text: str) -> str:
             geminate_next = False
         out.append(syl)
     text_out = "".join(out)
-    # corpus vowel conventions (multipa): centralized a, lowered o
-    text_out = text_out.replace("a", "ä").replace("o", "o̞")
+    # corpus vowel conventions (multipa): centralized a, lowered o/e
+    text_out = (
+        text_out.replace("a", "ä").replace("o", "o̞").replace("e", "e̞")
+    )
     # ん place assimilation
     text_out = re.sub(r"ɴ(?=[kɡ])", "ŋ", text_out)
     text_out = re.sub(r"ɴ(?=[pbm])", "m", text_out)
     text_out = re.sub(r"ɴ(?=[tdnɾ])", "n", text_out)
+    # assimilated nasal + identical nasal -> geminate
+    text_out = re.sub(r"nn", "nː", text_out)
+    text_out = re.sub(r"mm", "mː", text_out)
     return text_out
 
 

@@ -67,6 +67,11 @@ polish = RuleG2P(
         # c -> t͡s (tie-bar convention, matching Epitran's pol-Latn)
         ("c", "t͡s"), ("ć", "t͡ɕ"),
         # palatal consonant + i + vowel: i is only a palatalization mark
+        ("dzia", "d͡ʑa"), ("dzie", "d͡ʑɛ"), ("dzio", "d͡ʑɔ"),
+        ("dziu", "d͡ʑu"), ("dzią", "d͡ʑɔ̃"), ("dzię", "d͡ʑɛ̃"),
+        ("dzió", "d͡ʑu"), ("dzi", "d͡ʑi"),
+        ("kie", "kʲɛ"), ("kia", "kʲa"), ("kio", "kʲɔ"), ("kiu", "kʲu"),
+        ("gie", "ɡʲɛ"), ("gia", "ɡʲa"), ("gio", "ɡʲɔ"), ("giu", "ɡʲu"),
         ("cia", "t͡ɕa"), ("cie", "t͡ɕɛ"), ("cio", "t͡ɕɔ"), ("ciu", "t͡ɕu"),
         ("cią", "t͡ɕɔ̃"), ("cię", "t͡ɕɛ̃"), ("ció", "t͡ɕu"),
         ("sia", "ɕa"), ("sie", "ɕɛ"), ("sio", "ɕɔ"), ("siu", "ɕu"),
@@ -108,8 +113,9 @@ greek = RuleG2P(
         ("λ", "l"), ("μ", "m"), ("ν", "n"), ("ξ", "ks"), ("ο", "o"),
         ("π", "p"), ("ρ", "ɾ"), ("σ", "s"), ("ς", "s"), ("τ", "t"),
         ("υ", "i"), ("φ", "f"), ("χ", "x"), ("ψ", "ps"), ("ω", "o"),
-        # digraph vowels
+        # digraph vowels (plain and accented second letters)
         ("αι", "e"), ("ει", "i"), ("οι", "i"), ("ου", "u"), ("υι", "i"),
+        ("αί", "e"), ("εί", "i"), ("οί", "i"), ("ού", "u"), ("υί", "i"),
         # αυ/ευ: placeholder resolved to v/f by voicing context in post
         ("αυ", "aU"), ("ευ", "eU"), ("αύ", "aU"), ("εύ", "eU"),
         # nasal+stop digraphs
@@ -127,10 +133,15 @@ greek = RuleG2P(
         # αυ/ευ placeholder: v before voiced, f otherwise
         (r"U(?=[bdɡvðzmnlɾrɣʝaeiou])", "v"),
         (r"U", "f"),
-        # λι + vowel -> palatal lateral
+        # velar fricatives palatalize before front vowels (corpus keeps
+        # stops k/x unpalatalized but fricatives γ/χ become ʝ/ç)
+        (r"ɣ(?=[ie])", "ʝ"),
+        (r"x(?=[ie])", "ç"),
+        # λι/νι + vowel -> palatals
         (r"li(?=[aeou])", "ʎ"),
-        # νι + vowel -> palatal nasal
         (r"ni(?=[aeou])", "ɲ"),
+        # ʝi + vowel: the i is absorbed (γιο -> ʝo)
+        (r"ʝi(?=[aeou])", "ʝ"),
     ],
 )
 

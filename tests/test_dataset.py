@@ -216,3 +216,109 @@ class TestJSONL:
         ds = create_data_loader(jsonl, n_mels=80)
         assert len(ds) == len(entries)
         assert ds[0]["ipa_text"] == entries[0]["ipa_transcription"]
+
+
+class TestTokenTruncation:
+    def test_overlong_transcript_truncated_with_eot(self, dataset):
+        """A transcript tokenizing past max_token_len must be truncated
+        (keeping the final EOT) instead of overrunning n_text_ctx and
+        aborting the run (ADVICE r1)."""
+        import copy
+
+        ds = copy.copy(dataset)
+        ds.data = copy.deepcopy(dataset.data)
+        ds.max_token_len = 16
+        ds._truncation_warned = False
+        ds.data[0]["ipa_transcription"] = "aɪ " * 200  # tokenizes way past 16
+        batch = ds.get_batch([0, 1])
+        assert batch["tokens"].shape[1] <= 16
+        row = batch["tokens"][0]
+        assert row[-1] == ds.tokenizer.eot
+        assert tuple(row[:4]) == ds.tokenizer.sot_sequence_including_notimestamps
+
+
+class TestScheduleLogging:
+    def test_logged_lr_matches_schedule(self, dataset_json, tmp_path):
+        """training_log.csv must record schedule(step), not the static lr,
+        when warmup/decay is active (VERDICT r1 weak #4)."""
+        import csv as _csv
+        from dataclasses import replace
+
+        import whisper_ipa_tpu.config as config_mod
+        from whisper_ipa_tpu.train.loop import train
+        from whisper_ipa_tpu.train.optimizer import make_schedule
+
+        config_mod.CONFIGS["test-micro-lr"] = replace(
+            config_mod.CONFIGS["test-tiny"], name="test-micro-lr"
+        )
+        out = str(tmp_path / "run")
+        lr, steps, warmup = 1e-3, 3, 2
+        train(
+            model_name="test-micro-lr",
+            train_data_path=dataset_json,
+            test_data_path=dataset_json,
+            output_dir=out,
+            num_steps=steps,
+            batch_size=2,
+            learning_rate=lr,
+            warmup_steps=warmup,
+            lr_decay="cosine",
+            validate_every=0,
+            save_every=0,
+            data_parallel=False,
+            final_validate=False,
+        )
+        schedule = make_schedule(
+            lr, warmup_steps=warmup, decay="cosine", total_steps=steps
+        )
+        with open(os.path.join(out, "training_log.csv")) as f:
+            rows = list(_csv.reader(f))
+        header, body = rows[0], rows[1:]
+        step_i, lr_i = header.index("step"), header.index("lr")
+        assert body  # steps 1..3 all log (step <= 5 fast path)
+        for row in body:
+            step = int(row[step_i])
+            assert float(row[lr_i]) == pytest.approx(
+                float(schedule(step)), rel=1e-2
+            )
+        # warmup actually varies the lr: first and last logged differ
+        assert float(body[0][lr_i]) != float(body[-1][lr_i])
+
+
+class TestEmergencySaveDonation:
+    def test_handler_survives_unsaveable_state(self, dataset_json, tmp_path,
+                                               monkeypatch):
+        """If the emergency save itself fails (donated buffers deleted),
+        train() must report and stop — not raise out of the handler
+        (ADVICE r1: loop.py emergency checkpoint)."""
+        from dataclasses import replace
+
+        import whisper_ipa_tpu.config as config_mod
+        import whisper_ipa_tpu.train.loop as loop_mod
+
+        config_mod.CONFIGS["test-micro-don"] = replace(
+            config_mod.CONFIGS["test-tiny"], name="test-micro-don"
+        )
+
+        def exploding_step(*args, **kwargs):
+            raise RuntimeError("injected failure")
+
+        def exploding_save(*args, **kwargs):
+            raise RuntimeError("Array has been deleted")
+
+        monkeypatch.setattr(loop_mod, "train_step", exploding_step)
+        monkeypatch.setattr(loop_mod, "save_checkpoint", exploding_save)
+        out = str(tmp_path / "run")
+        summary = loop_mod.train(
+            model_name="test-micro-don",
+            train_data_path=dataset_json,
+            test_data_path=dataset_json,
+            output_dir=out,
+            num_steps=5,
+            batch_size=2,
+            validate_every=0,
+            save_every=0,
+            data_parallel=False,
+            final_validate=False,
+        )
+        assert summary is not None  # loop exited cleanly via the handler

@@ -346,3 +346,147 @@ class TestBeamPatience:
         for r in patient:
             assert np.isfinite(r.avg_logprob)
             assert all(t != tok.eot for t in r.tokens)
+
+
+class TestTimestampRulesUnit:
+    """Direct checks of the shared timestamp grammar (Whisper's
+    ApplyTimestampRules semantics, reference mlx_whisper decoding)."""
+
+    def _apply(self, tok, step, prev, prev2, last_ts):
+        import jax.numpy as jnp
+
+        from whisper_ipa_tpu.decode.decoding import apply_timestamp_rules
+
+        V = CFG.n_vocab
+        return np.asarray(
+            apply_timestamp_rules(
+                jnp.zeros((1, V)),
+                jnp.arange(V),
+                step,
+                jnp.asarray([prev]),
+                jnp.asarray([prev2]),
+                jnp.asarray([last_ts]),
+                eot=tok.eot,
+                timestamp_begin=tok.timestamp_begin,
+                max_initial_ts_index=50,
+            )
+        )[0]
+
+    def test_equality_allowed_after_lone_timestamp(self, tok):
+        tb = tok.timestamp_begin
+        ts5 = tb + 5
+        # lone segment-opening timestamp: the closing one may equal it
+        out = self._apply(tok, 3, prev=ts5, prev2=100, last_ts=ts5)
+        assert out[ts5] > -np.inf
+        assert out[ts5 - 1] == -np.inf
+
+    def test_strictly_greater_after_text(self, tok):
+        tb = tok.timestamp_begin
+        ts5 = tb + 5
+        # text emitted since the last timestamp: strictly greater required
+        out = self._apply(tok, 5, prev=100, prev2=101, last_ts=ts5)
+        assert out[ts5] == -np.inf
+        assert out[ts5 + 1] > -np.inf
+
+    def test_no_constraint_before_any_timestamp(self, tok):
+        tb = tok.timestamp_begin
+        # sentinel last_ts = timestamp_begin - 1: 0.00 stays allowed
+        out = self._apply(tok, 2, prev=100, prev2=101, last_ts=tb - 1)
+        assert out[tb] > -np.inf
+
+    def test_pair_then_text_only(self, tok):
+        tb = tok.timestamp_begin
+        out = self._apply(tok, 4, prev=tb + 7, prev2=tb + 7, last_ts=tb + 7)
+        assert np.all(out[tb:] == -np.inf)
+
+    def test_lone_timestamp_suppresses_text(self, tok):
+        tb = tok.timestamp_begin
+        out = self._apply(tok, 4, prev=tb + 7, prev2=100, last_ts=tb + 7)
+        assert out[100] == -np.inf  # text suppressed
+        assert out[tb + 7] > -np.inf  # equal closing timestamp allowed
+        # NOTE: with uniform logits the ts-dominance rule also masks EOT
+        # (Whisper masks [:timestamp_begin], which includes EOT)
+
+
+class TestTimestampBeam:
+    def test_beam_obeys_timestamp_grammar(self, params, mel, tok):
+        """Beam decode with timestamps applies the same grammar as greedy
+        (initial window, pairing, monotonicity) — ADVICE r1 medium."""
+        results = decode(
+            params,
+            CFG,
+            mel,
+            DecodingOptions(
+                language="en", without_timestamps=False, sample_len=10,
+                beam_size=3,
+            ),
+            tokenizer=tok,
+        )
+        for r in results:
+            assert len(r.tokens) >= 1
+            assert r.tokens[0] >= tok.timestamp_begin
+            assert r.tokens[0] <= tok.timestamp_begin + 50
+            ts = [t for t in r.tokens if t >= tok.timestamp_begin]
+            assert ts == sorted(ts)
+            # pairing: after a lone timestamp only timestamps (or EOT) may
+            # follow; after a closed pair, text must follow
+            last_was = pen_was = False
+            for t in r.tokens:
+                is_ts = t >= tok.timestamp_begin
+                if last_was and pen_was:
+                    assert not is_ts
+                if last_was and not pen_was:
+                    assert is_ts
+                pen_was, last_was = last_was, is_ts
+            # beam now reports a real no_speech_prob (was hardcoded 0.0)
+            assert 0.0 < r.no_speech_prob < 1.0
+
+
+class TestSeededSampling:
+    def test_seed_controls_draws(self, params, mel, tok):
+        """Same seed reproduces; different seeds resample at the same
+        temperature (VERDICT r1 weak #5)."""
+        common = dict(
+            language="en", without_timestamps=True, sample_len=8,
+            temperature=1.0,
+        )
+        toks = lambda rs: [r.tokens for r in rs]  # noqa: E731
+        a = decode(params, CFG, mel, DecodingOptions(**common, seed=0),
+                   tokenizer=tok)
+        b = decode(params, CFG, mel, DecodingOptions(**common, seed=0),
+                   tokenizer=tok)
+        c = decode(params, CFG, mel, DecodingOptions(**common, seed=7),
+                   tokenizer=tok)
+        assert toks(a) == toks(b)
+        assert toks(a) != toks(c)
+
+
+class TestPromptNoSpeech:
+    def test_no_speech_prob_with_prompt(self, params, mel, tok):
+        """With a conditioning prompt, SOT is not at prefix position 0;
+        no_speech_prob must still come from the SOT position."""
+        results = decode(
+            params,
+            CFG,
+            mel,
+            DecodingOptions(
+                language="en", without_timestamps=True, sample_len=6,
+                prompt=[11, 22, 33],
+            ),
+            tokenizer=tok,
+        )
+        no_prompt = decode(
+            params,
+            CFG,
+            mel,
+            DecodingOptions(
+                language="en", without_timestamps=True, sample_len=6,
+            ),
+            tokenizer=tok,
+        )
+        for r in results:
+            assert 0.0 < r.no_speech_prob < 1.0
+        # the SOT logits are conditioned on the prompt, so the value should
+        # differ from the promptless read (it would match position-0 reads
+        # only by coincidence)
+        assert results[0].no_speech_prob != no_prompt[0].no_speech_prob

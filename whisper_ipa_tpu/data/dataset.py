@@ -40,12 +40,17 @@ class IPADataset:
         n_mels: int = 80,
         mel_cache_dir: Optional[str] = None,
         num_workers: int = 0,
+        max_token_len: int = 448,
     ):
         self.json_path = json_path
         self.tokenizer = tokenizer
         self.n_mels = n_mels
         self.mel_cache_dir = mel_cache_dir
         self.num_workers = num_workers
+        # hard cap = n_text_ctx: longer rows would overrun the decoder's
+        # positional embedding and abort the training run
+        self.max_token_len = max_token_len
+        self._truncation_warned = False
         self._pool = None
         if mel_cache_dir:
             os.makedirs(mel_cache_dir, exist_ok=True)
@@ -108,6 +113,18 @@ class IPADataset:
             tokens = list(self.tokenizer.sot_sequence_including_notimestamps)
             tokens.extend(self.tokenizer.encode(text))
             tokens.append(self.tokenizer.eot)
+            if len(tokens) > self.max_token_len:
+                # keep the final EOT so the loss mask stays well-formed
+                tokens = tokens[: self.max_token_len - 1] + [
+                    self.tokenizer.eot
+                ]
+                if not self._truncation_warned:
+                    self._truncation_warned = True
+                    print(
+                        "Warning: transcript exceeded "
+                        f"{self.max_token_len} tokens and was truncated "
+                        "(further truncations not reported)"
+                    )
             tokenized.append(tokens)
         max_len = max(len(t) for t in tokenized)
         eot = self.tokenizer.eot

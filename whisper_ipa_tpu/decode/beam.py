@@ -31,6 +31,7 @@ from ..models.whisper import DecoderCache, decode_step, init_cache
 from .decoding import (
     DecodingOptions,
     DecodingResult,
+    apply_timestamp_rules,
     compression_ratio,
     sequence_score,
 )
@@ -52,6 +53,10 @@ def _gnmt_penalty(length, length_penalty):
         "n_pool",
         "has_length_penalty",
         "length_penalty_value",
+        "timestamp_rules",
+        "timestamp_begin",
+        "max_initial_ts_index",
+        "sot_index",
     ),
 )
 def _beam_decode_jit(
@@ -68,6 +73,10 @@ def _beam_decode_jit(
     n_pool: int,
     has_length_penalty: bool,
     length_penalty_value: float,
+    timestamp_rules: bool = False,
+    timestamp_begin: int = 50364,
+    max_initial_ts_index: int = 50,
+    sot_index: int = 0,
 ):
     B = audio_features.shape[0]
     K = beam_size
@@ -76,16 +85,52 @@ def _beam_decode_jit(
     lp_arg = length_penalty_value if has_length_penalty else None
     neg_inf = jnp.float32(-jnp.inf)
     V = cfg.n_vocab
+    vocab_idx = jnp.arange(V)
+
+    def ts_filter(logits, step, prev_tok, prev2_tok, last_ts):
+        """Timestamp grammar over (..., V) logits (static no-op if off)."""
+        if not timestamp_rules:
+            return logits
+        return apply_timestamp_rules(
+            logits,
+            vocab_idx,
+            step,
+            prev_tok,
+            prev2_tok,
+            last_ts,
+            eot=eot,
+            timestamp_begin=timestamp_begin,
+            max_initial_ts_index=max_initial_ts_index,
+        )
 
     # prefix pass at batch B, then tile cache across beams -> batch B*K
     cache = init_cache(params, cfg, audio_features, max_len=max_len)
     prefix_logits, cache = decode_step(params, cfg, prefix_tokens, cache, 0)
     cache = DecoderCache(*[jnp.repeat(x, K, axis=1) for x in cache])
+    sot_logits = prefix_logits[:, sot_index]  # for no_speech_prob
 
     # first expansion: top-K tokens from the prefix logits
     logits0 = prefix_logits[:, -1] + suppress_mask + blank_mask  # (B, V)
+    logits0 = ts_filter(
+        logits0,
+        jnp.array(0, jnp.int32),
+        prefix_tokens[:, -1].astype(jnp.int32),
+        (
+            prefix_tokens[:, -2] if n_prefix >= 2 else prefix_tokens[:, -1]
+        ).astype(jnp.int32),
+        jnp.full((B,), timestamp_begin - 1, jnp.int32),
+    )
     logprobs0 = jax.nn.log_softmax(logits0, axis=-1)
     top_lp, top_tok = jax.lax.top_k(logprobs0, K)  # (B, K)
+
+    # per-beam timestamp-grammar state
+    prev_tok = top_tok.astype(jnp.int32)  # (B, K)
+    prev2_tok = jnp.tile(
+        prefix_tokens[:, -1:].astype(jnp.int32), (1, K)
+    )  # (B, K)
+    last_ts = jnp.where(
+        prev_tok >= timestamp_begin, prev_tok, timestamp_begin - 1
+    )
 
     tokens_buf = jnp.full((B, K, max_len), eot, jnp.int32)
     tokens_buf = jax.lax.dynamic_update_slice(
@@ -142,9 +187,17 @@ def _beam_decode_jit(
             pool_sums,
             pool_lens,
             pool_tokens,
+            prev_tok,
+            prev2_tok,
+            last_ts,
         ) = state
 
-        lp = jax.nn.log_softmax(logits + suppress_mask, axis=-1)  # (B,K,V)
+        # step 0 of this loop is the SECOND sampled position (the first was
+        # the top-K expansion above), hence step + 1 for the grammar
+        filtered = ts_filter(
+            logits + suppress_mask, step + 1, prev_tok, prev2_tok, last_ts
+        )
+        lp = jax.nn.log_softmax(filtered, axis=-1)  # (B,K,V)
         cand_lp, cand_tok = jax.lax.top_k(lp, C)  # (B, K, C)
         cand_scores = sum_logprobs[:, :, None] + cand_lp
         flat_scores = cand_scores.reshape(B, K * C)
@@ -194,6 +247,17 @@ def _beam_decode_jit(
 
         cache = DecoderCache(*[gather_cache(x) for x in cache])
 
+        # timestamp-grammar state follows the beam reorder: the parent's
+        # last token becomes prev2, the new token becomes prev
+        prev2_tok = jnp.einsum(
+            "bjk,bk->bj", onehot, prev_tok.astype(jnp.float32)
+        ).astype(jnp.int32)
+        last_ts = jnp.einsum(
+            "bjk,bk->bj", onehot, last_ts.astype(jnp.float32)
+        ).astype(jnp.int32)
+        prev_tok = new_tok
+        last_ts = jnp.where(new_tok >= timestamp_begin, new_tok, last_ts)
+
         pos = n_prefix + step + 1
         tokens_buf = jax.lax.dynamic_update_slice(
             tokens_buf, new_tok[:, :, None], (0, 0, pos)
@@ -216,6 +280,9 @@ def _beam_decode_jit(
             pool_sums,
             pool_lens,
             pool_tokens,
+            prev_tok,
+            prev2_tok,
+            last_ts,
         )
 
     def cond(state):
@@ -237,6 +304,9 @@ def _beam_decode_jit(
         pool_sums,
         pool_lens,
         pool_tokens,
+        prev_tok,
+        prev2_tok,
+        last_ts,
     )
     out = jax.lax.while_loop(cond, body, state)
     (
@@ -250,6 +320,9 @@ def _beam_decode_jit(
         pool_sums,
         pool_lens,
         pool_tokens,
+        _,
+        _,
+        _,
     ) = out
     return (
         tokens_buf,
@@ -259,6 +332,7 @@ def _beam_decode_jit(
         pool_sums,
         pool_lens,
         pool_tokens,
+        sot_logits,
     )
 
 
@@ -272,6 +346,9 @@ def beam_decode(
     suppress_mask,
     blank_mask,
     prefix_tokens=None,
+    sot_index: int = 0,
+    max_initial_ts_index: int = 50,
+    detected_langs: Optional[List[str]] = None,
 ) -> List[DecodingResult]:
     B = audio_features.shape[0]
     n_prefix = len(prefix)
@@ -299,6 +376,7 @@ def beam_decode(
         pool_sums,
         pool_lens,
         pool_tokens,
+        sot_logits,
     ) = _beam_decode_jit(
         params,
         cfg,
@@ -313,8 +391,15 @@ def beam_decode(
         n_pool,
         options.length_penalty is not None,
         float(options.length_penalty or 0.0),
+        timestamp_rules=not options.without_timestamps,
+        timestamp_begin=tokenizer.timestamp_begin,
+        max_initial_ts_index=max_initial_ts_index,
+        sot_index=sot_index,
     )
 
+    no_speech_probs = np.asarray(
+        jax.nn.softmax(sot_logits, axis=-1)[:, tokenizer.no_speech]
+    )
     tokens_np = np.asarray(tokens_buf)
     sums_np = np.asarray(sum_logprobs)
     pool_scores_np = np.asarray(pool_scores)
@@ -355,10 +440,14 @@ def beam_decode(
                 tokens=seq,
                 text=text,
                 avg_logprob=total_lp / (length + 1),
-                no_speech_prob=0.0,
+                no_speech_prob=float(no_speech_probs[b]),
                 temperature=options.temperature,
                 compression_ratio=compression_ratio(text),
-                language=options.language or tokenizer.language,
+                language=(
+                    detected_langs[b]
+                    if detected_langs
+                    else options.language or tokenizer.language
+                ),
             )
         )
     return results

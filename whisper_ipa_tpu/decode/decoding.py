@@ -45,6 +45,9 @@ class DecodingOptions:
     without_timestamps: bool = False
     max_initial_timestamp: Optional[float] = 1.0
     fp16: bool = False
+    # extension over the reference surface: seed for temperature sampling /
+    # best_of draws (the reference's sampler is globally seeded by torch/mlx)
+    seed: int = 0
 
 
 @dataclass
@@ -203,6 +206,74 @@ def sequence_score(
     return sum_logprob / penalty
 
 
+# -- timestamp grammar (shared by greedy and beam loops) --------------------
+
+def apply_timestamp_rules(
+    logits,
+    vocab_idx,
+    step,
+    prev_tok,
+    prev2_tok,
+    last_ts,
+    *,
+    eot: int,
+    timestamp_begin: int,
+    max_initial_ts_index: int,
+):
+    """Whisper's ApplyTimestampRules, batched over any leading dims.
+
+    ``logits``: (..., V); ``prev_tok``/``prev2_tok``/``last_ts``: (...,);
+    ``step``: scalar (0 = first sampled position). Rules (reference:
+    mlx_whisper.decoding.ApplyTimestampRules, applied in every decode mode):
+
+    - timestamps come in pairs (except directly before EOT): after a lone
+      timestamp only timestamps/EOT may follow; after a pair only text
+    - timestamps are strictly increasing, except that the token closing a
+      lone (segment-opening) timestamp may equal it
+    - the first sampled token must be a timestamp, capped at
+      max_initial_timestamp
+    - when the total timestamp probability beats every text token, a
+      timestamp must be sampled
+
+    ``last_ts`` should be initialised to ``timestamp_begin - 1`` (sentinel:
+    no timestamp emitted yet, so no monotonicity constraint applies).
+    """
+    neg_inf = jnp.float32(-jnp.inf)
+    is_ts_vec = vocab_idx >= timestamp_begin  # (V,)
+    last_was_ts = prev_tok >= timestamp_begin
+    pen_was_ts = prev2_tok >= timestamp_begin
+
+    # pairing rules
+    suppress_ts = (last_was_ts & pen_was_ts)[..., None] & is_ts_vec
+    force_ts = (last_was_ts & ~pen_was_ts)[..., None] & ~(
+        is_ts_vec | (vocab_idx == eot)
+    )
+    logits = jnp.where(suppress_ts | force_ts, neg_inf, logits)
+
+    # monotonicity: strictly greater than the last emitted timestamp, except
+    # equality is allowed when closing a lone segment-opening timestamp
+    min_allowed = jnp.where(last_was_ts & ~pen_was_ts, last_ts, last_ts + 1)
+    logits = jnp.where(
+        is_ts_vec & (vocab_idx < min_allowed[..., None]), neg_inf, logits
+    )
+
+    # initial timestamp window
+    first_allowed = is_ts_vec & (
+        vocab_idx <= timestamp_begin + max_initial_ts_index
+    )
+    logits = jnp.where(
+        step == 0, jnp.where(first_allowed, logits, neg_inf), logits
+    )
+
+    # timestamp-probability dominance
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    ts_mass = jax.nn.logsumexp(jnp.where(is_ts_vec, lp, neg_inf), axis=-1)
+    max_text = jnp.max(jnp.where(is_ts_vec, neg_inf, lp), axis=-1)
+    dominate = (ts_mass > max_text)[..., None]
+    logits = jnp.where(dominate & ~is_ts_vec, neg_inf, logits)
+    return logits
+
+
 # -- jitted greedy/sampling loop ------------------------------------------
 
 @partial(
@@ -216,6 +287,7 @@ def sequence_score(
         "timestamp_rules",
         "timestamp_begin",
         "max_initial_ts_index",
+        "sot_index",
     ),
 )
 def _greedy_decode_jit(
@@ -234,6 +306,7 @@ def _greedy_decode_jit(
     timestamp_rules: bool = False,
     timestamp_begin: int = 50364,
     max_initial_ts_index: int = 50,
+    sot_index: int = 0,
 ):
     """Batched greedy/temperature decode under one lax.while_loop."""
     dtype = jnp.dtype(dtype_name)
@@ -245,7 +318,9 @@ def _greedy_decode_jit(
     prefix_logits, cache = decode_step(
         params, cfg, prefix_tokens, cache, 0, dtype=dtype
     )
-    sot_logits = prefix_logits[:, 0]  # logits after the SOT token
+    # logits after the SOT token — with a conditioning prompt the prefix is
+    # [sot_prev, *prompt, *sot_sequence], so SOT is not at position 0
+    sot_logits = prefix_logits[:, sot_index]
 
     last_logits = prefix_logits[:, -1]
 
@@ -254,76 +329,22 @@ def _greedy_decode_jit(
         tokens_buf, prefix_tokens.astype(jnp.int32), (0, 0)
     )
 
-    n_vocab = suppress_mask.shape[0]
-    vocab_idx = jnp.arange(n_vocab)
-    neg_inf = jnp.float32(-jnp.inf)
-
-    def apply_timestamp_rules(logits, step, prev_tok, prev2_tok, last_ts):
-        """Whisper's ApplyTimestampRules, vectorized over the batch.
-
-        - timestamps come in pairs (except directly before EOT): after a
-          lone timestamp only timestamps/EOT may follow; after a pair only
-          text may follow
-        - emitted timestamps are non-decreasing
-        - the first sampled token must be a timestamp, capped at
-          max_initial_timestamp
-        - when the total timestamp probability beats every text token, a
-          timestamp must be sampled
-        """
-        is_ts_vec = vocab_idx >= timestamp_begin
-        last_was_ts = prev_tok >= timestamp_begin
-        pen_was_ts = prev2_tok >= timestamp_begin
-
-        # pairing rules
-        suppress_ts_rows = last_was_ts & pen_was_ts
-        force_ts_rows = last_was_ts & ~pen_was_ts
-        allow_when_forced = is_ts_vec | (vocab_idx == eot)
-        logits = jnp.where(
-            suppress_ts_rows[:, None] & is_ts_vec[None, :], neg_inf, logits
-        )
-        logits = jnp.where(
-            force_ts_rows[:, None] & ~allow_when_forced[None, :],
-            neg_inf,
-            logits,
-        )
-
-        # monotonicity
-        logits = jnp.where(
-            is_ts_vec[None, :] & (vocab_idx[None, :] < last_ts[:, None]),
-            neg_inf,
-            logits,
-        )
-
-        # initial timestamp window
-        first_allowed = is_ts_vec & (
-            vocab_idx <= timestamp_begin + max_initial_ts_index
-        )
-        logits = jnp.where(
-            step == 0,
-            jnp.where(first_allowed[None, :], logits, neg_inf),
-            logits,
-        )
-
-        # timestamp-probability dominance
-        lp = jax.nn.log_softmax(logits, axis=-1)
-        ts_mass = jax.nn.logsumexp(
-            jnp.where(is_ts_vec[None, :], lp, neg_inf), axis=-1
-        )
-        max_text = jnp.max(
-            jnp.where(is_ts_vec[None, :], neg_inf, lp), axis=-1
-        )
-        dominate = ts_mass > max_text
-        logits = jnp.where(
-            dominate[:, None] & ~is_ts_vec[None, :], neg_inf, logits
-        )
-        return logits
+    vocab_idx = jnp.arange(suppress_mask.shape[0])
 
     def apply_filters(logits, step, prev_tok, prev2_tok, last_ts):
         logits = logits + suppress_mask
         logits = jnp.where(step == 0, logits + blank_mask, logits)
         if timestamp_rules:
             logits = apply_timestamp_rules(
-                logits, step, prev_tok, prev2_tok, last_ts
+                logits,
+                vocab_idx,
+                step,
+                prev_tok,
+                prev2_tok,
+                last_ts,
+                eot=eot,
+                timestamp_begin=timestamp_begin,
+                max_initial_ts_index=max_initial_ts_index,
             )
         return logits
 
@@ -400,7 +421,8 @@ def _greedy_decode_jit(
         prefix_tokens[:, -2].astype(jnp.int32)
         if n_prefix >= 2
         else prefix_tokens[:, -1].astype(jnp.int32),
-        jnp.full((B,), timestamp_begin, jnp.int32),
+        # sentinel: no timestamp emitted yet (see apply_timestamp_rules)
+        jnp.full((B,), timestamp_begin - 1, jnp.int32),
     )
     out_state = jax.lax.while_loop(cond, body, state)
     tokens_buf = out_state[1]
@@ -448,6 +470,9 @@ def decode(
 
     prefix = initial_tokens(tokenizer, options)
     n_prefix = len(prefix)
+    # position of SOT in the prefix: no_speech_prob is read from the logits
+    # at the SOT position, which shifts when a conditioning prompt is present
+    sot_index = prefix.index(tokenizer.sot)
     B = audio_features.shape[0]
     prefix_tokens = jnp.tile(
         jnp.asarray(prefix, jnp.int32)[None, :], (B, 1)
@@ -478,6 +503,12 @@ def decode(
         else jnp.zeros((cfg.n_vocab,), jnp.float32)
     )
 
+    max_initial_ts_index = (
+        int(options.max_initial_timestamp / 0.02)
+        if options.max_initial_timestamp is not None
+        else N_TIMESTAMPS - 1
+    )
+
     if options.beam_size is not None:
         from .beam import beam_decode
 
@@ -491,6 +522,9 @@ def decode(
             suppress_mask,
             blank_mask,
             prefix_tokens=prefix_tokens,  # carries detected languages
+            sot_index=sot_index,
+            max_initial_ts_index=max_initial_ts_index,
+            detected_langs=detected_langs,
         )
 
     # best_of: at temperature > 0, sample n independent candidates per
@@ -516,15 +550,12 @@ def decode(
         n_prefix,
         int(sample_len),
         float(options.temperature),
-        jax.random.PRNGKey(0),
+        jax.random.PRNGKey(options.seed),
         dtype_name=jnp.dtype(dtype).name,
         timestamp_rules=not options.without_timestamps,
         timestamp_begin=tokenizer.timestamp_begin,
-        max_initial_ts_index=(
-            int(options.max_initial_timestamp / 0.02)
-            if options.max_initial_timestamp is not None
-            else N_TIMESTAMPS - 1
-        ),
+        max_initial_ts_index=max_initial_ts_index,
+        sot_index=sot_index,
     )
 
     tokens_np = np.asarray(tokens_buf)

@@ -183,14 +183,19 @@ def train(
         decay=lr_decay,
         total_steps=num_steps,
     )
+    use_schedule = bool(warmup_steps) or lr_decay != "constant"
     state, tx = create_train_state(
         params,
         learning_rate=learning_rate,
         freeze_encoder=True,
-        schedule=schedule if (warmup_steps or lr_decay != "constant") else None,
+        schedule=schedule if use_schedule else None,
         accum_steps=accum_steps,
         mu_dtype=mu_dtype,
     )
+
+    def lr_at(s: int) -> float:
+        """The lr actually applied at step s (schedule-aware logging)."""
+        return float(schedule(s)) if use_schedule else learning_rate
 
     if resume:
         ckpt = latest_checkpoint(output_dir)
@@ -293,7 +298,7 @@ def train(
                     logger.log_train_step(
                         step,
                         loss_val,
-                        learning_rate,
+                        lr_at(step),
                         step_time,
                         batch_size,
                         time.time() - start_time,
@@ -332,15 +337,29 @@ def train(
 
                 print(f"\nError at step {step}: {e}")
                 traceback.print_exc()
-                save_checkpoint(
-                    state,
-                    step,
-                    float(latest_loss) if latest_loss is not None else None,
-                    output_dir,
-                    logger=logger,
-                    start_time=start_time,
-                    learning_rate=learning_rate,
-                )
+                try:
+                    save_checkpoint(
+                        state,
+                        step,
+                        float(latest_loss)
+                        if latest_loss is not None
+                        else None,
+                        output_dir,
+                        logger=logger,
+                        start_time=start_time,
+                        learning_rate=learning_rate,
+                    )
+                except Exception as save_err:
+                    # train_step donates its input TrainState: if the step
+                    # itself failed after dispatch, those buffers no longer
+                    # exist on device and cannot be saved — fall back to the
+                    # last periodic checkpoint instead of raising a second
+                    # exception out of the handler
+                    print(
+                        f"Emergency checkpoint failed ({save_err}); the "
+                        "failed step's input buffers were donated. Resume "
+                        f"from the latest periodic checkpoint in {output_dir}"
+                    )
                 break
     finally:
         loader.close()

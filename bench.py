@@ -2,49 +2,51 @@
 
 Measures the full on-device pipeline — log-mel frontend (matmul-DFT), encoder
 forward, and a KV-cached greedy decode of 64 tokens per 30 s utterance, in
-bfloat16 — and reports audio-seconds processed per wall-clock second per chip.
-EOT is suppressed so every utterance decodes the full 64 tokens (worst-case,
-no early-exit inflation).
+bfloat16 — and reports audio-seconds processed per wall-clock second per chip,
+plus MFU (achieved FLOP/s over the chip's bf16 peak) from the analytic FLOP
+model in whisper_ipa_tpu/utils/flops.py.
+
+Weights are random-init (no pretrained weights are available offline): token
+QUALITY is meaningless here, but RTF/MFU are exact — the compute graph is
+identical to a trained checkpoint's and EOT is suppressed so every utterance
+decodes the full 64 tokens (worst-case, no early-exit inflation).
 
 Baseline: the driver-set north star of 10x real-time per chip for
 whisper-small inference (BASELINE.md "North-star"); vs_baseline = RTF / 10.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu", ...}.
+Usage: python bench.py [--batch N] [--sweep] [--sample-len N]
 """
 
+import argparse
 import json
 import sys
 import time
 
 import numpy as np
 
+# best single-chip RTF point from the batch sweep (see docs/PERF.md):
+# 16: 1079x/7.5% MFU, 32: 1242x/8.6%, 64: 889x, 128: 1253x/8.7% (2026-08-16)
+HEADLINE_BATCH = 128
+SAMPLE_LEN = 64
 
-def main():
-    import os
 
+def bench_point(batch, sample_len, iters=5):
     import jax
-
-    # persistent compilation cache: later runs skip the long XLA compiles
-    cache_dir = os.path.expanduser("~/.cache/whisper_ipa_tpu_xla")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
-
     import jax.numpy as jnp
 
     from whisper_ipa_tpu.audio import N_SAMPLES
-    from whisper_ipa_tpu.ops import log_mel_spectrogram_pallas
     from whisper_ipa_tpu.config import get_config
     from whisper_ipa_tpu.decode import DecodingOptions, decode
     from whisper_ipa_tpu.models import init_params
+    from whisper_ipa_tpu.ops import log_mel_spectrogram_pallas
     from whisper_ipa_tpu.tokenizer import get_tokenizer
+    from whisper_ipa_tpu.utils.flops import inference_flops, peak_flops
 
     cfg = get_config("small")
     params = init_params(cfg, seed=0)
     tokenizer = get_tokenizer(multilingual=True, language="en")
 
-    batch = 32
-    sample_len = 64
     rng = np.random.default_rng(0)
     audio = rng.standard_normal((batch, N_SAMPLES)).astype(np.float32) * 0.1
     audio = jnp.asarray(audio)
@@ -64,15 +66,12 @@ def main():
 
     def run():
         mel = mel_fn(audio)
-        results = decode(params, cfg, mel, options, tokenizer=tokenizer)
-        return results
+        return decode(params, cfg, mel, options, tokenizer=tokenizer)
 
-    # warmup/compile
     t0 = time.time()
     run()
     compile_time = time.time() - t0
 
-    iters = 5
     t0 = time.time()
     for _ in range(iters):
         run()
@@ -81,20 +80,78 @@ def main():
     audio_seconds = batch * 30.0 * iters
     rtf = audio_seconds / elapsed
 
+    flops = inference_flops(cfg, sample_len) * batch * iters
+    achieved = flops / elapsed
+    peak = peak_flops(jax.devices()[0].device_kind)
+    mfu = achieved / peak if peak else None
+
+    return {
+        "rtf": rtf,
+        "mfu": mfu,
+        "achieved_tflops": achieved / 1e12,
+        "elapsed": elapsed,
+        "compile_time": compile_time,
+        "batch": batch,
+        "device": jax.devices()[0].device_kind,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=HEADLINE_BATCH)
+    ap.add_argument("--sample-len", type=int, default=SAMPLE_LEN)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument(
+        "--sweep", action="store_true",
+        help="sweep batch sizes and report each point (stderr)",
+    )
+    args = ap.parse_args()
+
+    import os
+
+    import jax
+
+    # persistent compilation cache: later runs skip the long XLA compiles
+    cache_dir = os.path.expanduser("~/.cache/whisper_ipa_tpu_xla")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+    if args.sweep:
+        best = None
+        for batch in (16, 32, 64, 128):
+            r = bench_point(batch, args.sample_len, args.iters)
+            print(
+                f"# batch={batch}: RTF={r['rtf']:.1f}x "
+                f"MFU={100 * (r['mfu'] or 0):.1f}% "
+                f"({r['achieved_tflops']:.1f} TFLOP/s) "
+                f"elapsed={r['elapsed']:.2f}s compile={r['compile_time']:.0f}s",
+                file=sys.stderr,
+            )
+            if best is None or r["rtf"] > best["rtf"]:
+                best = r
+        r = best
+    else:
+        r = bench_point(args.batch, args.sample_len, args.iters)
+
     print(
         json.dumps(
             {
                 "metric": "whisper-small inference RTF (audio-sec/sec/chip)",
-                "value": round(rtf, 2),
+                "value": round(r["rtf"], 2),
                 "unit": "x realtime",
-                "vs_baseline": round(rtf / 10.0, 3),
+                "vs_baseline": round(r["rtf"] / 10.0, 3),
+                "mfu": round(r["mfu"], 4) if r["mfu"] is not None else None,
+                "achieved_tflops": round(r["achieved_tflops"], 2),
+                "batch": r["batch"],
+                "note": "random-init weights: RTF/MFU exact, tokens meaningless",
             }
         )
     )
     print(
-        f"# batch={batch} sample_len={sample_len} iters={iters} "
-        f"elapsed={elapsed:.2f}s compile={compile_time:.1f}s "
-        f"device={jax.devices()[0].device_kind}",
+        f"# batch={r['batch']} sample_len={args.sample_len} "
+        f"iters={args.iters} elapsed={r['elapsed']:.2f}s "
+        f"compile={r['compile_time']:.1f}s device={r['device']}",
         file=sys.stderr,
     )
 

@@ -157,6 +157,17 @@ def main(argv=None):
             batch_size=args.batch_size,
         )
 
+    import os as _os
+
+    from ..tokenizer import get_tokenizer as _get_tokenizer
+    from ..train.checkpoints import check_vocab_provenance
+
+    if _os.path.isdir(args.checkpoint):
+        check_vocab_provenance(
+            args.checkpoint,
+            _get_tokenizer(multilingual=cfg.multilingual),
+            strict=True,
+        )
     trained_params, n_loaded = load_checkpoint_model(
         args.checkpoint, base_params
     )

@@ -75,6 +75,11 @@ class WhisperTokenizer:
     num_languages: int = 99
     language: Optional[str] = "en"
     task: str = "transcribe"
+    # which vocabulary produced these ids: "tiktoken:<sha256[:12]>" for a
+    # real rank file, "byte-fallback" otherwise. Stamped into checkpoints so
+    # models trained on one vocabulary are never silently evaluated with
+    # another (their text-token ids are incompatible).
+    provenance: str = "byte-fallback"
 
     special_tokens: Dict[str, int] = field(default_factory=dict)
 
@@ -245,11 +250,17 @@ def get_tokenizer(
     """
     path = _find_ranks_file(ranks_path)
     if path is not None:
+        import hashlib
+
         ranks = load_tiktoken_ranks(path)
         n_base = max(ranks.values()) + 1
+        with open(path, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()[:12]
+        provenance = f"tiktoken:{digest}"
     else:
         ranks = byte_level_ranks()
         n_base = 50257 if multilingual else 50256
+        provenance = "byte-fallback"
     if not multilingual:
         language = None
         task = "transcribe"
@@ -259,4 +270,5 @@ def get_tokenizer(
         num_languages=num_languages,
         language=language,
         task=task,
+        provenance=provenance,
     )

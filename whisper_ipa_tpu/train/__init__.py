@@ -2,6 +2,7 @@ from .checkpoints import (
     latest_checkpoint,
     restore_checkpoint,
     save_best_checkpoint,
+    check_vocab_provenance,
     save_checkpoint,
 )
 from .logger import (
@@ -34,6 +35,7 @@ __all__ = [
     "masked_cross_entropy",
     "restore_checkpoint",
     "save_best_checkpoint",
+    "check_vocab_provenance",
     "save_checkpoint",
     "save_training_config",
     "train",

@@ -68,6 +68,7 @@ def save_checkpoint(
     start_time: Optional[float] = None,
     learning_rate: Optional[float] = None,
     save_opt_state: bool = True,
+    vocab_provenance: Optional[str] = None,
 ) -> str:
     """Write checkpoint-{step}/ with weights, metadata, and opt state."""
     checkpoint_dir = os.path.join(output_dir, f"checkpoint-{step}")
@@ -92,6 +93,8 @@ def save_checkpoint(
         meta["best_pfer_step"] = logger.best_pfer_step
         meta["latest_val_per"] = logger.latest_val_per
         meta["latest_val_pfer"] = logger.latest_val_pfer
+    if vocab_provenance is not None:
+        meta["vocab_provenance"] = vocab_provenance
     meta["timestamp"] = datetime.now().isoformat()
     with open(os.path.join(checkpoint_dir, "training_state.json"), "w") as f:
         json.dump(meta, f, indent=2)
@@ -221,3 +224,37 @@ def restore_checkpoint(
         TrainState(step=step, params=params, opt_state=opt_state),
         meta,
     )
+
+
+def check_vocab_provenance(
+    checkpoint_dir: str, tokenizer, strict: bool = True
+) -> Optional[str]:
+    """Refuse to mix a checkpoint with a different vocabulary.
+
+    Reads ``vocab_provenance`` from the checkpoint's training_state.json and
+    compares it to ``tokenizer.provenance``. A checkpoint trained on real
+    tiktoken ranks decodes garbage through the byte-fallback vocabulary (and
+    vice versa): text-token ids differ even though the special-token layout
+    matches. Returns the checkpoint's provenance (None if unstamped — old
+    checkpoints predate the stamp and are let through with a warning).
+    """
+    meta_path = os.path.join(checkpoint_dir, "training_state.json")
+    if not os.path.isfile(meta_path):
+        return None
+    with open(meta_path) as f:
+        meta = json.load(f)
+    stamped = meta.get("vocab_provenance")
+    if stamped is None:
+        return None
+    current = getattr(tokenizer, "provenance", None)
+    if current is not None and stamped != current:
+        msg = (
+            f"checkpoint {checkpoint_dir} was trained with vocabulary "
+            f"{stamped!r} but the active tokenizer is {current!r}; text "
+            "token ids are incompatible. Point WHISPER_IPA_TPU_TIKTOKEN at "
+            "the matching rank file (or pass strict=False to override)."
+        )
+        if strict:
+            raise ValueError(msg)
+        print(f"Warning: {msg}")
+    return stamped

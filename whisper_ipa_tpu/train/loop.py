@@ -24,6 +24,7 @@ from ..models import init_params, load_safetensors_flat, params_from_flat
 from ..models.whisper import count_parameters
 from ..parallel.mesh import make_mesh, shard_batch
 from .checkpoints import (
+    check_vocab_provenance,
     latest_checkpoint,
     restore_checkpoint,
     save_best_checkpoint,
@@ -197,10 +198,12 @@ def train(
         """The lr actually applied at step s (schedule-aware logging)."""
         return float(schedule(s)) if use_schedule else learning_rate
 
+    resumed_ckpt = None
     if resume:
         ckpt = latest_checkpoint(output_dir)
         if ckpt:
             state, meta = restore_checkpoint(ckpt, state)
+            resumed_ckpt = ckpt
             print(f"Resumed from {ckpt} at step {int(state.step)}")
 
     mesh = make_mesh() if data_parallel else None
@@ -221,6 +224,9 @@ def train(
         test_data_path, n_mels=n_mels, mel_cache_dir=mel_cache_dir
     )
     tokenizer = train_dataset.tokenizer
+    if resumed_ckpt:
+        # refuse to continue a run whose checkpoints used a different vocab
+        check_vocab_provenance(resumed_ckpt, tokenizer, strict=True)
 
     if test_run:
         print("\nTEST RUN MODE: Using only 100 training samples")
@@ -328,6 +334,7 @@ def train(
                         logger=logger,
                         start_time=start_time,
                         learning_rate=learning_rate,
+                        vocab_provenance=tokenizer.provenance,
                     )
             except Exception as e:
                 # reference behavior: report and stop the loop, but also
@@ -348,6 +355,7 @@ def train(
                         logger=logger,
                         start_time=start_time,
                         learning_rate=learning_rate,
+                        vocab_provenance=tokenizer.provenance,
                     )
                 except Exception as save_err:
                     # train_step donates its input TrainState: if the step
@@ -393,6 +401,7 @@ def train(
             logger=logger,
             start_time=start_time,
             learning_rate=learning_rate,
+            vocab_provenance=tokenizer.provenance,
         )
         total_time = time.time() - start_time
         import json

@@ -33,8 +33,12 @@ _IDX = {name: i for i, name in enumerate(FEATURE_NAMES)}
 
 # -- consonant description space -----------------------------------------
 
-# place classes
-_CORONAL_PLACES = {"dental", "alveolar", "postalveolar", "retroflex", "alveolopalatal"}
+# place classes. Palatals are coronal-dorsal complexes in the Hayes/panphon
+# system (+cor, -ant, +distr, +hi) — see docs/PARITY.md "feature table".
+_CORONAL_PLACES = {
+    "dental", "alveolar", "postalveolar", "retroflex", "alveolopalatal",
+    "palatal",
+}
 _LABIAL_PLACES = {"bilabial", "labiodental", "labiovelar"}
 _DORSAL_HI = {"palatal", "velar", "labiovelar", "alveolopalatal"}
 _DORSAL_BACK = {"velar", "uvular", "pharyngeal", "labiovelar"}
@@ -74,13 +78,17 @@ def _consonant_vector(
     s("sg", 1 if sym in ("h", "ɦ", "ʍ") and place == "glottal" or sym in ("h", "ɦ") else -1)
     s("cg", 1 if sym == "ʔ" or manner == "implosive" else -1)
 
+    # [anterior]/[distributed] are coronal-dependent in the Hayes/panphon
+    # system: non-coronals (labials included) get 0, not ±
     if place in _CORONAL_PLACES:
         s("cor", 1)
         s("ant", 1 if place in ("dental", "alveolar") else -1)
-        s("distr", 1 if place in ("dental", "postalveolar", "alveolopalatal") else -1)
+        s("distr", 1 if place in (
+            "dental", "postalveolar", "alveolopalatal", "palatal"
+        ) else -1)
     else:
         s("cor", -1)
-        s("ant", 1 if place in _LABIAL_PLACES else 0)
+        s("ant", 0)
         s("distr", 0)
 
     s("lab", 1 if place in _LABIAL_PLACES or rounded else -1)
@@ -114,7 +122,7 @@ def _vowel_vector(
     s("delrel", -1)
     s("lat", -1)
     s("nas", -1)
-    s("strid", 0)
+    s("strid", -1)  # panphon marks vowels -strid, not 0
     s("voi", 1)
     s("sg", -1)
     s("cg", -1)
@@ -321,6 +329,8 @@ _DIACRITICS: Dict[str, Dict[str, int]] = {
     "̰": {"cg": 1},               # creaky voiced
     "̪": {"ant": 1, "distr": 1},  # dental
     "̺": {"distr": -1},           # apical
+    "̞": {"tense": -1},           # lowered (true-mid e̞ o̞ are lax)
+    "̈": {"back": 0},             # centralized (ä: front -> central)
     "ʼ": {"cg": 1},               # ejective
     "́": {"hitone": 1, "hireg": 1},    # high tone
     "̀": {"hitone": -1, "hireg": -1},  # low tone
@@ -360,6 +370,18 @@ def phone_to_vector(phone: str) -> Optional[np.ndarray]:
             }.get(joined)
             if single is not None:
                 return _BASE_TABLE[single].copy()
+            # other affricates (t͡ʂ, d͡ʐ, ...): the fricative part carries
+            # place/stridency/voicing; the stop part contributes -cont,
+            # +delrel (panphon's affricate composition)
+            if len(parts) == 2 and parts[1][:1] in _BASE_TABLE:
+                v = _BASE_TABLE[parts[1][:1]].copy()
+                v[_IDX["cont"]] = -1
+                v[_IDX["delrel"]] = 1
+                for m in phone[phone.index(tie) + 1 :]:
+                    if m in _DIACRITICS:
+                        for feat, val in _DIACRITICS[m].items():
+                            v[_IDX[feat]] = val
+                return v
             base = _BASE_TABLE.get(parts[0][:1])
             if base is not None:
                 v = base.copy()

@@ -234,3 +234,123 @@ class TestMappingCSVLoader:
         # longest match: sz -> s beats s -> ʃ
         assert conv("sza") == "sɑ"
         assert conv("sa") == "ʃɑ"
+
+
+class TestXlsxRoundTrip:
+    def test_write_read(self, tmp_path):
+        from whisper_ipa_tpu.utils.xlsx import read_xlsx, write_xlsx
+
+        rows = [
+            ["ID", "IPA", "Elapsed Time (sec)"],
+            [1.0, "kæt", 12.5],
+            [2.0, "tʰiː ʌ ə̥", None],
+            [None, None, None],
+            [3.0, "?", 0.0],
+        ]
+        path = str(tmp_path / "annot.xlsx")
+        write_xlsx(path, rows)
+        back = read_xlsx(path)
+        assert back[0] == rows[0]
+        assert back[1] == [1.0, "kæt", 12.5]
+        assert back[2][1] == "tʰiː ʌ ə̥"  # unicode + spaces preserved
+        assert back[4] == [3.0, "?", 0.0]
+
+    def test_records_header_mapping(self, tmp_path):
+        from whisper_ipa_tpu.utils.xlsx import read_xlsx_records, write_xlsx
+
+        path = str(tmp_path / "r.xlsx")
+        write_xlsx(path, [["ID", "IPA"], [7.0, "ba"]])
+        recs = read_xlsx_records(path)
+        assert recs == [{"ID": 7.0, "IPA": "ba"}]
+
+
+class TestZeroshotPipelineEndToEnd:
+    """Full Excel -> cross-reference -> IAA path on synthetic annotators
+    with a hand-computed agreement value (VERDICT r1 next-step 6). Only the
+    data swap (real annotator sheets) remains for the 19.6% oracle."""
+
+    def _make_inputs(self, tmp_path):
+        import wave
+
+        import numpy as np
+
+        from whisper_ipa_tpu.utils.xlsx import write_xlsx
+
+        # annotator sheets: id 41 is in BOTH poor-quality sets -> excluded
+        # from usable_for_iaa; ids 1..4 usable; id 5 only one annotator
+        ariga = [
+            ["ID", "IPA", "Elapsed Time (sec)"],
+            [1.0, "ta", 10.0],
+            [2.0, "ta", 11.0],
+            [3.0, "pa", 12.0],
+            [4.0, "tata", 13.0],
+            [5.0, "ka", 9.0],
+            [41.0, "ma", 8.0],
+        ]
+        hama = [
+            ["ID", "IPA", "Elapsed Time (sec)"],
+            [1.0, "ta", 20.0],
+            [2.0, "da", 21.0],  # voicing-only substitution vs ariga
+            [3.0, "pa", 22.0],
+            [4.0, "tata", 23.0],
+            [41.0, "na", 18.0],
+        ]
+        a_path = tmp_path / "ariga.xlsx"
+        h_path = tmp_path / "hamanishi.xlsx"
+        write_xlsx(str(a_path), ariga)
+        write_xlsx(str(h_path), hama)
+
+        csv_path = tmp_path / "test_data.csv"
+        csv_path.write_text(
+            "ID,IPA,Done\n1,ta,1\n2,ta,1\n3,pa,1\n4,tata,1\n5,ka,1\n41,ma,1\n"
+        )
+
+        wav_dir = tmp_path / "wavs"
+        wav_dir.mkdir()
+        for i in (1, 2, 3, 4, 5, 41):
+            with wave.open(str(wav_dir / f"{i}_abc.wav"), "w") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes(np.zeros(160, np.int16).tobytes())
+        return a_path, h_path, csv_path, wav_dir
+
+    def test_full_pipeline_hand_computed_iaa(self, tmp_path):
+        from whisper_ipa_tpu.data.prep.zeroshot import (
+            build_zeroshot_json,
+            compute_iaa,
+        )
+
+        a_path, h_path, csv_path, wav_dir = self._make_inputs(tmp_path)
+        out_path = tmp_path / "zeroshot_test.json"
+        entries = build_zeroshot_json(
+            a_path, h_path, csv_path, wav_dir, out_path
+        )
+
+        by_id = {e["id"]: e for e in entries}
+        # cross-reference: ariga matches test csv on ids 1,3,4,5,41 (5),
+        # hamanishi on 1,3,4 (3) -> ariga is the gold annotator
+        assert entries[0]["gold_annotator"] == "ariga"
+        assert by_id[2]["gold_ipa"] == "ta"
+        # id 41: both annotated but poor-quality on both sides -> unusable
+        assert by_id[41]["has_both_annotators"]
+        assert not by_id[41]["usable_for_iaa"]
+        # id 5: single annotator -> not usable
+        assert not by_id[5]["usable_for_iaa"]
+        # wav cross-ref resolved
+        assert by_id[1]["audio_path"].endswith("1_abc.wav")
+
+        iaa = compute_iaa(out_path)
+        assert iaa["num_pairs"] == 4  # ids 1..4
+        # hand-computed: pairs (ta,ta), (ta,da), (pa,pa), (tata,tata)
+        # PER: one substitution over 2 phones in pair 2 -> 50%; mean 12.5%
+        assert iaa["ariga_ref"]["per"] == pytest.approx(12.5)
+        # PFER-Hamming: t vs d differs ONLY in [voi] -> (1/24)/2 segments
+        # *100 = 2.0833% for pair 2; mean over 4 pairs = 0.5208%
+        assert iaa["ariga_ref"]["pfer_hamming"] == pytest.approx(
+            100 * (1 / 24) / 2 / 4, abs=1e-6
+        )
+        # symmetric for this data
+        assert iaa["hamanishi_ref"]["pfer_hamming"] == pytest.approx(
+            iaa["ariga_ref"]["pfer_hamming"], abs=1e-9
+        )

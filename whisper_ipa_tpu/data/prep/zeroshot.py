@@ -40,26 +40,45 @@ def normalize_ipa(text) -> Optional[str]:
     return text
 
 
+def _read_excel_records(path: Path) -> list:
+    """Sheet rows as {column: value} dicts.
+
+    Prefers pandas+openpyxl (the reference's reader); falls back to the
+    first-party minimal XLSX parser in utils/xlsx.py when openpyxl is not
+    installed, so the zero-shot pipeline runs in dependency-free images.
+    """
+    try:
+        import pandas as pd
+
+        df = pd.read_excel(path, engine="openpyxl")
+        return df.to_dict("records")
+    except ImportError:
+        from ...utils.xlsx import read_xlsx_records
+
+        return read_xlsx_records(str(path))
+
+
 def parse_annotator_excel(path: Path, poor_quality_ids: Set[int]) -> Dict[int, Dict]:
     """Excel sheet -> {id: {ipa, poor_quality, elapsed_time}}."""
-    import pandas as pd
 
-    df = pd.read_excel(path, engine="openpyxl")
+    def _isna(v) -> bool:
+        return v is None or (isinstance(v, float) and v != v)
+
     entries: Dict[int, Dict] = {}
-    for _, row in df.iterrows():
+    for row in _read_excel_records(path):
         raw_id = row.get("ID")
-        if pd.isna(raw_id):
+        if _isna(raw_id):
             continue
         try:
             entry_id = int(raw_id)
         except (ValueError, TypeError):
             continue
         ipa = normalize_ipa(
-            str(row.get("IPA")) if pd.notna(row.get("IPA")) else None
+            str(row.get("IPA")) if not _isna(row.get("IPA")) else None
         )
         elapsed = row.get("Elapsed Time (sec)")
         try:
-            elapsed = float(elapsed) if pd.notna(elapsed) else None
+            elapsed = float(elapsed) if not _isna(elapsed) else None
         except (ValueError, TypeError):
             elapsed = None
         entries[entry_id] = {

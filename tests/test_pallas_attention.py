@@ -45,3 +45,49 @@ def test_padded_keys_ignored():
     )
     ref = reference_attention(q, k, v)
     assert np.max(np.abs(out - ref)) < 2e-5
+
+
+class TestFusedAttentionVJP:
+    def test_grad_matches_xla_path(self):
+        """fused_attention is differentiable (custom VJP recomputes through
+        XLA) — the bf16 train step hits this since fused became AUTO."""
+        import jax
+        import jax.numpy as jnp
+
+        from whisper_ipa_tpu.ops.attention import (
+            _xla_attention,
+            fused_attention,
+        )
+
+        rng = np.random.default_rng(0)
+        q, k, v = [
+            jnp.asarray(rng.standard_normal((1, 2, 128, 8)).astype(np.float32))
+            for _ in range(3)
+        ]
+        f = lambda q, k, v: jnp.sum(fused_attention(q, k, v, True) ** 2)  # noqa: E731
+        g = lambda q, k, v: jnp.sum(_xla_attention(q, k, v) ** 2)  # noqa: E731
+        ga = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        gb = jax.grad(g, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(ga, gb):
+            assert float(jnp.max(jnp.abs(a - b))) < 1e-5
+
+    def test_grad_under_stop_gradient(self):
+        """stop_gradient over the fused output must not error (the frozen-
+        encoder regime that broke on TPU before the custom VJP)."""
+        import jax
+        import jax.numpy as jnp
+
+        from whisper_ipa_tpu.ops.attention import fused_attention
+
+        rng = np.random.default_rng(1)
+        q, k, v = [
+            jnp.asarray(rng.standard_normal((1, 1, 128, 8)).astype(np.float32))
+            for _ in range(3)
+        ]
+
+        def loss(q):
+            out = jax.lax.stop_gradient(fused_attention(q, k, v, True))
+            return jnp.sum(out * 0.0) + jnp.sum(q)
+
+        g = jax.grad(loss)(q)
+        assert g.shape == q.shape

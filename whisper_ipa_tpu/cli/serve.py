@@ -1,7 +1,9 @@
 """CLI: HTTP transcription server over the micro-batching service.
 
 POST /transcribe with a WAV body (or JSON {"path": ...}) returns
-{"text", "segments", "latency_sec"}. GET /healthz and /stats for ops.
+{"text", "segments", "latency_sec"}. POST /transcribe_stream streams
+NDJSON: one {"partial": ...} line per decoded 30 s window as it completes,
+then a final {"final": ...} line. GET /healthz and /stats for ops.
 
   python -m whisper_ipa_tpu.cli.serve --model small --port 8080 \
       --checkpoint checkpoints/whisper-ipa/best-checkpoint
@@ -9,6 +11,7 @@ POST /transcribe with a WAV body (or JSON {"path": ...}) returns
 
 import argparse
 import json
+import queue
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
@@ -30,26 +33,57 @@ def make_handler(service):
             else:
                 self._send(404, {"error": "not found"})
 
+        def _read_audio(self, body):
+            if self.headers.get("Content-Type", "").startswith(
+                "application/json"
+            ):
+                return json.loads(body)["path"]
+            from ..audio import load_audio_bytes
+
+            return load_audio_bytes(body)
+
         def do_POST(self):
-            if self.path != "/transcribe":
+            if self.path not in ("/transcribe", "/transcribe_stream"):
                 self._send(404, {"error": "not found"})
                 return
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length)
             try:
-                if self.headers.get("Content-Type", "").startswith(
-                    "application/json"
-                ):
-                    req = json.loads(body)
-                    result = service.transcribe(req["path"])
-                else:
-                    from ..audio import load_audio_bytes
+                audio = self._read_audio(body)
+                if self.path == "/transcribe":
+                    self._send(200, service.transcribe(audio))
+                    return
+                # streaming: NDJSON over chunked transfer — one line per
+                # decoded 30 s window, then the final result
+                partials: "queue.Queue" = queue.Queue()
+                fut = service.submit(audio, on_partial=partials.put)
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-ndjson")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
 
-                    audio = load_audio_bytes(body)
-                    result = service.transcribe(audio)
-                self._send(200, result)
+                def write_chunk(obj):
+                    data = (
+                        json.dumps(obj, ensure_ascii=False) + "\n"
+                    ).encode()
+                    self.wfile.write(f"{len(data):X}\r\n".encode())
+                    self.wfile.write(data + b"\r\n")
+                    self.wfile.flush()
+
+                while True:
+                    if fut.done() and partials.empty():
+                        break
+                    try:
+                        write_chunk({"partial": partials.get(timeout=0.05)})
+                    except queue.Empty:
+                        continue
+                write_chunk({"final": fut.result()})
+                self.wfile.write(b"0\r\n\r\n")
             except Exception as e:
-                self._send(500, {"error": str(e)})
+                try:
+                    self._send(500, {"error": str(e)})
+                except Exception:
+                    pass  # headers may already be sent mid-stream
 
         def log_message(self, fmt, *args):  # quiet by default
             pass

@@ -56,12 +56,43 @@ def _attn_kernel(kv_len: int, q_ref, k_ref, v_ref, out_ref):
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+def _xla_attention(q, k, v):
+    """Reference unfused path (used for the backward pass)."""
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
 def fused_attention(q, k, v, interpret: bool = False):
     """(B, H, Tq, Dh) x (B, H, Tk, Dh) -> (B, H, Tq, Dh), no mask.
 
     q and k must already carry the attention scale.
+
+    Differentiable: the forward pass runs the Pallas kernel; the backward
+    pass recomputes attention through the XLA path and takes its VJP
+    (flash-style recompute — the (T, T) probabilities are materialized only
+    inside the backward pass, and not at all under stop_gradient, e.g. the
+    frozen-encoder training regime).
     """
+    return _fused_attention_impl(q, k, v, interpret)
+
+
+def _fused_attention_fwd(q, k, v, interpret):
+    return _fused_attention_impl(q, k, v, interpret), (q, k, v)
+
+
+def _fused_attention_bwd(interpret, residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(_xla_attention, q, k, v)
+    return vjp(g)
+
+
+fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _fused_attention_impl(q, k, v, interpret: bool = False):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

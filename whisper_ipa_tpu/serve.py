@@ -17,7 +17,7 @@ import threading
 import time
 from concurrent.futures import Future
 from dataclasses import dataclass
-from typing import List, Optional, Union
+from typing import Callable, List, Optional, Union
 
 import numpy as np
 
@@ -32,6 +32,10 @@ class _Request:
     chunks: List[np.ndarray]  # 30 s windows of one utterance
     future: Future
     submitted_at: float
+    # called from the scheduler thread once per decoded window with
+    # {"window", "n_windows", "text", "partial_text"} — must be fast and
+    # thread-safe (e.g. queue.put); used for streaming partial results
+    on_partial: Optional[Callable[[dict], None]] = None
 
 
 class TranscriptionService:
@@ -76,8 +80,16 @@ class TranscriptionService:
 
     # -- client API -------------------------------------------------------
 
-    def submit(self, audio: Union[str, np.ndarray]) -> Future:
-        """Submit audio (path or waveform); resolves to {"text", ...}."""
+    def submit(
+        self,
+        audio: Union[str, np.ndarray],
+        on_partial: Optional[Callable[[dict], None]] = None,
+    ) -> Future:
+        """Submit audio (path or waveform); resolves to {"text", ...}.
+
+        on_partial: optional callback streaming one dict per decoded 30 s
+        window (incremental hypotheses) before the future resolves.
+        """
         if isinstance(audio, str):
             audio = load_audio(audio)
         audio = np.asarray(audio, np.float32)
@@ -86,7 +98,7 @@ class TranscriptionService:
             for s in range(0, max(len(audio), 1), N_SAMPLES)
         ]
         fut: Future = Future()
-        self._queue.put(_Request(chunks, fut, time.time()))
+        self._queue.put(_Request(chunks, fut, time.time(), on_partial))
         self._stats["requests"] += 1
         return fut
 
@@ -162,7 +174,25 @@ class TranscriptionService:
                     self._stats["batches"] += 1
                     self._stats["windows"] += n_real
                     for k in range(n_real):
-                        results_per_req[group_owners[k]].append(results[k])
+                        owner = group_owners[k]
+                        results_per_req[owner].append(results[k])
+                        req = batch[owner]
+                        if req.on_partial is not None:
+                            done = results_per_req[owner]
+                            try:
+                                req.on_partial(
+                                    {
+                                        "window": len(done) - 1,
+                                        "n_windows": len(req.chunks),
+                                        "text": results[k].text,
+                                        "partial_text": "".join(
+                                            r.text for r in done
+                                        ),
+                                    }
+                                )
+                            except Exception:
+                                pass  # a slow/broken consumer must not
+                                # stall the batch pipeline
 
                 for req, res in zip(batch, results_per_req):
                     text = "".join(r.text for r in res)

@@ -57,6 +57,7 @@ def _gnmt_penalty(length, length_penalty):
         "timestamp_begin",
         "max_initial_ts_index",
         "sot_index",
+        "cross_kv_int8",
     ),
 )
 def _beam_decode_jit(
@@ -77,6 +78,7 @@ def _beam_decode_jit(
     timestamp_begin: int = 50364,
     max_initial_ts_index: int = 50,
     sot_index: int = 0,
+    cross_kv_int8: bool = False,
 ):
     B = audio_features.shape[0]
     K = beam_size
@@ -104,9 +106,14 @@ def _beam_decode_jit(
         )
 
     # prefix pass at batch B, then tile cache across beams -> batch B*K
-    cache = init_cache(params, cfg, audio_features, max_len=max_len)
+    cache = init_cache(
+        params, cfg, audio_features, max_len=max_len,
+        cross_kv_int8=cross_kv_int8,
+    )
     prefix_logits, cache = decode_step(params, cfg, prefix_tokens, cache, 0)
-    cache = DecoderCache(*[jnp.repeat(x, K, axis=1) for x in cache])
+    cache = DecoderCache(
+        *[None if x is None else jnp.repeat(x, K, axis=1) for x in cache]
+    )
     sot_logits = prefix_logits[:, sot_index]  # for no_speech_prob
 
     # first expansion: top-K tokens from the prefix logits
@@ -245,7 +252,13 @@ def _beam_decode_jit(
             xs = jnp.einsum("bjk,lbkcd->lbjcd", onehot.astype(x.dtype), xs)
             return xs.reshape(x.shape)
 
-        cache = DecoderCache(*[gather_cache(x) for x in cache])
+        # only the SELF cache depends on beam history; the cross cache is
+        # identical across a sample's beams, so reordering it would be a
+        # (very expensive: B*K x 1500 x d x L bytes/step) identity gather
+        cache = cache._replace(
+            self_k=gather_cache(cache.self_k),
+            self_v=gather_cache(cache.self_v),
+        )
 
         # timestamp-grammar state follows the beam reorder: the parent's
         # last token becomes prev2, the new token becomes prev
@@ -395,6 +408,7 @@ def beam_decode(
         timestamp_begin=tokenizer.timestamp_begin,
         max_initial_ts_index=max_initial_ts_index,
         sot_index=sot_index,
+        cross_kv_int8=options.kv_int8,
     )
 
     no_speech_probs = np.asarray(

@@ -39,12 +39,19 @@ def chunk_audio(audio: np.ndarray) -> List[np.ndarray]:
 PROMPT_PAD_LEN = 64  # fixed conditioning-prompt length (bounded recompiles)
 
 
-def _fixed_length_prompt(tokens, sot_prev: int, length: int = PROMPT_PAD_LEN):
+def _fixed_length_prompt(
+    tokens, sot_prev: int, length: int = PROMPT_PAD_LEN,
+    n_text_ctx: Optional[int] = None,
+):
     """Last `length` prompt tokens, left-padded with sot_prev.
 
     A fixed prompt length keeps the jitted decode program count bounded
-    (variable-length prompts would recompile per window).
+    (variable-length prompts would recompile per window). The length is
+    capped at n_text_ctx//2 - 1 (Whisper's prompt budget) so the full
+    prefix never overruns the positional embedding on small-context models.
     """
+    if n_text_ctx is not None:
+        length = min(length, n_text_ctx // 2 - 1)
     tokens = list(tokens)[-length:]
     return [sot_prev] * (length - len(tokens)) + tokens
 
@@ -139,6 +146,11 @@ def transcribe(
             audio,
             language=language,
             tokenizer=tokenizer,
+            temperature=temperature,
+            compression_ratio_threshold=compression_ratio_threshold,
+            logprob_threshold=logprob_threshold,
+            no_speech_threshold=no_speech_threshold,
+            condition_on_previous_text=condition_on_previous_text,
             **decode_kwargs,
         )
 
@@ -164,7 +176,9 @@ def transcribe(
         prev_tokens: List[int] = []
         for i in range(len(mels)):
             prompt = (
-                _fixed_length_prompt(prev_tokens, tokenizer.sot_prev)
+                _fixed_length_prompt(
+                    prev_tokens, tokenizer.sot_prev, n_text_ctx=cfg.n_text_ctx
+                )
                 if prev_tokens
                 else None
             )
@@ -276,13 +290,22 @@ def _transcribe_sequential_timestamps(
     language: Optional[str] = "en",
     tokenizer: Optional[WhisperTokenizer] = None,
     max_windows: int = 200,
+    temperature: Union[float, tuple] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+    compression_ratio_threshold: Optional[float] = 2.4,
+    logprob_threshold: Optional[float] = -1.0,
+    no_speech_threshold: Optional[float] = 0.6,
+    condition_on_previous_text: bool = False,
     **decode_kwargs,
 ) -> dict:
     """Whisper's true long-form mode: decode WITH timestamps, advance the
     window to the last complete segment boundary (not fixed 30 s jumps).
 
-    Produces segments with model-predicted times; more faithful on speech
-    that straddles window edges than the batched fixed-window mode.
+    Faithful to mlx_whisper.transcribe's per-window loop: the temperature
+    fallback ladder runs per window (retrying when the compression-ratio or
+    logprob gate fails), silent windows (no_speech gate) advance without
+    emitting, and condition_on_previous_text threads the accumulated tokens
+    through a <|startofprev|> prompt (reset after a high-temperature
+    fallback, as Whisper does).
     """
     if tokenizer is None:
         tokenizer = get_tokenizer(
@@ -292,18 +315,75 @@ def _transcribe_sequential_timestamps(
         )
     ts_begin = tokenizer.timestamp_begin
     frame_sec = 0.02
+    temperatures = (
+        (temperature,)
+        if isinstance(temperature, (int, float))
+        else tuple(temperature)
+    )
+
+    def decode_window(mel, prompt):
+        """Temperature ladder for one window (Whisper's fallback rule)."""
+        r = None
+        for t in temperatures:
+            options = DecodingOptions(
+                language=language,
+                without_timestamps=False,
+                temperature=t,
+                prompt=prompt if t <= 0.5 else None,
+                **decode_kwargs,
+            )
+            r = decode(params, cfg, mel, options, tokenizer=tokenizer)[0]
+            ok = True
+            if (
+                compression_ratio_threshold is not None
+                and r.compression_ratio > compression_ratio_threshold
+            ):
+                ok = False
+            if (
+                logprob_threshold is not None
+                and r.avg_logprob < logprob_threshold
+            ):
+                ok = False
+            if ok:
+                return r
+        return r
 
     segments = []
     texts = []
     seek = 0  # in samples
     window = 0
-    options = DecodingOptions(
-        language=language, without_timestamps=False, **decode_kwargs
-    )
+    prev_tokens: List[int] = []
     while seek < len(audio) and window < max_windows:
         chunk = pad_or_trim(audio[seek : seek + N_SAMPLES])
         mel = log_mel_spectrogram(chunk, n_mels=cfg.n_mels)[None]
-        r = decode(params, cfg, mel, options, tokenizer=tokenizer)[0]
+        prompt = (
+            _fixed_length_prompt(
+                prev_tokens, tokenizer.sot_prev, n_text_ctx=cfg.n_text_ctx
+            )
+            if condition_on_previous_text and prev_tokens
+            else None
+        )
+        r = decode_window(mel, prompt)
+
+        # silent window: skip without emitting, advance a full window
+        if (
+            no_speech_threshold is not None
+            and r.no_speech_prob > no_speech_threshold
+            and (
+                logprob_threshold is None
+                or r.avg_logprob < logprob_threshold
+            )
+        ):
+            seek += N_SAMPLES
+            window += 1
+            prev_tokens = []  # do not condition across silence
+            continue
+
+        if condition_on_previous_text:
+            if r.temperature > 0.5:
+                prev_tokens = []  # Whisper: reset after a hot fallback
+            else:
+                prev_tokens = (prev_tokens + r.tokens)[-PROMPT_PAD_LEN:]
 
         # recover the raw token stream incl. timestamps
         window_segments, advance = parse_timestamp_segments(

@@ -144,6 +144,33 @@ def _fused_eligible(q, mask) -> bool:
         return False
 
 
+def multi_head_attention_int8kv(q, k_i8, k_scale, v_i8, v_scale, n_head: int):
+    """Unmasked attention with int8-quantized K/V (per-position scales).
+
+    q: (B, S, d); k_i8/v_i8: (B, T, d) int8; k_scale/v_scale: (B, T, 1)
+    float32. Used for the decode loop's cross-attention, whose K/V reads
+    dominate HBM traffic — int8 halves the bytes vs bfloat16. Scales fold
+    into the logits (K) and the probabilities (V), so the codes feed the
+    dots directly and no dequantized copy is materialized.
+    """
+    d_head = q.shape[-1] // n_head
+    qh = _split_heads(q * (d_head**-0.5), n_head)  # (B, H, S, Dh)
+    kh = _split_heads(k_i8, n_head)  # int8
+    vh = _split_heads(v_i8, n_head)
+
+    ks = k_scale[:, :, 0][:, None, None, :]  # (B, 1, 1, T)
+    vs = v_scale[:, :, 0][:, None, None, :]
+
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", qh, kh.astype(q.dtype)
+    ).astype(jnp.float32)
+    logits = logits * ks
+    w = jax.nn.softmax(logits, axis=-1)
+    w = (w * vs).astype(q.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w, vh.astype(q.dtype))
+    return _merge_heads(out)
+
+
 def multi_head_attention(
     q, k, v, n_head: int, mask: Optional[jax.Array] = None
 ):

@@ -308,12 +308,29 @@ class DecoderCache(NamedTuple):
 
     self_k/self_v: (L, B, n_ctx, d) rolling buffers for self-attention.
     cross_k/cross_v: (L, B, 1500, d) computed once per utterance.
+
+    When the cross cache is int8-quantized (cross_kv_int8), cross_k/cross_v
+    hold int8 codes and cross_k_scale/cross_v_scale hold the per-position
+    float32 scales (L, B, 1500, 1). Cross-K/V reads dominate the decode
+    loop's HBM traffic (they scale with batch x 1500 x d x layers), so
+    halving their width is the main decode-bandwidth lever.
     """
 
     self_k: jax.Array
     self_v: jax.Array
     cross_k: jax.Array
     cross_v: jax.Array
+    cross_k_scale: Optional[jax.Array] = None
+    cross_v_scale: Optional[jax.Array] = None
+
+
+def _quantize_kv_rows(x):
+    """Symmetric int8 per-position quantization: (..., T, d) -> codes+scale."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    codes = jnp.round(xf / scale).astype(jnp.int8)
+    return codes, scale
 
 
 def init_cache(
@@ -322,6 +339,7 @@ def init_cache(
     audio_features,
     max_len: Optional[int] = None,
     dtype=jnp.float32,
+    cross_kv_int8: bool = False,
 ) -> DecoderCache:
     """Allocate self-attn buffers and precompute cross-attn K/V per layer."""
     B = audio_features.shape[0]
@@ -337,11 +355,17 @@ def init_cache(
     cross_v = jax.vmap(lambda p: linear(audio_features, p))(
         stacked["cross_attn"]["value"]
     )
+    k_scale = v_scale = None
+    if cross_kv_int8:
+        cross_k, k_scale = _quantize_kv_rows(cross_k)
+        cross_v, v_scale = _quantize_kv_rows(cross_v)
     return DecoderCache(
         self_k=jnp.zeros((L, B, n_ctx, d), dtype),
         self_v=jnp.zeros((L, B, n_ctx, d), dtype),
         cross_k=cross_k,
         cross_v=cross_v,
+        cross_k_scale=k_scale,
+        cross_v_scale=v_scale,
     )
 
 
@@ -373,12 +397,12 @@ def decode_step(
     query_idx = pos + jnp.arange(S)[:, None]
     mask = jnp.where(key_idx <= query_idx, 0.0, -jnp.inf).astype(jnp.float32)
 
-    from .layers import multi_head_attention
+    from .layers import multi_head_attention, multi_head_attention_int8kv
 
     stacked = _stack_blocks(dec["blocks"])
 
     def body(x, inp):
-        block, k_cache, v_cache, xk, xv = inp
+        block, k_cache, v_cache, xk, xv, k_scale, v_scale = inp
         xn = layer_norm(x, block["attn_ln"])
         q = linear(xn, block["attn"]["query"])
         k_new = linear(xn, block["attn"]["key"])
@@ -395,14 +419,29 @@ def decode_step(
 
         xn = layer_norm(x, block["cross_attn_ln"])
         qc = linear(xn, block["cross_attn"]["query"])
-        h = multi_head_attention(qc, xk, xv, cfg.n_text_head)
+        if k_scale is not None:
+            h = multi_head_attention_int8kv(
+                qc, xk, k_scale, xv, v_scale, cfg.n_text_head
+            )
+        else:
+            h = multi_head_attention(qc, xk, xv, cfg.n_text_head)
         x = x + linear(h, block["cross_attn"]["out"])
 
         x = x + mlp_block(layer_norm(x, block["mlp_ln"]), block)
         return x, (k_buf, v_buf)
 
     x, (new_self_k, new_self_v) = jax.lax.scan(
-        body, x, (stacked, cache.self_k, cache.self_v, cache.cross_k, cache.cross_v)
+        body,
+        x,
+        (
+            stacked,
+            cache.self_k,
+            cache.self_v,
+            cache.cross_k,
+            cache.cross_v,
+            cache.cross_k_scale,
+            cache.cross_v_scale,
+        ),
     )
 
     x = layer_norm(x, dec["ln"])

@@ -135,9 +135,12 @@ class TestG2P:
         assert "kk" in out
         assert text_to_ipa("しんぶん", "ja") == "ɕimbɯɴ"  # m before b
 
-    def test_japanese_kanji_skipped(self):
+    def test_japanese_uncovered_kanji_skipped(self):
+        # 日本 is now in the built-in reading table; an uncovered rare
+        # kanji still raises so the pipeline skips the sentence
+        assert text_to_ipa("日本", "ja")  # covered word converts
         with pytest.raises(ValueError):
-            text_to_ipa("日本", "ja")
+            text_to_ipa("薔薇", "ja")
 
     def test_tamil(self):
         # அம்மா 'mother': m geminate + long a
@@ -354,3 +357,36 @@ class TestZeroshotPipelineEndToEnd:
         assert iaa["hamanishi_ref"]["pfer_hamming"] == pytest.approx(
             iaa["ariga_ref"]["pfer_hamming"], abs=1e-9
         )
+
+
+class TestKanjiG2P:
+    def test_common_words_convert(self):
+        from whisper_ipa_tpu.data.prep.g2p.japanese import (
+            kana_to_ipa,
+            kanji_to_kana,
+        )
+
+        assert kanji_to_kana("今日はいい天気です") == "きょうはいいてんきです"
+        assert kanji_to_kana("水を飲みます") == "みずをのみます"
+        # longest match: 日本語 beats 日本 + 語
+        assert kanji_to_kana("日本語") == "にほんご"
+        ipa = kana_to_ipa("私は学生です")
+        assert ipa and all(0x4E00 > ord(c) or ord(c) > 0x9FFF for c in ipa)
+
+    def test_uncovered_kanji_still_raises(self):
+        from whisper_ipa_tpu.data.prep.g2p.japanese import kana_to_ipa
+
+        with pytest.raises(ValueError, match="kanji"):
+            kana_to_ipa("薔薇")
+
+    def test_external_dictionary_env(self, tmp_path, monkeypatch):
+        import whisper_ipa_tpu.data.prep.g2p.japanese as jm
+
+        d = tmp_path / "kdict.tsv"
+        d.write_text("薔薇\tばら\n", encoding="utf-8")
+        monkeypatch.setenv("WHISPER_IPA_TPU_KANJI_DICT", str(d))
+        monkeypatch.setattr(jm, "_kanji_dict_loaded", False)
+        assert "bäɾä" in jm.kana_to_ipa("薔薇")
+        # clean up the injected entry for other tests
+        jm.KANJI_READINGS.pop("薔薇", None)
+        jm._kanji_dict_loaded = False

@@ -59,9 +59,169 @@ def remove_ja_punct(text: str) -> str:
     return re.sub(r"[、。・「」『』！？!?,.\s]+", " ", text).strip()
 
 
+# -- kanji readings ---------------------------------------------------------
+# Built-in common-word reading table (longest-match-first). This is a small
+# high-frequency subset — numbers, days, pronouns, frequent nouns/verb stems
+# — NOT a full dictionary; sentences with uncovered kanji still raise so the
+# preprocessing pipeline can skip them (reference delegated kanji to an
+# external G2P repo not in the snapshot). A full dictionary (e.g. derived
+# offline from UniDic) can be supplied as a TSV "word<TAB>kana" file via
+# WHISPER_IPA_TPU_KANJI_DICT.
+KANJI_READINGS = {
+    # multi-kanji words first (longest match wins)
+    "日本語": "にほんご", "日本人": "にほんじん", "日本": "にほん",
+    "今日": "きょう", "明日": "あした", "昨日": "きのう", "毎日": "まいにち",
+    "今年": "ことし", "去年": "きょねん", "来年": "らいねん",
+    "今朝": "けさ", "今晩": "こんばん", "午前": "ごぜん", "午後": "ごご",
+    "時間": "じかん", "時計": "とけい", "天気": "てんき", "電話": "でんわ",
+    "電車": "でんしゃ", "自転車": "じてんしゃ", "自動車": "じどうしゃ",
+    "学校": "がっこう", "学生": "がくせい", "先生": "せんせい",
+    "大学": "だいがく", "会社": "かいしゃ", "仕事": "しごと",
+    "家族": "かぞく", "友達": "ともだち", "子供": "こども",
+    "女性": "じょせい", "男性": "だんせい", "一人": "ひとり",
+    "二人": "ふたり", "三人": "さんにん", "大人": "おとな",
+    "一つ": "ひとつ", "二つ": "ふたつ", "三つ": "みっつ",
+    "一番": "いちばん", "一緒": "いっしょ", "全部": "ぜんぶ",
+    "大丈夫": "だいじょうぶ", "本当": "ほんとう", "今度": "こんど",
+    "世界": "せかい", "問題": "もんだい", "質問": "しつもん",
+    "言葉": "ことば", "名前": "なまえ", "場所": "ばしょ",
+    "部屋": "へや", "写真": "しゃしん", "映画": "えいが",
+    "音楽": "おんがく", "料理": "りょうり", "買い物": "かいもの",
+    "飛行機": "ひこうき", "新聞": "しんぶん", "図書館": "としょかん",
+    "病院": "びょういん", "銀行": "ぎんこう", "駅": "えき",
+    "月曜日": "げつようび", "火曜日": "かようび", "水曜日": "すいようび",
+    "木曜日": "もくようび", "金曜日": "きんようび", "土曜日": "どようび",
+    "日曜日": "にちようび", "誕生日": "たんじょうび",
+    "お願い": "おねがい", "お金": "おかね", "お茶": "おちゃ",
+    "お風呂": "おふろ", "元気": "げんき", "好き": "すき",
+    "嫌い": "きらい", "上手": "じょうず", "下手": "へた",
+    "有名": "ゆうめい", "簡単": "かんたん", "便利": "べんり",
+    "静か": "しずか", "綺麗": "きれい", "面白": "おもしろ",
+    "難し": "むずかし", "新し": "あたらし", "古い": "ふるい",
+    "大き": "おおき", "小さ": "ちいさ", "高い": "たかい",
+    "安い": "やすい", "早い": "はやい", "速い": "はやい",
+    "遅い": "おそい", "近い": "ちかい", "遠い": "とおい",
+    "多い": "おおい", "少な": "すくな", "少し": "すこし",
+    "食べ": "たべ", "飲み": "のみ", "飲ん": "のん",
+    "行き": "いき", "行っ": "いっ", "行く": "いく",
+    "来る": "くる", "来て": "きて", "来た": "きた", "来ま": "きま",
+    "帰り": "かえり", "帰っ": "かえっ", "帰る": "かえる",
+    "見え": "みえ", "見せ": "みせ", "見る": "みる", "見て": "みて",
+    "見た": "みた", "見ま": "みま", "聞い": "きい", "聞き": "きき",
+    "聞く": "きく", "話し": "はなし", "話す": "はなす",
+    "読み": "よみ", "読む": "よむ", "読ん": "よん",
+    "書い": "かい", "書き": "かき", "書く": "かく",
+    "買い": "かい", "買っ": "かっ", "買う": "かう",
+    "使い": "つかい", "使っ": "つかっ", "使う": "つかう",
+    "作り": "つくり", "作っ": "つくっ", "作る": "つくる",
+    "思い": "おもい", "思っ": "おもっ", "思う": "おもう",
+    "言い": "いい", "言っ": "いっ", "言う": "いう", "言わ": "いわ",
+    "知り": "しり", "知っ": "しっ", "知ら": "しら",
+    "分かり": "わかり", "分かっ": "わかっ", "分かる": "わかる",
+    "出来": "でき", "出し": "だし", "出る": "でる", "出て": "でて",
+    "入り": "はいり", "入っ": "はいっ", "入れ": "いれ",
+    "待っ": "まっ", "待ち": "まち", "持っ": "もっ", "持ち": "もち",
+    "歩い": "あるい", "歩き": "あるき", "走り": "はしり", "走っ": "はしっ",
+    "泳ぎ": "およぎ", "働い": "はたらい", "働き": "はたらき",
+    "勉強": "べんきょう", "旅行": "りょこう", "散歩": "さんぽ",
+    "練習": "れんしゅう", "結婚": "けっこん", "生活": "せいかつ",
+    "意味": "いみ", "気持ち": "きもち", "気分": "きぶん",
+    # single kanji (common kun readings) — last resort after word matches
+    "一": "いち", "二": "に", "三": "さん", "四": "よん", "五": "ご",
+    "六": "ろく", "七": "なな", "八": "はち", "九": "きゅう", "十": "じゅう",
+    "百": "ひゃく", "千": "せん", "万": "まん", "円": "えん",
+    "人": "ひと", "日": "ひ", "月": "つき", "年": "とし", "時": "とき",
+    "分": "ふん", "今": "いま", "先": "さき", "前": "まえ", "後": "あと",
+    "上": "うえ", "下": "した", "中": "なか", "外": "そと", "間": "あいだ",
+    "右": "みぎ", "左": "ひだり", "北": "きた", "南": "みなみ",
+    "東": "ひがし", "西": "にし", "山": "やま", "川": "かわ",
+    "海": "うみ", "空": "そら", "雨": "あめ", "雪": "ゆき", "風": "かぜ",
+    "火": "ひ", "水": "みず", "木": "き", "金": "かね", "土": "つち",
+    "花": "はな", "草": "くさ", "石": "いし", "犬": "いぬ", "猫": "ねこ",
+    "鳥": "とり", "魚": "さかな", "牛": "うし", "馬": "うま",
+    "手": "て", "足": "あし", "目": "め", "耳": "みみ", "口": "くち",
+    "頭": "あたま", "顔": "かお", "心": "こころ", "体": "からだ",
+    "声": "こえ", "力": "ちから", "男": "おとこ", "女": "おんな",
+    "子": "こ", "父": "ちち", "母": "はは", "兄": "あに", "姉": "あね",
+    "弟": "おとうと", "妹": "いもうと", "家": "いえ", "店": "みせ",
+    "道": "みち", "町": "まち", "村": "むら", "国": "くに", "島": "しま",
+    "車": "くるま", "船": "ふね", "門": "もん", "窓": "まど",
+    "本": "ほん", "紙": "かみ", "字": "じ", "絵": "え", "歌": "うた",
+    "色": "いろ", "白": "しろ", "黒": "くろ", "赤": "あか", "青": "あお",
+    "春": "はる", "夏": "なつ", "秋": "あき", "冬": "ふゆ",
+    "朝": "あさ", "昼": "ひる", "夜": "よる", "晩": "ばん",
+    "何": "なに", "誰": "だれ", "私": "わたし", "僕": "ぼく", "君": "きみ",
+    "物": "もの", "事": "こと", "所": "ところ", "方": "ほう",
+    "新": "しん", "大": "だい", "小": "しょう", "長": "なが", "短": "みじか",
+    "高": "たか", "安": "やす", "良": "よ", "悪": "わる", "強": "つよ",
+    "弱": "よわ", "重": "おも", "軽": "かる", "暑": "あつ", "寒": "さむ",
+    "広": "ひろ", "狭": "せま", "深": "ふか", "浅": "あさ",
+    "立": "た", "座": "すわ", "寝": "ね", "起": "お", "開": "あ",
+    "閉": "し", "始": "はじ", "終": "お", "送": "おく", "受": "う",
+    "教": "おし", "習": "なら", "覚": "おぼ", "忘": "わす",
+    "売": "う", "貸": "か", "借": "か", "返": "かえ", "払": "はら",
+    "洗": "あら", "着": "き", "脱": "ぬ", "住": "す", "死": "し",
+    "生": "い", "会": "あ", "答": "こた", "取": "と", "置": "お",
+}
+
+_kanji_dict_loaded = False
+
+
+def _kanji_dict() -> dict:
+    """Reading table: built-ins + optional external TSV (word\\tkana)."""
+    global _kanji_dict_loaded
+    if not _kanji_dict_loaded:
+        _kanji_dict_loaded = True
+        import os
+
+        path = os.environ.get("WHISPER_IPA_TPU_KANJI_DICT")
+        if path and os.path.isfile(path):
+            with open(path, encoding="utf-8") as f:
+                for line in f:
+                    parts = line.rstrip("\n").split("\t")
+                    if len(parts) == 2 and parts[0]:
+                        # external entries override built-ins
+                        KANJI_READINGS[parts[0]] = parts[1]
+    return KANJI_READINGS
+
+
+def kanji_to_kana(text: str) -> str:
+    """Replace known kanji words with kana readings (longest match first).
+
+    Unknown kanji pass through unchanged (kana_to_ipa raises on them, so
+    uncovered sentences are still skipped rather than silently mangled).
+    """
+    table = _kanji_dict()
+    if not any(0x4E00 <= ord(c) <= 0x9FFF for c in text):
+        return text
+    max_len = max(len(k) for k in table)
+    out: List[str] = []
+    i = 0
+    while i < len(text):
+        if 0x4E00 <= ord(text[i]) <= 0x9FFF:
+            for ln in range(min(max_len, len(text) - i), 0, -1):
+                word = text[i : i + ln]
+                if word in table:
+                    out.append(table[word])
+                    i += ln
+                    break
+            else:
+                out.append(text[i])
+                i += 1
+        else:
+            out.append(text[i])
+            i += 1
+    return "".join(out)
+
+
 def kana_to_ipa(text: str) -> str:
-    """Convert a kana string to IPA. Raises on kanji/unknown CJK."""
-    text = _to_hiragana(unicodedata.normalize("NFC", text))
+    """Convert a kana (or covered-kanji) string to IPA.
+
+    Known kanji words are first converted to kana via the reading table;
+    sentences containing UNCOVERED kanji raise so callers can skip them.
+    """
+    text = kanji_to_kana(unicodedata.normalize("NFC", text))
+    text = _to_hiragana(text)
     out: List[str] = []
     i = 0
     n = len(text)

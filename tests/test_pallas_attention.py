@@ -91,3 +91,40 @@ class TestFusedAttentionVJP:
 
         g = jax.grad(loss)(q)
         assert g.shape == q.shape
+
+
+class TestDecodeCrossAttentionKernel:
+    def test_kernel_matches_xla_path(self):
+        """Pallas flash-decode kernel (interpret mode) == the XLA int8
+        fallback, bit-for-bit shapes and near-identical values."""
+        import jax
+        import jax.numpy as jnp
+
+        from whisper_ipa_tpu.ops.decode_attention import (
+            decode_cross_attention_int8,
+        )
+
+        rng = np.random.default_rng(0)
+        B, H, T, Dh = 2, 3, 200, 64
+        q = jnp.asarray(
+            rng.standard_normal((B, H, 1, Dh)).astype(np.float32)
+        )
+        k8 = jnp.asarray(rng.integers(-127, 128, (B, H, T, Dh)), jnp.int8)
+        v8 = jnp.asarray(rng.integers(-127, 128, (B, H, T, Dh)), jnp.int8)
+        ks = jnp.asarray(
+            rng.uniform(0.001, 0.02, (B, H, T)).astype(np.float32)
+        )
+        vs = jnp.asarray(
+            rng.uniform(0.001, 0.02, (B, H, T)).astype(np.float32)
+        )
+
+        got = decode_cross_attention_int8(q, k8, ks, v8, vs, interpret=True)
+
+        logits = jnp.einsum(
+            "bhsd,bhtd->bhst", q, k8.astype(jnp.float32)
+        ) * ks[:, :, None, :]
+        w = jax.nn.softmax(logits, axis=-1) * vs[:, :, None, :]
+        want = jnp.einsum("bhst,bhtd->bhsd", w, v8.astype(jnp.float32))
+
+        assert got.shape == (B, H, 1, Dh)
+        assert float(jnp.max(jnp.abs(got - want))) < 1e-4

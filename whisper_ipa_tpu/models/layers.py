@@ -145,29 +145,47 @@ def _fused_eligible(q, mask) -> bool:
 
 
 def multi_head_attention_int8kv(q, k_i8, k_scale, v_i8, v_scale, n_head: int):
-    """Unmasked attention with int8-quantized K/V (per-position scales).
+    """Unmasked attention with an int8-quantized, head-split K/V cache.
 
-    q: (B, S, d); k_i8/v_i8: (B, T, d) int8; k_scale/v_scale: (B, T, 1)
-    float32. Used for the decode loop's cross-attention, whose K/V reads
-    dominate HBM traffic — int8 halves the bytes vs bfloat16. Scales fold
-    into the logits (K) and the probabilities (V), so the codes feed the
-    dots directly and no dequantized copy is materialized.
+    q: (B, S, d); k_i8/v_i8: (B, H, T, Dh) int8; scales: (B, H, T) f32
+    (init_cache's cross_kv_int8 layout). Cross-K/V reads dominate the
+    decode loop's HBM traffic — int8 halves the bytes vs bfloat16, and the
+    single-query steps (S=1) run the Pallas flash-decode kernel, which XLA's
+    batched-matvec tiling loses ~6x to (profiled on v5e, see
+    ops/decode_attention.py). Scales fold into the logits (K) and the
+    probabilities (V); no dequantized copy is materialized.
     """
     d_head = q.shape[-1] // n_head
     qh = _split_heads(q * (d_head**-0.5), n_head)  # (B, H, S, Dh)
-    kh = _split_heads(k_i8, n_head)  # int8
-    vh = _split_heads(v_i8, n_head)
 
-    ks = k_scale[:, :, 0][:, None, None, :]  # (B, 1, 1, T)
-    vs = v_scale[:, :, 0][:, None, None, :]
+    # Pallas flash-decode kernel: EXPERIMENTAL opt-in. Measured on v5e at
+    # batch 128 (2026-08-16): XLA's batched-matvec path runs 30 ms/token;
+    # three kernel formulations (per-(b,h) grid, per-b with in-kernel head
+    # loop, VPU broadcast-reduce with transposed KV) measured 67/38/37 —
+    # XLA wins, so it stays the default. See ops/decode_attention.py.
+    if q.shape[1] == 1 and _os.environ.get(
+        "WHISPER_IPA_TPU_DECODE_KERNEL"
+    ) == "1":
+        try:
+            on_tpu = jax.devices()[0].platform != "cpu"
+        except Exception:
+            on_tpu = False
+        if on_tpu:
+            from ..ops.decode_attention import decode_cross_attention_int8
+
+            return _merge_heads(
+                decode_cross_attention_int8(qh, k_i8, k_scale, v_i8, v_scale)
+            )
 
     logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", qh, kh.astype(q.dtype)
+        "bhsd,bhtd->bhst", qh, k_i8.astype(q.dtype)
     ).astype(jnp.float32)
-    logits = logits * ks
+    ks = k_scale[:, :, None, :]
+    # scale 0 marks tile-padding positions (real scales are > 0)
+    logits = jnp.where(ks > 0.0, logits * ks, -jnp.inf)
     w = jax.nn.softmax(logits, axis=-1)
-    w = (w * vs).astype(q.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", w, vh.astype(q.dtype))
+    w = (w * v_scale[:, :, None, :]).astype(q.dtype)
+    out = jnp.einsum("bhst,bhtd->bhsd", w, v_i8.astype(q.dtype))
     return _merge_heads(out)
 
 

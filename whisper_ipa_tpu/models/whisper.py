@@ -310,10 +310,12 @@ class DecoderCache(NamedTuple):
     cross_k/cross_v: (L, B, 1500, d) computed once per utterance.
 
     When the cross cache is int8-quantized (cross_kv_int8), cross_k/cross_v
-    hold int8 codes and cross_k_scale/cross_v_scale hold the per-position
-    float32 scales (L, B, 1500, 1). Cross-K/V reads dominate the decode
-    loop's HBM traffic (they scale with batch x 1500 x d x layers), so
-    halving their width is the main decode-bandwidth lever.
+    hold head-split int8 codes (L, B, H, 1500, Dh) and
+    cross_k_scale/cross_v_scale hold per-(position, head) float32 scales
+    (L, B, H, 1500) — the layout consumed directly by the Pallas decode
+    kernel. Cross-K/V reads dominate the decode loop's HBM traffic (they
+    scale with batch x 1500 x d x layers), so halving their width is the
+    main decode-bandwidth lever.
     """
 
     self_k: jax.Array
@@ -324,12 +326,28 @@ class DecoderCache(NamedTuple):
     cross_v_scale: Optional[jax.Array] = None
 
 
-def _quantize_kv_rows(x):
-    """Symmetric int8 per-position quantization: (..., T, d) -> codes+scale."""
-    xf = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    scale = jnp.maximum(amax, 1e-8) / 127.0
-    codes = jnp.round(xf / scale).astype(jnp.int8)
+def _quantize_kv_heads(x, n_head: int):
+    """Symmetric int8 per-(position, head) quantization, head-split layout.
+
+    (B, T, d) -> codes (B, H, T, Dh) int8, scales (B, H, T) f32.
+    The head-split layout feeds the Pallas decode kernel directly
+    (ops/decode_attention.py) with no per-step transpose.
+    """
+    B, T, d = x.shape
+    dh = d // n_head
+    xf = x.astype(jnp.float32).reshape(B, T, n_head, dh)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0  # (B, T, H)
+    codes = jnp.round(xf / scale[..., None]).astype(jnp.int8)
+    codes = codes.transpose(0, 2, 1, 3)  # (B, H, T, Dh)
+    scale = scale.transpose(0, 2, 1)  # (B, H, T)
+    # pad T to the 128-lane tile ONCE here: padding inside the decode step
+    # would copy the whole cache every token. Padded positions get scale 0,
+    # which the attention paths use as the mask (real scales are > 0).
+    t_pad = ((T + 127) // 128) * 128
+    if t_pad != T:
+        codes = jnp.pad(codes, ((0, 0), (0, 0), (0, t_pad - T), (0, 0)))
+        scale = jnp.pad(scale, ((0, 0), (0, 0), (0, t_pad - T)))
     return codes, scale
 
 
@@ -349,16 +367,32 @@ def init_cache(
     audio_features = audio_features.astype(dtype)
 
     stacked = _stack_blocks(params["decoder"]["blocks"])
-    cross_k = jax.vmap(lambda p: linear(audio_features, p))(
-        stacked["cross_attn"]["key"]
-    )
-    cross_v = jax.vmap(lambda p: linear(audio_features, p))(
-        stacked["cross_attn"]["value"]
-    )
     k_scale = v_scale = None
     if cross_kv_int8:
-        cross_k, k_scale = _quantize_kv_rows(cross_k)
-        cross_v, v_scale = _quantize_kv_rows(cross_v)
+        # project + quantize one layer at a time (lax.map, not vmap): the
+        # float32 projection transient is ~B*1500*d*4 bytes PER LAYER; doing
+        # all layers at once OOMs HBM at large batch
+        def _project_quantize(p):
+            k = linear(audio_features, p["key"])
+            v = linear(audio_features, p["value"])
+            kq, ks = _quantize_kv_heads(k, cfg.n_text_head)
+            vq, vs = _quantize_kv_heads(v, cfg.n_text_head)
+            return kq, ks, vq, vs
+
+        cross_k, k_scale, cross_v, v_scale = jax.lax.map(
+            _project_quantize,
+            {
+                "key": stacked["cross_attn"]["key"],
+                "value": stacked["cross_attn"]["value"],
+            },
+        )
+    else:
+        cross_k = jax.vmap(lambda p: linear(audio_features, p))(
+            stacked["cross_attn"]["key"]
+        )
+        cross_v = jax.vmap(lambda p: linear(audio_features, p))(
+            stacked["cross_attn"]["value"]
+        )
     return DecoderCache(
         self_k=jnp.zeros((L, B, n_ctx, d), dtype),
         self_v=jnp.zeros((L, B, n_ctx, d), dtype),

@@ -34,7 +34,8 @@ SAMPLE_LEN = 64
 KV_INT8_DEFAULT = True
 
 
-def bench_point(batch, sample_len, iters=5, kv_int8=False):
+def bench_point(batch, sample_len, iters=5, kv_int8=False,
+                model="small"):
     import jax
     import jax.numpy as jnp
 
@@ -46,9 +47,11 @@ def bench_point(batch, sample_len, iters=5, kv_int8=False):
     from whisper_ipa_tpu.tokenizer import get_tokenizer
     from whisper_ipa_tpu.utils.flops import inference_flops, peak_flops
 
-    cfg = get_config("small")
+    cfg = get_config(model)
     params = init_params(cfg, seed=0)
-    tokenizer = get_tokenizer(multilingual=True, language="en")
+    tokenizer = get_tokenizer(
+        multilingual=True, num_languages=cfg.num_languages, language="en"
+    )
 
     rng = np.random.default_rng(0)
     audio = rng.standard_normal((batch, N_SAMPLES)).astype(np.float32) * 0.1
@@ -173,6 +176,7 @@ def main():
     ap.add_argument(
         "--no-kv-int8", dest="kv_int8", action="store_false",
     )
+    ap.add_argument("--model", default="small")
     args = ap.parse_args()
 
     import os
@@ -227,12 +231,16 @@ def main():
         r = best
     else:
         r = bench_point(args.batch, args.sample_len, args.iters,
-                        kv_int8=args.kv_int8)
+                        kv_int8=args.kv_int8, model=args.model)
 
     print(
         json.dumps(
             {
-                "metric": "whisper-small inference RTF (audio-sec/sec/chip)",
+                "metric": (
+                    f"whisper-{args.model} inference RTF (audio-sec/sec/chip)"
+                    if args.model != "small"
+                    else "whisper-small inference RTF (audio-sec/sec/chip)"
+                ),
                 "value": round(r["rtf"], 2),
                 "unit": "x realtime",
                 "vs_baseline": round(r["rtf"] / 10.0, 3),

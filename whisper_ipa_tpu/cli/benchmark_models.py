@@ -64,9 +64,18 @@ def analyze_model(name: str, measure: bool = False, batch_size: int = 8):
         dt = (time.time() - t0) / iters
         report["train_step_sec"] = dt
         report["train_samples_per_sec"] = batch_size / dt
+
+        from ..utils.flops import peak_flops, train_step_flops
+
+        flops = train_step_flops(cfg, tokens.shape[1]) * batch_size
+        peak = peak_flops(jax.devices()[0].device_kind)
+        mfu_str = ""
+        if peak:
+            report["train_mfu"] = flops / dt / peak
+            mfu_str = f", MFU {100 * report['train_mfu']:.1f}%"
         print(
             f"{'':>10}  train step {dt * 1e3:.1f} ms -> "
-            f"{batch_size / dt:.1f} samples/s (batch {batch_size})"
+            f"{batch_size / dt:.1f} samples/s (batch {batch_size}{mfu_str})"
         )
     return report
 

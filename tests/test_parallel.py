@@ -122,3 +122,34 @@ class TestTensorParallelInference:
         )
         # TP-sharded execution must produce the same tokens
         assert [r.tokens for r in tp] == [r.tokens for r in plain]
+
+    def test_tp_sharded_decode_int8_kv(self):
+        """TP-sharded decode with the int8 head-split cross-KV cache: GSPMD
+        must propagate the model-axis sharding through quantization and the
+        head-split attention (multi-chip serving path)."""
+        from dataclasses import replace
+
+        import jax.numpy as jnp
+
+        from whisper_ipa_tpu.config import CONFIGS
+        from whisper_ipa_tpu.decode import DecodingOptions, decode
+        from whisper_ipa_tpu.models import init_params
+        from whisper_ipa_tpu.tokenizer import get_tokenizer
+
+        cfg = replace(CONFIGS["test-tiny"], n_audio_ctx=32, n_text_ctx=32)
+        params = init_params(cfg, seed=0)
+        mesh = make_mesh(model=2)
+        sharded = shard_params(mesh, params, tensor_parallel=True)
+
+        tok = get_tokenizer(multilingual=True, language="en")
+        rng = np.random.default_rng(0)
+        mel = jnp.asarray(
+            rng.standard_normal((2, 64, cfg.n_mels)).astype(np.float32)
+        )
+        opts = DecodingOptions(
+            language="en", without_timestamps=True, sample_len=4,
+            kv_int8=True,
+        )
+        plain = decode(params, cfg, mel, opts, tokenizer=tok)
+        tp = decode(sharded, cfg, mel, opts, tokenizer=tok)
+        assert [r.tokens for r in tp] == [r.tokens for r in plain]

@@ -103,24 +103,39 @@ def bench_point(batch, sample_len, iters=5, kv_int8=False,
     }
 
 
-def bench_train(batch, token_len=48, iters=20, dtype="bfloat16"):
-    """Train-step throughput + MFU (decoder fine-tune, frozen encoder)."""
+def bench_train(batch, token_len=48, iters=20, dtype="bfloat16",
+                cached_features=False):
+    """Train-step throughput + MFU (decoder fine-tune, frozen encoder).
+
+    cached_features: train on precomputed encoder outputs (the frozen
+    encoder's activations are constant per sample — train(cache_encoder=
+    True) removes ~2/3 of each step's FLOPs).
+    """
     import jax
     import jax.numpy as jnp
 
     from whisper_ipa_tpu.config import get_config
     from whisper_ipa_tpu.models import init_params
+    from whisper_ipa_tpu.models.whisper import encode
     from whisper_ipa_tpu.train import create_train_state, train_step
-    from whisper_ipa_tpu.utils.flops import peak_flops, train_step_flops
+    from whisper_ipa_tpu.utils.flops import (
+        encoder_flops,
+        peak_flops,
+        train_step_flops,
+    )
 
     cfg = get_config("small")
     params = init_params(cfg, seed=0)
-    state, tx = create_train_state(params, learning_rate=1e-5,
-                                   freeze_encoder=True)
     rng = np.random.default_rng(0)
     mel = jnp.asarray(
         rng.standard_normal((batch, 3000, cfg.n_mels)).astype(np.float32)
     )
+    if cached_features:
+        mel = jax.jit(
+            lambda p, m: encode(p, cfg, m, dtype=jnp.dtype(dtype))
+        )(params, mel)
+    state, tx = create_train_state(params, learning_rate=1e-5,
+                                   freeze_encoder=True)
     eot = 50257
     tok = np.full((batch, token_len), 300, np.int32)
     tok[:, :4] = [50258, 50259, 50359, 50363]
@@ -129,7 +144,8 @@ def bench_train(batch, token_len=48, iters=20, dtype="bfloat16"):
 
     def step(state):
         return train_step(state, mel, tokens, cfg, tx, eot,
-                          freeze_encoder=True, dtype_name=dtype)
+                          freeze_encoder=True, dtype_name=dtype,
+                          inputs_are_features=cached_features)
 
     t0 = time.time()
     state, loss = step(state)
@@ -143,6 +159,8 @@ def bench_train(batch, token_len=48, iters=20, dtype="bfloat16"):
     elapsed = time.time() - t0
 
     flops = train_step_flops(cfg, token_len) * batch * iters
+    if cached_features:
+        flops -= encoder_flops(cfg) * batch * iters
     peak = peak_flops(jax.devices()[0].device_kind)
     mfu = flops / elapsed / peak if peak else None
     return {
@@ -177,6 +195,10 @@ def main():
         "--no-kv-int8", dest="kv_int8", action="store_false",
     )
     ap.add_argument("--model", default="small")
+    ap.add_argument(
+        "--cached-features", action="store_true",
+        help="train-step bench on precomputed encoder outputs",
+    )
     args = ap.parse_args()
 
     import os
@@ -191,7 +213,8 @@ def main():
 
     if args.train:
         batch = args.batch if args.batch != HEADLINE_BATCH else 12
-        r = bench_train(batch, iters=args.iters if args.iters != 5 else 20)
+        r = bench_train(batch, iters=args.iters if args.iters != 5 else 20,
+                        cached_features=args.cached_features)
         print(
             json.dumps(
                 {

@@ -322,3 +322,82 @@ class TestEmergencySaveDonation:
             final_validate=False,
         )
         assert summary is not None  # loop exited cleanly via the handler
+
+
+class TestEncoderFeatureCache:
+    def test_train_with_cached_features(self, dataset_json, tmp_path):
+        """cache_encoder=True precomputes frozen-encoder outputs and trains
+        on them; loss must stay finite and match the shape contract."""
+        from dataclasses import replace
+
+        import whisper_ipa_tpu.config as config_mod
+        from whisper_ipa_tpu.train.loop import train
+
+        config_mod.CONFIGS["test-micro-fc"] = replace(
+            config_mod.CONFIGS["test-tiny"], name="test-micro-fc"
+        )
+        out = str(tmp_path / "run")
+        summary = train(
+            model_name="test-micro-fc",
+            train_data_path=dataset_json,
+            test_data_path=dataset_json,
+            output_dir=out,
+            num_steps=2,
+            batch_size=2,
+            validate_every=0,
+            save_every=0,
+            data_parallel=False,
+            final_validate=False,
+            cache_encoder=True,
+        )
+        assert np.isfinite(summary["final_loss"])
+        # the cache directory holds one .npy per sample
+        import json as _json
+
+        cache = os.path.join(out, "encoder_cache")
+        n_samples = len(_json.load(open(dataset_json)))
+        assert len(os.listdir(cache)) == n_samples
+
+    def test_cached_loss_matches_uncached(self, dataset_json, tmp_path):
+        """One step on cached features gives the same loss as computing the
+        encoder in-step (the cache is mathematically a no-op)."""
+        from dataclasses import replace
+
+        import jax.numpy as jnp
+
+        import whisper_ipa_tpu.config as config_mod
+        from whisper_ipa_tpu.data import create_data_loader
+        from whisper_ipa_tpu.models import init_params
+        from whisper_ipa_tpu.train import create_train_state, train_step
+
+        cfg = replace(config_mod.CONFIGS["test-tiny"], name="t")
+        ds = create_data_loader(dataset_json, n_mels=cfg.n_mels)
+        params = init_params(cfg, seed=0)
+        batch = ds.get_batch([0, 1])
+        mel = jnp.asarray(batch["mel_features"])
+        tokens = jnp.asarray(batch["tokens"])
+
+        # precompute BEFORE any train_step: train_step donates its state,
+        # deleting the param buffers it shares (see CLAUDE.md gotchas)
+        ds.precompute_features(
+            params, cfg, str(tmp_path / "feat"), batch_size=2,
+            dtype_name="float32",
+        )
+        fb = ds.get_batch([0, 1])
+        feats = jnp.asarray(fb["mel_features"])
+        assert feats.shape[1] == cfg.n_audio_ctx
+
+        state1, tx = create_train_state(params, learning_rate=1e-4)
+        _, loss_mel = train_step(
+            state1, mel, tokens, cfg, tx, eot=ds.tokenizer.eot,
+            dtype_name="float32",
+        )
+
+        params2 = init_params(cfg, seed=0)
+        state2, tx2 = create_train_state(params2, learning_rate=1e-4)
+        _, loss_feat = train_step(
+            state2, feats, tokens, cfg, tx2, eot=ds.tokenizer.eot,
+            dtype_name="float32", inputs_are_features=True,
+        )
+        # float16 disk round-trip: small tolerance
+        assert float(loss_mel) == pytest.approx(float(loss_feat), abs=2e-3)

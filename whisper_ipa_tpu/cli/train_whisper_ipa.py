@@ -90,6 +90,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="Store the frozen encoder in bfloat16 (halves its HBM)",
     )
     p.add_argument(
+        "--cache-encoder", action="store_true",
+        help="Precompute frozen-encoder outputs once and train on cached "
+        "features (~3x step throughput; encoder is frozen anyway)",
+    )
+    p.add_argument(
         "--preset",
         default=None,
         choices=["large-single-chip"],
@@ -132,6 +137,7 @@ def main(argv=None):
         blockwise_loss=args.blockwise_loss,
         mu_dtype=args.mu_dtype,
         encoder_bf16=args.encoder_bf16,
+        cache_encoder=args.cache_encoder,
     )
 
 

@@ -59,7 +59,7 @@ def create_train_state(
     jax.jit,
     static_argnames=(
         "cfg", "tx", "eot", "freeze_encoder", "dtype_name", "remat",
-        "blockwise",
+        "blockwise", "inputs_are_features",
     ),
     donate_argnames=("state",),
 )
@@ -74,21 +74,28 @@ def train_step(
     dtype_name: str = "float32",
     remat: bool = False,
     blockwise: bool = False,
+    inputs_are_features: bool = False,
 ) -> Tuple[TrainState, jax.Array]:
     """One optimization step. Returns (new_state, loss).
 
     dtype_name: activation compute dtype — "float32" for the reference's
     numerical regime, "bfloat16" for ~2x MXU throughput (params, optimizer
     state, and the loss/logit head stay float32 either way).
+
+    inputs_are_features: ``mel`` already holds precomputed encoder outputs
+    (B, n_audio_ctx, d) — the frozen encoder's activations are constant per
+    sample, so caching them removes ~2/3 of the step's FLOPs (the encoder
+    forward). See train(cache_encoder=True).
     """
 
     def loss_fn(params):
         return compute_loss(
             params,
             cfg,
-            mel,
+            mel if not inputs_are_features else None,
             tokens,
             eot,
+            audio_features=mel if inputs_are_features else None,
             freeze_encoder=freeze_encoder,
             dtype=jnp.dtype(dtype_name),
             remat=remat,

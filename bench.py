@@ -103,6 +103,127 @@ def bench_point(batch, sample_len, iters=5, kv_int8=False,
     }
 
 
+def bench_speculative(batch=8, draft_k=4, sample_len=64, iters=3):
+    """Speculative-decode economics on the real chip.
+
+    Random weights make draft/target AGREEMENT meaningless, so the honest
+    measurements are the two ends of the acceptance spectrum plus the cost
+    components, from which speedup at any real acceptance rate follows:
+      - t_base:  plain greedy (the production single-step loop)
+      - t_self:  speculative with the target drafting for itself — full
+                 acceptance, isolates the cost of (K+1)-query verification
+      - t_worst: speculative with an unrelated random draft — near-zero
+                 acceptance, the overhead floor
+      - t_tiny:  the tiny draft model's own greedy loop (per-token cost)
+    Projected speedup at acceptance a:
+      (1 + a*K) * t_tok_base / ((K+1) * t_tok_tiny + t_verify_round)
+    (trained tiny->small Whisper pairs typically accept 0.7-0.9).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_ipa_tpu.audio import N_SAMPLES
+    from whisper_ipa_tpu.config import get_config
+    from whisper_ipa_tpu.decode import (
+        DecodingOptions,
+        decode,
+        speculative_decode,
+    )
+    from whisper_ipa_tpu.models import init_params
+    from whisper_ipa_tpu.ops import log_mel_spectrogram_pallas
+    from whisper_ipa_tpu.tokenizer import get_tokenizer
+
+    cfg = get_config("small")
+    draft_cfg = get_config("tiny")
+    params = init_params(cfg, seed=0)
+    draft_params = init_params(draft_cfg, seed=7)
+    tokenizer = get_tokenizer(
+        multilingual=True, num_languages=cfg.num_languages, language="en"
+    )
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(
+        rng.standard_normal((batch, N_SAMPLES)).astype(np.float32) * 0.1
+    )
+    mel = jax.jit(lambda a: log_mel_spectrogram_pallas(a, n_mels=cfg.n_mels))(
+        audio
+    )
+    options = DecodingOptions(
+        language="en",
+        without_timestamps=True,
+        sample_len=sample_len,
+        suppress_tokens=[-1, tokenizer.eot],  # full-length decode
+        fp16=True,
+    )
+
+    def timed(fn):
+        t0 = time.time()
+        fn()
+        compile_s = time.time() - t0
+        t0 = time.time()
+        for _ in range(iters):
+            fn()
+        return (time.time() - t0) / iters, compile_s
+
+    t_base, c1 = timed(
+        lambda: decode(params, cfg, mel, options, tokenizer=tokenizer)
+    )
+    t_tiny, c2 = timed(
+        lambda: decode(
+            draft_params, draft_cfg, mel, options, tokenizer=tokenizer
+        )
+    )
+    t_self, c3 = timed(
+        lambda: speculative_decode(
+            params, cfg, params, cfg, mel, options,
+            draft_k=draft_k, tokenizer=tokenizer,
+        )
+    )
+    t_worst, c4 = timed(
+        lambda: speculative_decode(
+            params, cfg, draft_params, draft_cfg, mel, options,
+            draft_k=draft_k, tokenizer=tokenizer,
+        )
+    )
+    _, stats_self = speculative_decode(
+        params, cfg, params, cfg, mel, options,
+        draft_k=draft_k, tokenizer=tokenizer, return_stats=True,
+    )
+    _, stats_worst = speculative_decode(
+        params, cfg, draft_params, draft_cfg, mel, options,
+        draft_k=draft_k, tokenizer=tokenizer, return_stats=True,
+    )
+
+    # decompose: self-draft rounds each run K+1 target single-steps (the
+    # draft IS the target) plus one (K+1)-query verification forward
+    K = draft_k
+    tok_base = t_base / sample_len  # per-token target single-step
+    tok_tiny = t_tiny / sample_len  # per-token draft single-step
+    rounds_self = max(stats_self.rounds, 1)
+    t_verify = max(t_self / rounds_self - (K + 1) * tok_base, 0.0)
+
+    def projected(a):
+        round_cost = (K + 1) * tok_tiny + t_verify
+        return (1 + a * K) * tok_base / round_cost
+
+    return {
+        "t_base": t_base,
+        "t_tiny": t_tiny,
+        "t_self": t_self,
+        "t_worst": t_worst,
+        "t_verify_round": t_verify,
+        "tok_base_ms": 1000 * tok_base,
+        "tok_tiny_ms": 1000 * tok_tiny,
+        "rounds_self": stats_self.rounds,
+        "tokens_per_round_self": stats_self.tokens_per_round,
+        "tokens_per_round_worst": stats_worst.tokens_per_round,
+        "proj_speedup": {a: projected(a) for a in (0.6, 0.8, 0.9, 1.0)},
+        "compiles": [c1, c2, c3, c4],
+        "batch": batch,
+        "draft_k": K,
+        "device": jax.devices()[0].device_kind,
+    }
+
+
 def bench_train(batch, token_len=48, iters=20, dtype="bfloat16",
                 cached_features=False):
     """Train-step throughput + MFU (decoder fine-tune, frozen encoder).
@@ -188,6 +309,11 @@ def main():
         help="benchmark the train step instead of inference",
     )
     ap.add_argument(
+        "--speculative", action="store_true",
+        help="measure speculative-decode economics (tiny drafting small)",
+    )
+    ap.add_argument("--draft-k", type=int, default=4)
+    ap.add_argument(
         "--kv-int8", action="store_true", default=KV_INT8_DEFAULT,
         help="int8 cross-attention KV cache in the decode loop",
     )
@@ -210,6 +336,49 @@ def main():
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+    if args.speculative:
+        batch = args.batch if args.batch != HEADLINE_BATCH else 8
+        r = bench_speculative(
+            batch=batch, draft_k=args.draft_k,
+            sample_len=args.sample_len, iters=max(args.iters, 3),
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "speculative decode projected speedup "
+                    "(tiny->small, acceptance 0.8)",
+                    "value": round(r["proj_speedup"][0.8], 3),
+                    "unit": "x vs single-step greedy",
+                    "vs_baseline": round(r["proj_speedup"][0.8], 3),
+                    "tok_base_ms": round(r["tok_base_ms"], 3),
+                    "tok_tiny_ms": round(r["tok_tiny_ms"], 3),
+                    "t_verify_round_ms": round(
+                        1000 * r["t_verify_round"], 3
+                    ),
+                    "tokens_per_round_self": round(
+                        r["tokens_per_round_self"], 2
+                    ),
+                    "tokens_per_round_worst": round(
+                        r["tokens_per_round_worst"], 2
+                    ),
+                    "batch": r["batch"],
+                    "draft_k": r["draft_k"],
+                    "note": "random weights: acceptance synthetic; "
+                    "self-draft=1.0, unrelated draft~=0",
+                }
+            )
+        )
+        print(
+            f"# t_base={r['t_base']:.3f}s t_tiny={r['t_tiny']:.3f}s "
+            f"t_self={r['t_self']:.3f}s t_worst={r['t_worst']:.3f}s "
+            f"rounds_self={r['rounds_self']} "
+            f"proj={{{', '.join(f'{a}: {s:.2f}x' for a, s in r['proj_speedup'].items())}}} "
+            f"compiles={[round(c) for c in r['compiles']]}s "
+            f"device={r['device']}",
+            file=sys.stderr,
+        )
+        return
 
     if args.train:
         batch = args.batch if args.batch != HEADLINE_BATCH else 12

@@ -9,6 +9,7 @@ from .decoding import (
     initial_tokens,
     sequence_score,
 )
+from .speculative import SpeculativeStats, speculative_decode
 from .transcribe import chunk_audio, transcribe
 from .word_timestamps import phone_timestamps, token_alignment
 
@@ -23,6 +24,8 @@ __all__ = [
     "decode",
     "initial_tokens",
     "sequence_score",
+    "SpeculativeStats",
+    "speculative_decode",
     "transcribe",
     "phone_timestamps",
     "token_alignment",

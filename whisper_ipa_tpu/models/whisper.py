@@ -486,6 +486,94 @@ def decode_step(
     return step_logits, new_cache
 
 
+def decode_step_multipos(
+    params: Params,
+    cfg: WhisperConfig,
+    tokens,
+    cache: DecoderCache,
+    pos,
+    dtype=jnp.float32,
+) -> Tuple[jax.Array, DecoderCache]:
+    """decode_step with a PER-ELEMENT position vector: pos (B,) int32.
+
+    Speculative decoding accepts a different number of draft tokens per
+    batch element each round, so element b's next write position diverges
+    from element b'. Queries for element b sit at positions
+    [pos[b], pos[b]+S); the KV-cache write and the causal mask are per
+    element. Everything else matches decode_step.
+    """
+    dec = params["decoder"]
+    B, S = tokens.shape
+    n_ctx = cache.self_k.shape[2]
+
+    x = dec["token_embedding"][tokens].astype(dtype)
+    # per-element positional slice: (B, S) gather
+    pos_idx = pos[:, None] + jnp.arange(S)[None, :]
+    x = x + dec["positional_embedding"][pos_idx].astype(dtype)
+
+    # per-element causal mask over the cache: (B, 1, S, n_ctx)
+    key_idx = jnp.arange(n_ctx)[None, None, :]
+    query_idx = pos_idx[:, :, None]
+    mask = jnp.where(key_idx <= query_idx, 0.0, -jnp.inf).astype(jnp.float32)
+    mask = mask[:, None, :, :]
+
+    from .layers import multi_head_attention, multi_head_attention_int8kv
+
+    stacked = _stack_blocks(dec["blocks"])
+
+    write = jax.vmap(
+        lambda buf, new, p: jax.lax.dynamic_update_slice_in_dim(
+            buf, new, p, axis=0
+        )
+    )
+
+    def body(x, inp):
+        block, k_cache, v_cache, xk, xv, k_scale, v_scale = inp
+        xn = layer_norm(x, block["attn_ln"])
+        q = linear(xn, block["attn"]["query"])
+        k_new = linear(xn, block["attn"]["key"])
+        v_new = linear(xn, block["attn"]["value"])
+        k_buf = write(k_cache, k_new, pos)
+        v_buf = write(v_cache, v_new, pos)
+
+        h = multi_head_attention(q, k_buf, v_buf, cfg.n_text_head, mask=mask)
+        x = x + linear(h, block["attn"]["out"])
+
+        xn = layer_norm(x, block["cross_attn_ln"])
+        qc = linear(xn, block["cross_attn"]["query"])
+        if k_scale is not None:
+            h = multi_head_attention_int8kv(
+                qc, xk, k_scale, xv, v_scale, cfg.n_text_head
+            )
+        else:
+            h = multi_head_attention(qc, xk, xv, cfg.n_text_head)
+        x = x + linear(h, block["cross_attn"]["out"])
+
+        x = x + mlp_block(layer_norm(x, block["mlp_ln"]), block)
+        return x, (k_buf, v_buf)
+
+    x, (new_self_k, new_self_v) = jax.lax.scan(
+        body,
+        x,
+        (
+            stacked,
+            cache.self_k,
+            cache.self_v,
+            cache.cross_k,
+            cache.cross_v,
+            cache.cross_k_scale,
+            cache.cross_v_scale,
+        ),
+    )
+
+    x = layer_norm(x, dec["ln"])
+    step_logits = jnp.matmul(
+        x.astype(jnp.float32), dec["token_embedding"].T.astype(jnp.float32)
+    )
+    new_cache = cache._replace(self_k=new_self_k, self_v=new_self_v)
+    return step_logits, new_cache
+
+
 # -- parameter utilities --------------------------------------------------
 
 def count_parameters(params) -> int:

@@ -103,7 +103,8 @@ def bench_point(batch, sample_len, iters=5, kv_int8=False,
     }
 
 
-def bench_speculative(batch=8, draft_k=4, sample_len=64, iters=3):
+def bench_speculative(batch=8, draft_k=4, sample_len=64, iters=3,
+                      model="small", draft="tiny"):
     """Speculative-decode economics on the real chip.
 
     Random weights make draft/target AGREEMENT meaningless, so the honest
@@ -133,8 +134,15 @@ def bench_speculative(batch=8, draft_k=4, sample_len=64, iters=3):
     from whisper_ipa_tpu.ops import log_mel_spectrogram_pallas
     from whisper_ipa_tpu.tokenizer import get_tokenizer
 
-    cfg = get_config("small")
-    draft_cfg = get_config("tiny")
+    cfg = get_config(model)
+    draft_cfg = get_config(draft)
+    if draft_cfg.n_vocab != cfg.n_vocab:
+        # e.g. tiny (51865) drafting large-v3 (51866): a real deployment
+        # would distill a draft sharing the target's vocab; random-init
+        # benching only needs the draft's SHAPE, so align the vocab
+        from dataclasses import replace as _replace
+
+        draft_cfg = _replace(draft_cfg, n_vocab=cfg.n_vocab)
     params = init_params(cfg, seed=0)
     draft_params = init_params(draft_cfg, seed=7)
     tokenizer = get_tokenizer(
@@ -146,6 +154,13 @@ def bench_speculative(batch=8, draft_k=4, sample_len=64, iters=3):
     )
     mel = jax.jit(lambda a: log_mel_spectrogram_pallas(a, n_mels=cfg.n_mels))(
         audio
+    )
+    draft_mel = (
+        None
+        if draft_cfg.n_mels == cfg.n_mels
+        else jax.jit(
+            lambda a: log_mel_spectrogram_pallas(a, n_mels=draft_cfg.n_mels)
+        )(audio)
     )
     options = DecodingOptions(
         language="en",
@@ -169,7 +184,11 @@ def bench_speculative(batch=8, draft_k=4, sample_len=64, iters=3):
     )
     t_tiny, c2 = timed(
         lambda: decode(
-            draft_params, draft_cfg, mel, options, tokenizer=tokenizer
+            draft_params,
+            draft_cfg,
+            draft_mel if draft_mel is not None else mel,
+            options,
+            tokenizer=tokenizer,
         )
     )
     t_self, c3 = timed(
@@ -181,7 +200,7 @@ def bench_speculative(batch=8, draft_k=4, sample_len=64, iters=3):
     t_worst, c4 = timed(
         lambda: speculative_decode(
             params, cfg, draft_params, draft_cfg, mel, options,
-            draft_k=draft_k, tokenizer=tokenizer,
+            draft_k=draft_k, tokenizer=tokenizer, draft_mel=draft_mel,
         )
     )
     _, stats_self = speculative_decode(
@@ -191,6 +210,7 @@ def bench_speculative(batch=8, draft_k=4, sample_len=64, iters=3):
     _, stats_worst = speculative_decode(
         params, cfg, draft_params, draft_cfg, mel, options,
         draft_k=draft_k, tokenizer=tokenizer, return_stats=True,
+        draft_mel=draft_mel,
     )
 
     # decompose: self-draft rounds each run K+1 target single-steps (the
@@ -313,6 +333,8 @@ def main():
         help="measure speculative-decode economics (tiny drafting small)",
     )
     ap.add_argument("--draft-k", type=int, default=4)
+    ap.add_argument("--draft", default="tiny",
+                    help="draft model for --speculative")
     ap.add_argument(
         "--kv-int8", action="store_true", default=KV_INT8_DEFAULT,
         help="int8 cross-attention KV cache in the decode loop",
@@ -342,12 +364,13 @@ def main():
         r = bench_speculative(
             batch=batch, draft_k=args.draft_k,
             sample_len=args.sample_len, iters=max(args.iters, 3),
+            model=args.model, draft=args.draft,
         )
         print(
             json.dumps(
                 {
                     "metric": "speculative decode projected speedup "
-                    "(tiny->small, acceptance 0.8)",
+                    f"({args.draft}->{args.model}, acceptance 0.8)",
                     "value": round(r["proj_speedup"][0.8], 3),
                     "unit": "x vs single-step greedy",
                     "vs_baseline": round(r["proj_speedup"][0.8], 3),

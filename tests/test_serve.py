@@ -182,3 +182,76 @@ class TestStreamingPartials:
             )
         finally:
             server.shutdown()
+
+
+class TestQuantizedService:
+    def test_int8_service_transcribes(self):
+        params = init_params(CFG, seed=0)
+        svc = TranscriptionService(
+            params,
+            CFG,
+            batch_size=2,
+            max_wait_ms=30.0,
+            language="en",
+            bf16=False,
+            quant_bits=8,
+        )
+        try:
+            blk = svc.params["decoder"]["blocks"][0]["attn"]["query"]
+            assert "w_q" in blk and "w" not in blk
+            result = svc.transcribe(np.zeros(16000, np.float32), timeout=600)
+            assert "text" in result
+        finally:
+            svc.close()
+
+    def test_int4_service_transcribes(self):
+        params = init_params(CFG, seed=0)
+        svc = TranscriptionService(
+            params,
+            CFG,
+            batch_size=2,
+            max_wait_ms=30.0,
+            language="en",
+            bf16=False,
+            quant_bits=4,
+        )
+        try:
+            blk = svc.params["decoder"]["blocks"][0]["attn"]["query"]
+            assert "w_q4" in blk and "w" not in blk
+            result = svc.transcribe(np.zeros(16000, np.float32), timeout=600)
+            assert "text" in result
+        finally:
+            svc.close()
+
+
+class TestSpeculativeService:
+    def test_draft_service_matches_plain(self):
+        params = init_params(CFG, seed=0)
+        draft = init_params(CFG, seed=9)
+        audio = np.random.default_rng(0).standard_normal(16000).astype(
+            np.float32
+        ) * 0.1
+        plain = TranscriptionService(
+            params, CFG, batch_size=2, language="en", bf16=False
+        )
+        try:
+            ref = plain.transcribe(audio, timeout=600)
+        finally:
+            plain.close()
+        spec = TranscriptionService(
+            params, CFG, batch_size=2, language="en", bf16=False,
+            draft_params=draft, draft_cfg=CFG, draft_k=2,
+        )
+        try:
+            out = spec.transcribe(audio, timeout=600)
+        finally:
+            spec.close()
+        assert out["text"] == ref["text"]
+
+    def test_draft_excludes_beam(self):
+        params = init_params(CFG, seed=0)
+        with pytest.raises(ValueError):
+            TranscriptionService(
+                params, CFG, beam_size=2,
+                draft_params=params, draft_cfg=CFG,
+            )

@@ -103,6 +103,18 @@ def main(argv=None):
     p.add_argument("--language", default="en")
     p.add_argument("--beam-size", type=int, default=None)
     p.add_argument(
+        "--quant-bits", type=int, default=None, choices=(4, 8),
+        help="weight-only quantization: 8 (per-channel int8) or 4 "
+        "(group-scaled packed int4) — cuts decode weight HBM traffic",
+    )
+    p.add_argument(
+        "--draft-model", default=None,
+        help="speculative decoding: draft model name (e.g. tiny); output "
+        "tokens stay identical to plain greedy decoding",
+    )
+    p.add_argument("--draft-weights", default=None)
+    p.add_argument("--draft-k", type=int, default=4)
+    p.add_argument(
         "--warmup",
         action="store_true",
         help="Run one dummy batch before binding (absorbs XLA compiles)",
@@ -120,6 +132,13 @@ def main(argv=None):
         params, n = load_checkpoint_model(args.checkpoint, params)
         print(f"Loaded {n} decoder tensors from {args.checkpoint}")
 
+    draft_params = draft_cfg = None
+    if args.draft_model:
+        draft_cfg = get_config(args.draft_model)
+        draft_params = load_or_init_params(
+            args.draft_model, draft_cfg, args.draft_weights
+        )
+
     service = TranscriptionService(
         params,
         cfg,
@@ -127,6 +146,10 @@ def main(argv=None):
         max_wait_ms=args.max_wait_ms,
         language=args.language,
         beam_size=args.beam_size,
+        quant_bits=args.quant_bits,
+        draft_params=draft_params,
+        draft_cfg=draft_cfg,
+        draft_k=args.draft_k,
     )
     if args.warmup:
         import numpy as np

@@ -42,7 +42,44 @@ def use_int8_activations(enabled: bool) -> None:
     _INT8_ACTIVATIONS = enabled
 
 
+def _int4_halves(packed, w_s4, dtype):
+    """Nibble-packed int4 codes + group scales -> (lo, hi) half-weights.
+
+    packed: (in//2, out) int8, original row 2i in the low nibble, 2i+1 in
+    the high (ops/quant.pack_int4). Arithmetic shifts sign-extend the
+    4-bit codes. Returns the dequantized even-row and odd-row halves,
+    each (in//2, out) — interleaving them back (stack+reshape) costs an
+    XLA lane relayout that is SLOWER than the matmul it feeds (measured
+    +30% decode time on v5e), so the consumer contracts each half
+    against the matching stride-2 slice of x instead.
+    """
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4).astype(dtype)
+    hi = jnp.right_shift(packed, 4).astype(dtype)
+    n_half, n_out = packed.shape
+    n_groups = w_s4.shape[0]
+    s = w_s4[:, None, :].astype(dtype)
+    rows = n_half // n_groups  # group//2 packed rows per group
+    lo = (lo.reshape(n_groups, rows, n_out) * s).reshape(n_half, n_out)
+    hi = (hi.reshape(n_groups, rows, n_out) * s).reshape(n_half, n_out)
+    return lo, hi
+
+
+def _unpack_int4(packed, w_s4, dtype):
+    """Full dequantized (in, out) weight — for tests/inspection only."""
+    lo, hi = _int4_halves(packed, w_s4, dtype)
+    n_half, n_out = packed.shape
+    return jnp.stack([lo, hi], axis=1).reshape(2 * n_half, n_out)
+
+
 def linear(x, p):
+    if "w_q4" in p:
+        lo, hi = _int4_halves(p["w_q4"], p["w_s4"], x.dtype)
+        # y = x @ w with w rows de-interleaved: even input features hit
+        # the low-nibble half, odd the high-nibble half
+        y = x[..., 0::2] @ lo + x[..., 1::2] @ hi
+        if "b" in p and p["b"] is not None:
+            y = y + p["b"].astype(x.dtype)
+        return y
     if "w_q" in p:
         if _INT8_ACTIVATIONS and jax.devices()[0].platform != "cpu":
             from ..ops.quant_matmul import int8_matmul

@@ -56,8 +56,29 @@ class TranscriptionService:
         beam_size: Optional[int] = None,
         bf16: bool = True,
         kv_int8: bool = True,
+        quant_bits: Optional[int] = None,
+        draft_params=None,
+        draft_cfg: Optional[WhisperConfig] = None,
+        draft_k: int = 4,
         tokenizer: Optional[WhisperTokenizer] = None,
     ):
+        if draft_params is not None and beam_size is not None:
+            raise ValueError(
+                "speculative decoding (draft_params) excludes beam_size"
+            )
+        if draft_params is not None and draft_cfg is None:
+            raise ValueError("draft_params requires draft_cfg")
+        self.draft_params = draft_params
+        self.draft_cfg = draft_cfg
+        self.draft_k = draft_k
+        if quant_bits is not None:
+            # weight-only quantization at startup: int8 halves weight HBM
+            # bytes vs bf16 (4x vs f32); int4 (grouped scales, packed
+            # nibbles) halves them again — the decode loop re-reads all
+            # decoder weights every token, so bytes ~ latency
+            from .ops.quant import quantize_params
+
+            params = quantize_params(params, bits=quant_bits)
         self.params = params
         self.cfg = cfg
         self.batch_size = batch_size
@@ -168,13 +189,40 @@ class TranscriptionService:
                             for g in group
                         ]
                     )
-                    results = decode(
-                        self.params,
-                        self.cfg,
-                        mels,
-                        self.options,
-                        tokenizer=self.tokenizer,
-                    )
+                    if self.draft_params is not None:
+                        # speculative: identical tokens to plain greedy,
+                        # fewer target forwards (decode/speculative.py)
+                        from .decode import speculative_decode
+
+                        draft_mels = None
+                        if self.draft_cfg.n_mels != self.cfg.n_mels:
+                            draft_mels = np.stack(
+                                [
+                                    log_mel_spectrogram(
+                                        g, n_mels=self.draft_cfg.n_mels
+                                    )
+                                    for g in group
+                                ]
+                            )
+                        results = speculative_decode(
+                            self.params,
+                            self.cfg,
+                            self.draft_params,
+                            self.draft_cfg,
+                            mels,
+                            self.options,
+                            draft_k=self.draft_k,
+                            draft_mel=draft_mels,
+                            tokenizer=self.tokenizer,
+                        )
+                    else:
+                        results = decode(
+                            self.params,
+                            self.cfg,
+                            mels,
+                            self.options,
+                            tokenizer=self.tokenizer,
+                        )
                     self._stats["batches"] += 1
                     self._stats["windows"] += n_real
                     for k in range(n_real):

@@ -135,6 +135,8 @@ def bench_speculative(batch=8, draft_k=4, sample_len=64, iters=3,
     from whisper_ipa_tpu.tokenizer import get_tokenizer
 
     cfg = get_config(model)
+    if draft == "ngram":
+        return _bench_ngram(cfg, batch, draft_k, sample_len, iters)
     draft_cfg = get_config(draft)
     if draft_cfg.n_vocab != cfg.n_vocab:
         # e.g. tiny (51865) drafting large-v3 (51866): a real deployment
@@ -240,6 +242,83 @@ def bench_speculative(batch=8, draft_k=4, sample_len=64, iters=3,
         "compiles": [c1, c2, c3, c4],
         "batch": batch,
         "draft_k": K,
+        "device": jax.devices()[0].device_kind,
+    }
+
+
+def _bench_ngram(cfg, batch, draft_k, sample_len, iters):
+    """Model-free n-gram speculation: speedup is MEASURED, not projected —
+    bigram-continuation acceptance is real even on random weights (their
+    output is highly repetitive)."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_ipa_tpu.audio import N_SAMPLES
+    from whisper_ipa_tpu.decode import (
+        DecodingOptions,
+        decode,
+        speculative_decode,
+    )
+    from whisper_ipa_tpu.models import init_params
+    from whisper_ipa_tpu.ops import log_mel_spectrogram_pallas
+    from whisper_ipa_tpu.tokenizer import get_tokenizer
+
+    params = init_params(cfg, seed=0)
+    tokenizer = get_tokenizer(
+        multilingual=True, num_languages=cfg.num_languages, language="en"
+    )
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(
+        rng.standard_normal((batch, N_SAMPLES)).astype(np.float32) * 0.1
+    )
+    mel = jax.jit(lambda a: log_mel_spectrogram_pallas(a, n_mels=cfg.n_mels))(
+        audio
+    )
+    options = DecodingOptions(
+        language="en",
+        without_timestamps=True,
+        sample_len=sample_len,
+        suppress_tokens=[-1, tokenizer.eot],
+        fp16=True,
+    )
+
+    def timed(fn):
+        t0 = time.time()
+        fn()
+        compile_s = time.time() - t0
+        t0 = time.time()
+        for _ in range(iters):
+            fn()
+        return (time.time() - t0) / iters, compile_s
+
+    t_base, c1 = timed(
+        lambda: decode(params, cfg, mel, options, tokenizer=tokenizer)
+    )
+    t_spec, c2 = timed(
+        lambda: speculative_decode(
+            params, cfg, None, None, mel, options,
+            draft_k=draft_k, tokenizer=tokenizer,
+        )
+    )
+    _, stats = speculative_decode(
+        params, cfg, None, None, mel, options,
+        draft_k=draft_k, tokenizer=tokenizer, return_stats=True,
+    )
+    return {
+        "t_base": t_base,
+        "t_tiny": 0.0,
+        "t_self": t_spec,
+        "t_worst": t_spec,
+        "t_verify_round": t_spec / max(stats.rounds, 1),
+        "tok_base_ms": 1000 * t_base / sample_len,
+        "tok_tiny_ms": 0.0,
+        "rounds_self": stats.rounds,
+        "tokens_per_round_self": stats.tokens_per_round,
+        "tokens_per_round_worst": stats.tokens_per_round,
+        "proj_speedup": {"measured": t_base / t_spec},
+        "compiles": [c1, c2],
+        "batch": batch,
+        "draft_k": draft_k,
         "device": jax.devices()[0].device_kind,
     }
 
@@ -366,14 +445,22 @@ def main():
             sample_len=args.sample_len, iters=max(args.iters, 3),
             model=args.model, draft=args.draft,
         )
+        headline = r["proj_speedup"].get(
+            0.8, r["proj_speedup"].get("measured")
+        )
+        metric = (
+            f"speculative decode measured speedup (ngram->{args.model})"
+            if args.draft == "ngram"
+            else "speculative decode projected speedup "
+            f"({args.draft}->{args.model}, acceptance 0.8)"
+        )
         print(
             json.dumps(
                 {
-                    "metric": "speculative decode projected speedup "
-                    f"({args.draft}->{args.model}, acceptance 0.8)",
-                    "value": round(r["proj_speedup"][0.8], 3),
+                    "metric": metric,
+                    "value": round(headline, 3),
                     "unit": "x vs single-step greedy",
-                    "vs_baseline": round(r["proj_speedup"][0.8], 3),
+                    "vs_baseline": round(headline, 3),
                     "tok_base_ms": round(r["tok_base_ms"], 3),
                     "tok_tiny_ms": round(r["tok_tiny_ms"], 3),
                     "t_verify_round_ms": round(

@@ -224,3 +224,52 @@ class TestMultiposStep:
         )
         np.testing.assert_allclose(lb[0], ref0[0], rtol=0, atol=1e-4)
         np.testing.assert_allclose(lb[1], ref1[0], rtol=0, atol=1e-4)
+
+
+class TestNgramDraft:
+    def test_matches_greedy(self, params, mel, tok):
+        ref = decode(params, CFG, mel, OPTIONS, tokenizer=tok)
+        out, stats = speculative_decode(
+            params, CFG, None, None, mel, OPTIONS,
+            draft_k=3, tokenizer=tok, return_stats=True,
+        )
+        assert [r.tokens for r in out] == [r.tokens for r in ref]
+        assert [r.text for r in out] == [r.text for r in ref]
+        assert stats.tokens_per_round >= 1.0
+
+    def test_repetitive_output_accelerates(self, params, tok):
+        """Random-weight models emit repetitive sequences; the bigram
+        lookup must accept at least some continuations on them."""
+        rng = np.random.default_rng(11)
+        mel_b = jnp.asarray(
+            rng.standard_normal((6, N_MEL_FRAMES, CFG.n_mels)).astype(
+                np.float32
+            )
+        )
+        opts = replace(OPTIONS, sample_len=16)
+        ref = decode(params, CFG, mel_b, opts, tokenizer=tok)
+        out, stats = speculative_decode(
+            params, CFG, None, None, mel_b, opts,
+            draft_k=4, tokenizer=tok, return_stats=True,
+        )
+        assert [r.tokens for r in out] == [r.tokens for r in ref]
+        # at least one bigram continuation must have been accepted across
+        # 6 repetitive random-weight sequences
+        assert stats.tokens_per_round > 1.0
+
+    def test_ngram_drafts_helper(self):
+        from whisper_ipa_tpu.decode.speculative import _ngram_drafts
+
+        buf = jnp.asarray(
+            [
+                # bigram (5, 6) last seen at j=1 -> drafts continue 7, 8, 9
+                [4, 5, 6, 7, 8, 9, 5, 6, 0, 0],
+                # no earlier occurrence of (2, 3): repeat last token 3
+                [1, 2, 9, 9, 9, 9, 2, 3, 0, 0],
+            ],
+            jnp.int32,
+        )
+        lens = jnp.asarray([8, 8], jnp.int32)
+        d = np.asarray(_ngram_drafts(buf, lens, 3))
+        assert d[0].tolist() == [7, 8, 9]
+        assert d[1].tolist() == [3, 3, 3]

@@ -73,6 +73,37 @@ class SpeculativeStats:
         return self.emitted_tokens / max(self.rounds * self.batch, 1)
 
 
+def _ngram_drafts(tokens_buf, lens, K: int):
+    """Model-free drafts: continue the latest previous occurrence of the
+    current bigram (prompt-lookup decoding).
+
+    For each element, find the largest j with buf[j] == buf[len-2] and
+    buf[j+1] == buf[len-1] (j + 1 < len - 1), and propose
+    buf[j+2 : j+2+K]. Falls back to repeating the last token when the
+    bigram has not occurred before — verification still guarantees exact
+    greedy output either way.
+    """
+    B, L = tokens_buf.shape
+    idx = jnp.arange(L)
+    last1 = jnp.take_along_axis(
+        tokens_buf, jnp.maximum(lens - 1, 0)[:, None], axis=1
+    )  # (B, 1)
+    last2 = jnp.take_along_axis(
+        tokens_buf, jnp.maximum(lens - 2, 0)[:, None], axis=1
+    )
+    match = (tokens_buf[:, :-1] == last2) & (tokens_buf[:, 1:] == last1)
+    valid = idx[None, :-1] + 1 < (lens - 1)[:, None]
+    score = jnp.where(match & valid, idx[None, :-1], -1)
+    j = jnp.max(score, axis=1)  # (B,), -1 = no earlier occurrence
+    found = j >= 0
+    starts = jnp.where(found, j + 2, 0)
+    gather_idx = jnp.minimum(
+        starts[:, None] + jnp.arange(K)[None, :], L - 1
+    )
+    drafts = jnp.take_along_axis(tokens_buf, gather_idx, axis=1)
+    return jnp.where(found[:, None], drafts, last1)  # (B, K)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -84,6 +115,7 @@ class SpeculativeStats:
         "dtype_name",
         "sot_index",
         "cross_kv_int8",
+        "ngram",
     ),
 )
 def _spec_decode_jit(
@@ -103,6 +135,7 @@ def _spec_decode_jit(
     dtype_name: str = "float32",
     sot_index: int = 0,
     cross_kv_int8: bool = False,
+    ngram: bool = False,
 ):
     """Batched speculative greedy decode under one lax.while_loop."""
     dtype = jnp.dtype(dtype_name)
@@ -114,17 +147,22 @@ def _spec_decode_jit(
         params, cfg, audio_features, max_len=buf_len, dtype=dtype,
         cross_kv_int8=cross_kv_int8,
     )
-    dcache = init_cache(
-        draft_params, draft_cfg, draft_features, max_len=buf_len, dtype=dtype
-    )
+    if ngram:
+        dcache = None
+    else:
+        dcache = init_cache(
+            draft_params, draft_cfg, draft_features, max_len=buf_len,
+            dtype=dtype,
+        )
 
     # consume the prefix in one step (both models)
     prefix_logits, tcache = decode_step(
         params, cfg, prefix_tokens, tcache, 0, dtype=dtype
     )
-    _, dcache = decode_step(
-        draft_params, draft_cfg, prefix_tokens, dcache, 0, dtype=dtype
-    )
+    if not ngram:
+        _, dcache = decode_step(
+            draft_params, draft_cfg, prefix_tokens, dcache, 0, dtype=dtype
+        )
     sot_logits = prefix_logits[:, sot_index]
 
     tokens_buf = jnp.full((B, buf_len), eot, dtype=jnp.int32)
@@ -152,28 +190,33 @@ def _spec_decode_jit(
             emitted_total,
         ) = state
 
-        # -- draft: propose K tokens autoregressively ---------------------
-        def draft_body(carry, _):
-            tok, pos, dcache = carry  # tok (B,), pos (B,) = tok's position
-            logits, dcache = decode_step_multipos(
-                draft_params, draft_cfg, tok[:, None], dcache, pos,
-                dtype=dtype,
-            )
-            lg = logits[:, 0] + suppress_mask
-            # the token being predicted sits at slot pos+1
-            lg = jnp.where(
-                (pos + 1 == n_prefix)[:, None], lg + blank_mask, lg
-            )
-            nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
-            return (nxt, pos + 1, dcache), nxt
+        # -- draft: propose K tokens -------------------------------------
+        if ngram:
+            drafts = _ngram_drafts(tokens_buf, lens, K)  # (B, K)
+        else:
 
-        # K+1 steps: the first K produce d_1..d_K; the extra step only
-        # ingests d_K so its KV is in the draft cache when the next round
-        # starts past it (full acceptance advances the frontier to len+K+1)
-        (_, _, dcache), drafts = jax.lax.scan(
-            draft_body, (last_tok, lens - 1, dcache), None, length=K + 1
-        )
-        drafts = drafts[:K].T  # (B, K)
+            def draft_body(carry, _):
+                tok, pos, dc = carry  # tok (B,), pos (B,) = tok's position
+                logits, dc = decode_step_multipos(
+                    draft_params, draft_cfg, tok[:, None], dc, pos,
+                    dtype=dtype,
+                )
+                lg = logits[:, 0] + suppress_mask
+                # the token being predicted sits at slot pos+1
+                lg = jnp.where(
+                    (pos + 1 == n_prefix)[:, None], lg + blank_mask, lg
+                )
+                nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+                return (nxt, pos + 1, dc), nxt
+
+            # K+1 steps: the first K produce d_1..d_K; the extra step only
+            # ingests d_K so its KV is in the draft cache when the next
+            # round starts past it (full acceptance advances the frontier
+            # to len+K+1)
+            (_, _, dcache), drafts = jax.lax.scan(
+                draft_body, (last_tok, lens - 1, dcache), None, length=K + 1
+            )
+            drafts = drafts[:K].T  # (B, K)
 
         # -- target: verify all K drafts in one (K+1)-query forward -------
         block = jnp.concatenate([last_tok[:, None], drafts], axis=1)
@@ -266,7 +309,7 @@ def speculative_decode(
     params,
     cfg: WhisperConfig,
     draft_params,
-    draft_cfg: WhisperConfig,
+    draft_cfg: Optional[WhisperConfig],
     mel,
     options: DecodingOptions = DecodingOptions(),
     draft_k: int = 4,
@@ -274,19 +317,28 @@ def speculative_decode(
     tokenizer: Optional[WhisperTokenizer] = None,
     return_stats: bool = False,
 ) -> List[DecodingResult]:
-    """Greedy decode `mel` with `params`, accelerated by a draft model.
+    """Greedy decode `mel` with `params`, accelerated by speculation.
 
     The output tokens are exactly what ``decode(params, cfg, mel, options)``
-    would produce at temperature 0 (the draft model only affects speed).
-    ``mel``: (B, 3000, n_mels) for the target model; ``draft_mel`` defaults
-    to ``mel`` and must be supplied when the two models use different mel
-    sizes (e.g. tiny-80 drafting for large-v3-128).
+    would produce at temperature 0 (the draft only affects speed). Two
+    draft sources:
+
+    - a draft MODEL (``draft_params``/``draft_cfg``, e.g. whisper-tiny):
+      K autoregressive draft steps per round. ``mel``: (B, 3000, n_mels)
+      for the target; ``draft_mel`` defaults to ``mel`` and must be
+      supplied when the models use different mel sizes (tiny-80 drafting
+      large-v3-128).
+    - ``draft_params=None``: model-free n-gram lookup (prompt-lookup
+      decoding) — drafts continue the latest previous occurrence of the
+      current bigram in the generated tokens. Zero draft cost; pays off
+      on repetitive output.
 
     Requires greedy decoding without timestamps: ``temperature == 0``,
     ``without_timestamps=True``, no beam/best_of. The timestamp grammar is
     stateful across positions, which conflicts with block verification;
     transcription evaluation (the hot serving path) runs without timestamps.
     """
+    ngram = draft_params is None
     if options.temperature != 0.0:
         raise ValueError("speculative_decode requires temperature == 0")
     if not options.without_timestamps:
@@ -295,7 +347,9 @@ def speculative_decode(
         )
     if options.beam_size is not None or options.best_of is not None:
         raise ValueError("speculative_decode excludes beam_size/best_of")
-    if draft_cfg.n_vocab != cfg.n_vocab or (
+    if ngram:
+        draft_cfg = cfg  # context-length bookkeeping only
+    elif draft_cfg.n_vocab != cfg.n_vocab or (
         draft_cfg.multilingual != cfg.multilingual
     ):
         raise ValueError(
@@ -316,24 +370,26 @@ def speculative_decode(
     mel = jnp.asarray(mel)
     if mel.ndim == 2:
         mel = mel[None]
-    if draft_mel is None:
-        if draft_cfg.n_mels != cfg.n_mels:
-            raise ValueError(
-                "draft_mel is required when the models use different mel "
-                f"sizes ({draft_cfg.n_mels} vs {cfg.n_mels})"
-            )
-        draft_mel = mel
-    else:
-        draft_mel = jnp.asarray(draft_mel)
-        if draft_mel.ndim == 2:
-            draft_mel = draft_mel[None]
-
     audio_features = jax.jit(encode, static_argnames=("cfg", "dtype"))(
         params, cfg, mel, dtype=dtype
     )
-    draft_features = jax.jit(encode, static_argnames=("cfg", "dtype"))(
-        draft_params, draft_cfg, draft_mel, dtype=dtype
-    )
+
+    draft_features = None
+    if not ngram:
+        if draft_mel is None:
+            if draft_cfg.n_mels != cfg.n_mels:
+                raise ValueError(
+                    "draft_mel is required when the models use different "
+                    f"mel sizes ({draft_cfg.n_mels} vs {cfg.n_mels})"
+                )
+            draft_mel = mel
+        else:
+            draft_mel = jnp.asarray(draft_mel)
+            if draft_mel.ndim == 2:
+                draft_mel = draft_mel[None]
+        draft_features = jax.jit(encode, static_argnames=("cfg", "dtype"))(
+            draft_params, draft_cfg, draft_mel, dtype=dtype
+        )
 
     prefix = initial_tokens(tokenizer, options)
     n_prefix = len(prefix)
@@ -383,6 +439,7 @@ def speculative_decode(
         dtype_name=jnp.dtype(dtype).name,
         sot_index=sot_index,
         cross_kv_int8=options.kv_int8,
+        ngram=ngram,
     )
 
     tokens_np = np.asarray(tokens_buf)

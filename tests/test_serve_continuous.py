@@ -1,0 +1,126 @@
+"""Continuous (in-flight) batching engine tests.
+
+The load-bearing invariant: a request that joins a RUNNING batch decodes
+exactly the same tokens as a standalone greedy decode — joins re-feed
+active slots' frontier tokens (identical-KV rewrites) and never disturb
+them.
+"""
+
+import time
+from dataclasses import replace
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from whisper_ipa_tpu.config import CONFIGS
+from whisper_ipa_tpu.decode import DecodingOptions, decode
+from whisper_ipa_tpu.models import init_params
+from whisper_ipa_tpu.serve_continuous import ContinuousBatcher
+from whisper_ipa_tpu.tokenizer import get_tokenizer
+
+# full 30 s audio window contract, tiny transformer dims (fast CPU compile)
+CFG = replace(
+    CONFIGS["test-tiny"],
+    n_audio_state=32,
+    n_audio_head=2,
+    n_audio_layer=1,
+    n_text_state=32,
+    n_text_head=2,
+    n_text_layer=1,
+    n_text_ctx=24,
+)
+MAX_NEW = 8
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(CFG, seed=0)
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return get_tokenizer(multilingual=True, language="en")
+
+
+@pytest.fixture(scope="module")
+def engine(params, tok):
+    eng = ContinuousBatcher(
+        params,
+        CFG,
+        slots=2,
+        max_new_tokens=MAX_NEW,
+        steps_per_sync=2,
+        language="en",
+        tokenizer=tok,
+    )
+    yield eng
+    eng.close()
+
+
+def reference_tokens(params, audio, tok):
+    """Standalone greedy decode of the same 30 s window."""
+    from whisper_ipa_tpu.audio import log_mel_spectrogram, pad_or_trim
+
+    mel = log_mel_spectrogram(
+        pad_or_trim(np.asarray(audio, np.float32)), n_mels=CFG.n_mels
+    )
+    res = decode(
+        params,
+        CFG,
+        jnp.asarray(mel)[None],
+        DecodingOptions(
+            language="en", without_timestamps=True, sample_len=MAX_NEW
+        ),
+        tokenizer=tok,
+    )
+    return res[0].tokens
+
+
+def test_single_request_matches_plain_greedy(engine, params, tok):
+    audio = (
+        np.random.default_rng(0).standard_normal(16000).astype(np.float32)
+        * 0.1
+    )
+    out = engine.transcribe(audio, timeout=600)
+    assert out["tokens"] == reference_tokens(params, audio, tok)
+    assert out["latency_sec"] > 0
+
+
+def test_join_does_not_disturb_running_request(engine, params, tok):
+    rng = np.random.default_rng(1)
+    a1 = rng.standard_normal(16000).astype(np.float32) * 0.1
+    a2 = rng.standard_normal(16000).astype(np.float32) * 0.1
+    f1 = engine.submit(a1)
+    time.sleep(0.05)  # let a1 start decoding before a2 joins
+    f2 = engine.submit(a2)
+    r1 = f1.result(timeout=600)
+    r2 = f2.result(timeout=600)
+    assert r1["tokens"] == reference_tokens(params, a1, tok)
+    assert r2["tokens"] == reference_tokens(params, a2, tok)
+
+
+def test_more_requests_than_slots(engine, params, tok):
+    rng = np.random.default_rng(2)
+    audios = [
+        rng.standard_normal(16000).astype(np.float32) * 0.1
+        for _ in range(5)
+    ]
+    futs = [engine.submit(a) for a in audios]
+    results = [f.result(timeout=600) for f in futs]
+    for a, r in zip(audios, results):
+        assert r["tokens"] == reference_tokens(params, a, tok)
+    assert engine.stats()["requests"] >= 5
+
+
+def test_token_streaming_callback(engine):
+    audio = (
+        np.random.default_rng(3).standard_normal(16000).astype(np.float32)
+        * 0.1
+    )
+    seen = []
+    out = engine.submit(audio, on_token=seen.append).result(timeout=600)
+    assert [s["token"] for s in seen] == out["tokens"]
+    if seen:
+        assert seen[-1]["text_so_far"] == out["text"]

@@ -124,3 +124,60 @@ def test_token_streaming_callback(engine):
     assert [s["token"] for s in seen] == out["tokens"]
     if seen:
         assert seen[-1]["text_so_far"] == out["text"]
+
+
+def test_http_server_over_continuous_engine(engine):
+    """cli.serve --continuous: the HTTP handler drives the engine,
+    including NDJSON token streaming via the on_partial alias."""
+    import io
+    import json as _json
+    import threading
+    import urllib.request
+    import wave
+    from http.server import ThreadingHTTPServer
+
+    from whisper_ipa_tpu.cli.serve import make_handler
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(engine))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(
+                (
+                    np.random.default_rng(4)
+                    .standard_normal(8000) * 3000
+                )
+                .astype(np.int16)
+                .tobytes()
+            )
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/transcribe",
+            data=buf.getvalue(),
+            headers={"Content-Type": "audio/wav"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            payload = _json.loads(r.read())
+        assert "text" in payload and "tokens" in payload
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/transcribe_stream",
+            data=buf.getvalue(),
+            headers={"Content-Type": "audio/wav"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            lines = [
+                _json.loads(ln) for ln in r.read().splitlines() if ln
+            ]
+        assert "final" in lines[-1]
+        partials = [ln for ln in lines if "partial" in ln]
+        if payload["tokens"]:
+            assert partials  # one NDJSON line per decoded token
+            assert "token" in partials[0]["partial"]
+    finally:
+        server.shutdown()

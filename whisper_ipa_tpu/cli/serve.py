@@ -115,6 +115,13 @@ def main(argv=None):
     p.add_argument("--draft-weights", default=None)
     p.add_argument("--draft-k", type=int, default=4)
     p.add_argument(
+        "--continuous", action="store_true",
+        help="in-flight batching engine (serve_continuous): requests join "
+        "a running batch; per-token streaming; single 30 s window each",
+    )
+    p.add_argument("--max-new-tokens", type=int, default=128)
+    p.add_argument("--steps-per-sync", type=int, default=4)
+    p.add_argument(
         "--warmup",
         action="store_true",
         help="Run one dummy batch before binding (absorbs XLA compiles)",
@@ -139,18 +146,38 @@ def main(argv=None):
             args.draft_model, draft_cfg, args.draft_weights
         )
 
-    service = TranscriptionService(
-        params,
-        cfg,
-        batch_size=args.batch_size,
-        max_wait_ms=args.max_wait_ms,
-        language=args.language,
-        beam_size=args.beam_size,
-        quant_bits=args.quant_bits,
-        draft_params=draft_params,
-        draft_cfg=draft_cfg,
-        draft_k=args.draft_k,
-    )
+    if args.continuous:
+        from ..serve_continuous import ContinuousBatcher
+
+        if args.beam_size or draft_params is not None:
+            raise SystemExit(
+                "--continuous is greedy-only (no --beam-size/--draft-model)"
+            )
+        if args.quant_bits is not None:
+            from ..ops.quant import quantize_params
+
+            params = quantize_params(params, bits=args.quant_bits)
+        service = ContinuousBatcher(
+            params,
+            cfg,
+            slots=args.batch_size,
+            max_new_tokens=args.max_new_tokens,
+            steps_per_sync=args.steps_per_sync,
+            language=args.language,
+        )
+    else:
+        service = TranscriptionService(
+            params,
+            cfg,
+            batch_size=args.batch_size,
+            max_wait_ms=args.max_wait_ms,
+            language=args.language,
+            beam_size=args.beam_size,
+            quant_bits=args.quant_bits,
+            draft_params=draft_params,
+            draft_cfg=draft_cfg,
+            draft_k=args.draft_k,
+        )
     if args.warmup:
         import numpy as np
 

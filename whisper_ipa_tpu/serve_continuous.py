@@ -248,12 +248,16 @@ class ContinuousBatcher:
         self,
         audio,
         on_token: Optional[Callable[[dict], None]] = None,
+        on_partial: Optional[Callable[[dict], None]] = None,
     ) -> Future:
         """Submit one utterance (path or waveform, first 30 s window).
 
         on_token: called from the engine thread with
         {"token", "text_so_far"} per decoded token (token streaming).
+        on_partial is an alias accepted for interface parity with
+        serve.TranscriptionService (the HTTP stream handler uses it).
         """
+        on_token = on_token or on_partial
         if isinstance(audio, str):
             audio = load_audio(audio)
         audio = pad_or_trim(np.asarray(audio, np.float32)[:N_SAMPLES])

@@ -323,6 +323,71 @@ def _bench_ngram(cfg, batch, draft_k, sample_len, iters):
     }
 
 
+def bench_continuous(slots=8, n_requests=32, sample_len=48,
+                     steps_per_sync=4, model="small"):
+    """Continuous-batching engine under staggered load on the real chip.
+
+    Submits n_requests with small arrival jitter and reports end-to-end
+    token throughput, median/p90 request latency, and queue (join) delay.
+    EOT is suppressed so every request decodes sample_len tokens.
+    """
+    import jax.numpy as jnp
+
+    from whisper_ipa_tpu.audio import N_SAMPLES
+    from whisper_ipa_tpu.config import get_config
+    from whisper_ipa_tpu.models import init_params
+    from whisper_ipa_tpu.serve_continuous import ContinuousBatcher
+    from whisper_ipa_tpu.tokenizer import get_tokenizer
+
+    cfg = get_config(model)
+    params = init_params(cfg, seed=0)
+    tokenizer = get_tokenizer(
+        multilingual=True, num_languages=cfg.num_languages, language="en"
+    )
+    eng = ContinuousBatcher(
+        params, cfg, slots=slots, max_new_tokens=sample_len,
+        steps_per_sync=steps_per_sync, language="en", bf16=True,
+        tokenizer=tokenizer,
+    )
+    # suppress EOT so every request runs the full budget (worst case)
+    eng.suppress = eng.suppress.at[tokenizer.eot].set(-np.inf)
+
+    rng = np.random.default_rng(0)
+    audios = [
+        rng.standard_normal(N_SAMPLES).astype(np.float32) * 0.1
+        for _ in range(n_requests)
+    ]
+    # warmup: compile encode/join/chunk programs
+    eng.transcribe(audios[0], timeout=3000)
+
+    t0 = time.time()
+    futs = []
+    for a in audios:
+        futs.append(eng.submit(a))
+        time.sleep(0.01)  # staggered arrivals
+    results = [f.result(timeout=3000) for f in futs]
+    elapsed = time.time() - t0
+    eng.close()
+
+    tokens = sum(len(r["tokens"]) for r in results)
+    lats = sorted(r["latency_sec"] for r in results)
+    queues = sorted(r["queue_sec"] for r in results)
+    import jax
+
+    return {
+        "tokens_per_sec": tokens / elapsed,
+        "requests_per_sec": n_requests / elapsed,
+        "latency_p50": lats[len(lats) // 2],
+        "latency_p90": lats[int(len(lats) * 0.9)],
+        "queue_p50": queues[len(queues) // 2],
+        "elapsed": elapsed,
+        "slots": slots,
+        "n_requests": n_requests,
+        "sample_len": sample_len,
+        "device": jax.devices()[0].device_kind,
+    }
+
+
 def bench_train(batch, token_len=48, iters=20, dtype="bfloat16",
                 cached_features=False):
     """Train-step throughput + MFU (decoder fine-tune, frozen encoder).
@@ -411,6 +476,10 @@ def main():
         "--speculative", action="store_true",
         help="measure speculative-decode economics (tiny drafting small)",
     )
+    ap.add_argument(
+        "--continuous", action="store_true",
+        help="measure the in-flight batching engine under staggered load",
+    )
     ap.add_argument("--draft-k", type=int, default=4)
     ap.add_argument("--draft", default="tiny",
                     help="draft model for --speculative")
@@ -437,6 +506,39 @@ def main():
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+    if args.continuous:
+        slots = args.batch if args.batch != HEADLINE_BATCH else 8
+        r = bench_continuous(
+            slots=slots,
+            sample_len=args.sample_len if args.sample_len != SAMPLE_LEN
+            else 48,
+            model=args.model,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "continuous batching token throughput "
+                    f"(whisper-{args.model}, {r['slots']} slots)",
+                    "value": round(r["tokens_per_sec"], 1),
+                    "unit": "tokens/s",
+                    "vs_baseline": None,
+                    "latency_p50_s": round(r["latency_p50"], 3),
+                    "latency_p90_s": round(r["latency_p90"], 3),
+                    "queue_p50_s": round(r["queue_p50"], 3),
+                    "requests_per_sec": round(r["requests_per_sec"], 2),
+                    "sample_len": r["sample_len"],
+                    "note": "staggered arrivals join a running batch; "
+                    "EOT suppressed (full-length worst case)",
+                }
+            )
+        )
+        print(
+            f"# elapsed={r['elapsed']:.2f}s n={r['n_requests']} "
+            f"device={r['device']}",
+            file=sys.stderr,
+        )
+        return
 
     if args.speculative:
         batch = args.batch if args.batch != HEADLINE_BATCH else 8

@@ -181,3 +181,17 @@ def test_http_server_over_continuous_engine(engine):
             assert "token" in partials[0]["partial"]
     finally:
         server.shutdown()
+
+
+def test_long_audio_chains_windows(engine, params, tok):
+    """Audio longer than 30 s decodes window-by-window in the engine,
+    matching per-window standalone greedy decodes."""
+    from whisper_ipa_tpu.audio import N_SAMPLES
+
+    rng = np.random.default_rng(5)
+    audio = rng.standard_normal(N_SAMPLES + 16000).astype(np.float32) * 0.1
+    out = engine.transcribe(audio, timeout=600)
+    assert out["n_windows"] == 2
+    w0 = reference_tokens(params, audio[:N_SAMPLES], tok)
+    w1 = reference_tokens(params, audio[N_SAMPLES:], tok)
+    assert out["tokens"] == w0 + w1

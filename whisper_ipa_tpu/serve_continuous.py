@@ -165,10 +165,20 @@ def _decode_chunk(
 @dataclass
 class _Slot:
     future: Optional[Future] = None
-    tokens: List[int] = field(default_factory=list)
+    tokens: List[int] = field(default_factory=list)  # current window
+    window_tokens: List[List[int]] = field(default_factory=list)
+    windows: List[np.ndarray] = field(default_factory=list)  # remaining
+    truncated: bool = False
     submitted_at: float = 0.0
     started_at: float = 0.0
     on_token: Optional[Callable[[dict], None]] = None
+
+    def all_tokens(self) -> List[int]:
+        out: List[int] = []
+        for w in self.window_tokens:
+            out.extend(w)
+        out.extend(self.tokens)
+        return out
 
 
 class ContinuousBatcher:
@@ -237,6 +247,8 @@ class ContinuousBatcher:
 
         self._slots: List[Optional[_Slot]] = [None] * slots
         self._queue: "queue.Queue" = queue.Queue()  # (slot, audio) pairs
+        # finished-window requests waiting to rejoin for their next window
+        self._continuations: List[tuple] = []
         self._stop = threading.Event()
         self._stats = {"requests": 0, "joins": 0, "chunks": 0}
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -260,12 +272,19 @@ class ContinuousBatcher:
         on_token = on_token or on_partial
         if isinstance(audio, str):
             audio = load_audio(audio)
-        audio = pad_or_trim(np.asarray(audio, np.float32)[:N_SAMPLES])
+        audio = np.asarray(audio, np.float32)
+        windows = [
+            pad_or_trim(audio[s : s + N_SAMPLES])
+            for s in range(0, max(len(audio), 1), N_SAMPLES)
+        ]
         fut: Future = Future()
         slot = _Slot(
-            future=fut, submitted_at=time.time(), on_token=on_token
+            future=fut,
+            windows=windows[1:],
+            submitted_at=time.time(),
+            on_token=on_token,
         )
-        self._queue.put((slot, audio))
+        self._queue.put((slot, windows[0]))
         self._stats["requests"] += 1
         return fut
 
@@ -285,14 +304,22 @@ class ContinuousBatcher:
         return [i for i, s in enumerate(self._slots) if s is None]
 
     def _admit(self) -> bool:
-        """Join queued requests into free slots. Returns True if any."""
+        """Join queued requests into free slots. Returns True if any.
+
+        Window continuations (long audio) are admitted before new
+        requests so an in-progress utterance never starves behind
+        fresh arrivals.
+        """
         free = self._free_slots()
         joiners = []
-        while free and not self._queue.empty():
-            try:
-                slot_state, audio = self._queue.get_nowait()
-            except queue.Empty:
-                break
+        while free and (self._continuations or not self._queue.empty()):
+            if self._continuations:
+                slot_state, audio = self._continuations.pop(0)
+            else:
+                try:
+                    slot_state, audio = self._queue.get_nowait()
+                except queue.Empty:
+                    break
             i = free.pop(0)
             mel = log_mel_spectrogram(audio, n_mels=self.cfg.n_mels)
             feats = _encode_one(
@@ -304,7 +331,8 @@ class ContinuousBatcher:
                 dtype_name=self.dtype_name, cross_kv_int8=self.kv_int8,
             )
             self.cache = _scatter_slot(self.cache, one, i)
-            slot_state.started_at = time.time()
+            if not slot_state.started_at:
+                slot_state.started_at = time.time()
             self._slots[i] = slot_state
             joiners.append(i)
 
@@ -348,20 +376,31 @@ class ContinuousBatcher:
         return True
 
     def _retire(self, i: int, budget_hit: bool):
+        """Finish the current window; chain the next or resolve."""
         s = self._slots[i]
         if s is None:
             return
-        text = self.tokenizer.decode_text(s.tokens).strip()
+        s.truncated = s.truncated or budget_hit
+        s.window_tokens.append(list(s.tokens))
+        s.tokens = []
+        self._slots[i] = None
+        if s.windows:
+            # long audio: requeue this request for its next 30 s window
+            # (the slot is freed — another request may use it meanwhile)
+            self._continuations.append((s, s.windows.pop(0)))
+            return
+        tokens = s.all_tokens()
+        text = self.tokenizer.decode_text(tokens).strip()
         s.future.set_result(
             {
                 "text": text,
-                "tokens": list(s.tokens),
+                "tokens": tokens,
+                "n_windows": len(s.window_tokens),
                 "latency_sec": time.time() - s.submitted_at,
                 "queue_sec": s.started_at - s.submitted_at,
-                "truncated": budget_hit,
+                "truncated": s.truncated,
             }
         )
-        self._slots[i] = None
 
     def _loop(self):
         while not self._stop.is_set():
@@ -408,8 +447,9 @@ class ContinuousBatcher:
                             s.on_token(
                                 {
                                     "token": int(t),
+                                    "window": len(s.window_tokens),
                                     "text_so_far": self.tokenizer
-                                    .decode_text(s.tokens),
+                                    .decode_text(s.all_tokens()),
                                 }
                             )
                         except Exception:

@@ -195,3 +195,50 @@ def test_long_audio_chains_windows(engine, params, tok):
     w0 = reference_tokens(params, audio[:N_SAMPLES], tok)
     w1 = reference_tokens(params, audio[N_SAMPLES:], tok)
     assert out["tokens"] == w0 + w1
+
+
+@pytest.fixture(scope="module")
+def spec_engine(params, tok):
+    """Engine with in-flight n-gram speculation (draft_k=3)."""
+    eng = ContinuousBatcher(
+        params,
+        CFG,
+        slots=2,
+        max_new_tokens=MAX_NEW,
+        steps_per_sync=2,
+        language="en",
+        draft_k=3,
+        tokenizer=tok,
+    )
+    yield eng
+    eng.close()
+
+
+def test_speculative_engine_matches_plain_greedy(spec_engine, params, tok):
+    """draft_k > 0 changes the schedule (1..K+1 tokens per device round),
+    never the tokens: output is identical to standalone greedy decode."""
+    audio = (
+        np.random.default_rng(6).standard_normal(16000).astype(np.float32)
+        * 0.1
+    )
+    out = spec_engine.transcribe(audio, timeout=600)
+    assert out["tokens"] == reference_tokens(params, audio, tok)
+    st = spec_engine.stats()
+    assert st["spec_rounds"] > 0
+    # every round emits at least the correction token for active slots
+    assert st["spec_emitted"] >= len(out["tokens"])
+
+
+def test_speculative_engine_join_and_streaming(spec_engine, params, tok):
+    rng = np.random.default_rng(7)
+    a1 = rng.standard_normal(16000).astype(np.float32) * 0.1
+    a2 = rng.standard_normal(16000).astype(np.float32) * 0.1
+    seen = []
+    f1 = spec_engine.submit(a1, on_token=seen.append)
+    time.sleep(0.02)
+    f2 = spec_engine.submit(a2)
+    r1 = f1.result(timeout=600)
+    r2 = f2.result(timeout=600)
+    assert r1["tokens"] == reference_tokens(params, a1, tok)
+    assert r2["tokens"] == reference_tokens(params, a2, tok)
+    assert [s["token"] for s in seen] == r1["tokens"]

@@ -140,7 +140,7 @@ def main(argv=None):
         print(f"Loaded {n} decoder tensors from {args.checkpoint}")
 
     draft_params = draft_cfg = None
-    if args.draft_model:
+    if args.draft_model and args.draft_model != "ngram":
         draft_cfg = get_config(args.draft_model)
         draft_params = load_or_init_params(
             args.draft_model, draft_cfg, args.draft_weights
@@ -151,7 +151,8 @@ def main(argv=None):
 
         if args.beam_size or draft_params is not None:
             raise SystemExit(
-                "--continuous is greedy-only (no --beam-size/--draft-model)"
+                "--continuous is greedy-only; the only draft source it "
+                "supports is --draft-model ngram (prompt-lookup)"
             )
         if args.quant_bits is not None:
             from ..ops.quant import quantize_params
@@ -164,6 +165,7 @@ def main(argv=None):
             max_new_tokens=args.max_new_tokens,
             steps_per_sync=args.steps_per_sync,
             language=args.language,
+            draft_k=args.draft_k if args.draft_model == "ngram" else 0,
         )
     else:
         service = TranscriptionService(

@@ -162,6 +162,64 @@ def _decode_chunk(
     return cache, last_tok, lens, finished, toks
 
 
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "n_prefix", "dtype_name"),
+    donate_argnames=("cache",),
+)
+def _verify_chunk(
+    params,
+    cfg: WhisperConfig,
+    cache: DecoderCache,
+    tok_block,  # (B, K+1): [frontier token, draft_1..draft_K] per slot
+    pos,  # (B,): frontier position (lens - 1)
+    lens,  # (B,): for blank-mask placement
+    suppress_mask,
+    blank_mask,
+    n_prefix: int,
+    dtype_name="float32",
+):
+    """One speculative verification pass over the persistent batch.
+
+    Feeds each slot's frontier token plus K drafted continuations in a
+    single (K+1)-query forward and returns the greedy next token at every
+    position. Position j's logits are valid iff drafts[0..j-1] all
+    matched — the host accepts the longest such run (plus the correction
+    token), exactly the contract of decode/speculative.py. Rejected
+    positions leave stale K/V in the cache, which the next round's
+    frontier re-feed overwrites before anything can attend to it (the
+    causal mask hides indices past each slot's accepted length).
+    """
+    dtype = jnp.dtype(dtype_name)
+    logits, cache = decode_step_multipos(
+        params, cfg, tok_block, cache, pos, dtype=dtype
+    )
+    lg = logits + suppress_mask  # (B, K+1, V)
+    # position j outputs token index lens + j; blank suppression applies
+    # to the first content token (index n_prefix) only
+    out_idx = lens[:, None] + jnp.arange(tok_block.shape[1])[None, :]
+    lg = jnp.where((out_idx == n_prefix)[..., None], lg + blank_mask, lg)
+    greedy = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+    return cache, greedy
+
+
+def _ngram_draft_host(hist: List[int], K: int) -> List[int]:
+    """Model-free prompt-lookup draft (host-side mirror of
+    decode.speculative._ngram_drafts): continue the most recent earlier
+    occurrence of the current bigram; repeat the last token when the
+    bigram is novel. Verification makes any draft source exact."""
+    n = len(hist)
+    if n >= 2:
+        b0, b1 = hist[-2], hist[-1]
+        for j in range(n - 3, -1, -1):
+            if hist[j] == b0 and hist[j + 1] == b1:
+                cont = hist[j + 2 : j + 2 + K]
+                if cont:
+                    return (cont + [hist[-1]] * K)[:K]
+                break
+    return [hist[-1]] * K
+
+
 @dataclass
 class _Slot:
     future: Optional[Future] = None
@@ -200,6 +258,7 @@ class ContinuousBatcher:
         language: str = "en",
         bf16: bool = False,
         kv_int8: bool = False,
+        draft_k: int = 0,
         tokenizer: Optional[WhisperTokenizer] = None,
     ):
         self.params = params
@@ -207,6 +266,7 @@ class ContinuousBatcher:
         self.slots = slots
         self.max_new = max_new_tokens
         self.steps_per_sync = steps_per_sync
+        self.draft_k = draft_k
         self.dtype_name = "bfloat16" if bf16 else "float32"
         self.kv_int8 = kv_int8
         self.tokenizer = tokenizer or get_tokenizer(
@@ -219,10 +279,14 @@ class ContinuousBatcher:
         )
         self.prefix = initial_tokens(self.tokenizer, options)
         self.n_prefix = len(self.prefix)
+        # draft_k > 0 needs K cache/position headroom past the frontier
+        # for the (K+1)-wide verification block
         self.n_ctx = min(
-            self.n_prefix + self.max_new + 1, cfg.n_text_ctx
+            self.n_prefix + self.max_new + 1,
+            cfg.n_text_ctx - draft_k,
         )
         self.max_new = self.n_ctx - self.n_prefix - 1
+        self._cache_len = self.n_ctx + draft_k
         self.suppress = jnp.asarray(
             build_suppress_mask(self.tokenizer, options, cfg.n_vocab)
         )
@@ -237,7 +301,7 @@ class ContinuousBatcher:
             jnp.dtype(self.dtype_name),
         )
         self.cache = init_cache(
-            params, cfg, dummy, max_len=self.n_ctx,
+            params, cfg, dummy, max_len=self._cache_len,
             dtype=jnp.dtype(self.dtype_name), cross_kv_int8=kv_int8,
         )
         self.last_tok = jnp.full((slots,), self.eot, jnp.int32)
@@ -250,7 +314,10 @@ class ContinuousBatcher:
         # finished-window requests waiting to rejoin for their next window
         self._continuations: List[tuple] = []
         self._stop = threading.Event()
-        self._stats = {"requests": 0, "joins": 0, "chunks": 0}
+        self._stats = {
+            "requests": 0, "joins": 0, "chunks": 0,
+            "spec_rounds": 0, "spec_emitted": 0,
+        }
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -402,6 +469,82 @@ class ContinuousBatcher:
             }
         )
 
+    def _spec_round(self, active: List[int]):
+        """One speculative verification round (draft_k > 0).
+
+        Each slot's bigram prompt-lookup draft rides along with its
+        frontier re-feed in a single (K+1)-query device call; the host
+        accepts the longest matching run plus the correction token —
+        output is token-identical to the plain greedy engine, 1..K+1
+        tokens per round per slot instead of always 1.
+        """
+        K = self.draft_k
+        B = self.slots
+        lens_np = np.asarray(self.lens).copy()
+        last_np = np.asarray(self.last_tok).copy()
+        tok_block = np.repeat(last_np[:, None], K + 1, axis=1).astype(
+            np.int32
+        )
+        drafts = np.zeros((B, K), np.int32)
+        for b in active:
+            hist = list(self.prefix) + self._slots[b].tokens
+            d = _ngram_draft_host(hist, K)
+            drafts[b] = d
+            tok_block[b, 1:] = d
+        self.cache, greedy = _verify_chunk(
+            self.params, self.cfg, self.cache,
+            jnp.asarray(tok_block),
+            jnp.asarray(np.maximum(lens_np - 1, 0).astype(np.int32)),
+            jnp.asarray(lens_np),
+            self.suppress, self.blank, self.n_prefix,
+            dtype_name=self.dtype_name,
+        )
+        greedy_np = np.asarray(greedy)  # (B, K+1) — the host sync
+        self._stats["chunks"] += 1
+        self._stats["spec_rounds"] += 1
+        for b in active:
+            s = self._slots[b]
+            emitted: List[int] = []
+            done = False
+            for j in range(K + 1):
+                t = int(greedy_np[b, j])
+                if t == self.eot:
+                    done = True
+                    break
+                emitted.append(t)
+                if j < K and int(drafts[b, j]) != t:
+                    break  # t is the correction; later logits invalid
+            room = self.max_new - (int(lens_np[b]) - self.n_prefix)
+            budget_hit = False
+            if len(emitted) >= room:
+                emitted = emitted[:room]
+                budget_hit = True
+            self._stats["spec_emitted"] += len(emitted)
+            for t in emitted:
+                s.tokens.append(t)
+                if s.on_token is not None:
+                    try:
+                        s.on_token(
+                            {
+                                "token": t,
+                                "window": len(s.window_tokens),
+                                "text_so_far": self.tokenizer
+                                .decode_text(s.all_tokens()),
+                            }
+                        )
+                    except Exception:
+                        pass
+            lens_np[b] += len(emitted)
+            if emitted:
+                last_np[b] = emitted[-1]
+            if done or budget_hit:
+                self._retire(b, budget_hit and not done)
+        self.lens = jnp.asarray(lens_np)
+        self.last_tok = jnp.asarray(last_np)
+        self.finished = jnp.asarray(
+            np.array([self._slots[i] is None for i in range(B)])
+        )
+
     def _loop(self):
         while not self._stop.is_set():
             admitted = self._admit()
@@ -409,6 +552,10 @@ class ContinuousBatcher:
             if not active:
                 if not admitted:
                     time.sleep(0.002)
+                continue
+
+            if self.draft_k > 0:
+                self._spec_round(active)
                 continue
 
             (

@@ -324,7 +324,7 @@ def _bench_ngram(cfg, batch, draft_k, sample_len, iters):
 
 
 def bench_continuous(slots=8, n_requests=32, sample_len=48,
-                     steps_per_sync=4, model="small"):
+                     steps_per_sync=4, model="small", draft_k=0):
     """Continuous-batching engine under staggered load on the real chip.
 
     Submits n_requests with small arrival jitter and reports end-to-end
@@ -347,7 +347,7 @@ def bench_continuous(slots=8, n_requests=32, sample_len=48,
     eng = ContinuousBatcher(
         params, cfg, slots=slots, max_new_tokens=sample_len,
         steps_per_sync=steps_per_sync, language="en", bf16=True,
-        tokenizer=tokenizer,
+        draft_k=draft_k, tokenizer=tokenizer,
     )
     # suppress EOT so every request runs the full budget (worst case)
     eng.suppress = eng.suppress.at[tokenizer.eot].set(-np.inf)
@@ -374,6 +374,7 @@ def bench_continuous(slots=8, n_requests=32, sample_len=48,
     queues = sorted(r["queue_sec"] for r in results)
     import jax
 
+    st = eng.stats()
     return {
         "tokens_per_sec": tokens / elapsed,
         "requests_per_sec": n_requests / elapsed,
@@ -384,6 +385,11 @@ def bench_continuous(slots=8, n_requests=32, sample_len=48,
         "slots": slots,
         "n_requests": n_requests,
         "sample_len": sample_len,
+        "draft_k": draft_k,
+        "tokens_per_round": (
+            st["spec_emitted"] / st["spec_rounds"]
+            if st.get("spec_rounds") else None
+        ),
         "device": jax.devices()[0].device_kind,
     }
 
@@ -509,17 +515,21 @@ def main():
 
     if args.continuous:
         slots = args.batch if args.batch != HEADLINE_BATCH else 8
+        draft_k = args.draft_k if args.draft == "ngram" else 0
         r = bench_continuous(
             slots=slots,
             sample_len=args.sample_len if args.sample_len != SAMPLE_LEN
             else 48,
             model=args.model,
+            draft_k=draft_k,
         )
         print(
             json.dumps(
                 {
                     "metric": "continuous batching token throughput "
-                    f"(whisper-{args.model}, {r['slots']} slots)",
+                    f"(whisper-{args.model}, {r['slots']} slots"
+                    + (f", ngram draft K={draft_k}" if draft_k else "")
+                    + ")",
                     "value": round(r["tokens_per_sec"], 1),
                     "unit": "tokens/s",
                     "vs_baseline": None,
@@ -528,6 +538,10 @@ def main():
                     "queue_p50_s": round(r["queue_p50"], 3),
                     "requests_per_sec": round(r["requests_per_sec"], 2),
                     "sample_len": r["sample_len"],
+                    "tokens_per_round_batchwide": (
+                        round(r["tokens_per_round"], 2)
+                        if r["tokens_per_round"] else None
+                    ),
                     "note": "staggered arrivals join a running batch; "
                     "EOT suppressed (full-length worst case)",
                 }

@@ -255,3 +255,62 @@ class TestSpeculativeService:
                 params, CFG, beam_size=2,
                 draft_params=params, draft_cfg=CFG,
             )
+
+
+class TestShardedService:
+    """Multi-chip serving over the virtual 8-device mesh (GSPMD)."""
+
+    def test_dp_tp_service_matches_single_device(self):
+        from whisper_ipa_tpu.parallel.mesh import make_mesh
+
+        params = init_params(CFG, seed=0)
+        audio = (
+            np.random.default_rng(11)
+            .standard_normal(16000)
+            .astype(np.float32)
+            * 0.1
+        )
+        plain = TranscriptionService(
+            params, CFG, batch_size=4, max_wait_ms=10.0,
+            language="en", bf16=False,
+        )
+        try:
+            want = plain.transcribe(audio, timeout=600)
+        finally:
+            plain.close()
+
+        mesh = make_mesh(data=2, model=2)
+        svc = TranscriptionService(
+            params, CFG, batch_size=4, max_wait_ms=10.0,
+            language="en", bf16=False,
+            mesh=mesh, tensor_parallel=True,
+        )
+        try:
+            got = svc.transcribe(audio, timeout=600)
+        finally:
+            svc.close()
+        assert got["text"] == want["text"]
+        assert [s["text"] for s in got["segments"]] == [
+            s["text"] for s in want["segments"]
+        ]
+
+    def test_batch_must_divide_data_axis(self):
+        from whisper_ipa_tpu.parallel.mesh import make_mesh
+
+        params = init_params(CFG, seed=0)
+        mesh = make_mesh(data=4, model=2)
+        with pytest.raises(ValueError, match="divisible"):
+            TranscriptionService(
+                params, CFG, batch_size=3, language="en", mesh=mesh,
+            )
+
+    def test_tp_excludes_quantization(self):
+        from whisper_ipa_tpu.parallel.mesh import make_mesh
+
+        params = init_params(CFG, seed=0)
+        mesh = make_mesh(data=2, model=2)
+        with pytest.raises(ValueError, match="tensor_parallel"):
+            TranscriptionService(
+                params, CFG, batch_size=4, language="en",
+                mesh=mesh, tensor_parallel=True, quant_bits=8,
+            )

@@ -122,6 +122,16 @@ def main(argv=None):
     p.add_argument("--max-new-tokens", type=int, default=128)
     p.add_argument("--steps-per-sync", type=int, default=4)
     p.add_argument(
+        "--dp", type=int, default=1,
+        help="data-parallel ways: shard each batch over the mesh's "
+        "'data' axis (multi-chip serving)",
+    )
+    p.add_argument(
+        "--tp", type=int, default=1,
+        help="tensor-parallel ways: Megatron-shard the weights over the "
+        "mesh's 'model' axis (for models too big for one chip)",
+    )
+    p.add_argument(
         "--warmup",
         action="store_true",
         help="Run one dummy batch before binding (absorbs XLA compiles)",
@@ -146,9 +156,20 @@ def main(argv=None):
             args.draft_model, draft_cfg, args.draft_weights
         )
 
+    mesh = None
+    if args.dp * args.tp > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=args.dp, model=args.tp)
+
     if args.continuous:
         from ..serve_continuous import ContinuousBatcher
 
+        if mesh is not None:
+            raise SystemExit(
+                "--continuous is single-chip; use the micro-batch service "
+                "for --dp/--tp"
+            )
         if args.beam_size or draft_params is not None:
             raise SystemExit(
                 "--continuous is greedy-only; the only draft source it "
@@ -179,6 +200,8 @@ def main(argv=None):
             draft_params=draft_params,
             draft_cfg=draft_cfg,
             draft_k=args.draft_k,
+            mesh=mesh,
+            tensor_parallel=args.tp > 1,
         )
     if args.warmup:
         import numpy as np

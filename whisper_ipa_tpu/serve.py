@@ -60,6 +60,8 @@ class TranscriptionService:
         draft_params=None,
         draft_cfg: Optional[WhisperConfig] = None,
         draft_k: int = 4,
+        mesh=None,
+        tensor_parallel: bool = False,
         tokenizer: Optional[WhisperTokenizer] = None,
     ):
         if draft_params is not None and beam_size is not None:
@@ -71,6 +73,20 @@ class TranscriptionService:
         self.draft_params = draft_params
         self.draft_cfg = draft_cfg
         self.draft_k = draft_k
+        self.mesh = mesh
+        if mesh is not None:
+            n_data = mesh.shape.get("data", 1)
+            if batch_size % n_data != 0:
+                raise ValueError(
+                    f"batch_size={batch_size} must be divisible by the "
+                    f"mesh's data axis ({n_data})"
+                )
+            if quant_bits is not None and tensor_parallel:
+                raise ValueError(
+                    "tensor_parallel serving with quant_bits is not "
+                    "supported (TP sharding rules address unquantized "
+                    "weight paths)"
+                )
         if quant_bits is not None:
             # weight-only quantization at startup: int8 halves weight HBM
             # bytes vs bf16 (4x vs f32); int4 (grouped scales, packed
@@ -79,6 +95,16 @@ class TranscriptionService:
             from .ops.quant import quantize_params
 
             params = quantize_params(params, bits=quant_bits)
+        if mesh is not None:
+            # multi-chip serving: params TP-sharded (or replicated) over
+            # 'model', each batch sharded over 'data'; GSPMD inserts the
+            # collectives — decode() itself is sharding-agnostic
+            from .parallel.mesh import shard_params
+
+            params = shard_params(mesh, params,
+                                  tensor_parallel=tensor_parallel)
+            if draft_params is not None:
+                self.draft_params = shard_params(mesh, draft_params)
         self.params = params
         self.cfg = cfg
         self.batch_size = batch_size
@@ -189,6 +215,10 @@ class TranscriptionService:
                             for g in group
                         ]
                     )
+                    if self.mesh is not None:
+                        from .parallel.mesh import shard_batch
+
+                        mels = shard_batch(self.mesh, mels)
                     if self.draft_params is not None:
                         # speculative: identical tokens to plain greedy,
                         # fewer target forwards (decode/speculative.py)
@@ -204,6 +234,12 @@ class TranscriptionService:
                                     for g in group
                                 ]
                             )
+                            if self.mesh is not None:
+                                from .parallel.mesh import shard_batch
+
+                                draft_mels = shard_batch(
+                                    self.mesh, draft_mels
+                                )
                         results = speculative_decode(
                             self.params,
                             self.cfg,

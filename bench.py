@@ -29,8 +29,8 @@ import numpy as np
 # 16: 1079x/7.5% MFU, 32: 1242x/8.6%, 64: 889x, 128: 1253x/8.7% (2026-08-16)
 HEADLINE_BATCH = 128
 SAMPLE_LEN = 64
-# int8 cross-attn KV cache: A/B at batch 128 (2026-08-16): 1355x RTF vs
-# 1221x fp bf16 (+11%); exact token agreement at tiny scale, ~0.1% logit err
+# int8 cross-attn KV cache (T-minor layout): 2380x RTF at batch 128 vs
+# 1253x fp bf16; exact token agreement at tiny scale, ~0.1% logit err
 KV_INT8_DEFAULT = True
 
 

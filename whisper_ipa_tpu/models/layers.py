@@ -182,47 +182,34 @@ def _fused_eligible(q, mask) -> bool:
 
 
 def multi_head_attention_int8kv(q, k_i8, k_scale, v_i8, v_scale, n_head: int):
-    """Unmasked attention with an int8-quantized, head-split K/V cache.
+    """Unmasked attention with an int8-quantized, T-minor K/V cache.
 
-    q: (B, S, d); k_i8/v_i8: (B, H, T, Dh) int8; scales: (B, H, T) f32
+    q: (B, S, d); k_i8/v_i8: (B, H, Dh, T) int8; scales: (B, H, T) f32
     (init_cache's cross_kv_int8 layout). Cross-K/V reads dominate the
-    decode loop's HBM traffic — int8 halves the bytes vs bfloat16, and the
-    single-query steps (S=1) run the Pallas flash-decode kernel, which XLA's
-    batched-matvec tiling loses ~6x to (profiled on v5e, see
-    ops/decode_attention.py). Scales fold into the logits (K) and the
-    probabilities (V); no dequantized copy is materialized.
+    decode loop's HBM traffic — int8 halves the bytes vs bfloat16, and
+    storing T as the MINOR axis is load-bearing: with Dh=64 minor, TPU
+    (sub)lane tiles pad 64->128 and every load moves 2x the bytes. xprof
+    on v5e (batch 128): (B,H,T,Dh) sustained 186-202 GB/s in the decode
+    einsums; this (B,H,Dh,T) layout runs the same ops 3x faster
+    (21.2 -> 7.2 ms/token isolated). Scales fold into the logits (K) and
+    the probabilities (V); no dequantized copy is materialized. An
+    int8 x int8 MXU formulation (quantized q and probabilities) measured
+    no faster than this convert-in-dot one on the same layout, so the
+    simpler form stays; three Pallas flash-decode kernels on the OLD
+    layout also lost (see ops/decode_attention.py, kept as a record).
     """
     d_head = q.shape[-1] // n_head
     qh = _split_heads(q * (d_head**-0.5), n_head)  # (B, H, S, Dh)
 
-    # Pallas flash-decode kernel: EXPERIMENTAL opt-in. Measured on v5e at
-    # batch 128 (2026-08-16): XLA's batched-matvec path runs 30 ms/token;
-    # three kernel formulations (per-(b,h) grid, per-b with in-kernel head
-    # loop, VPU broadcast-reduce with transposed KV) measured 67/38/37 —
-    # XLA wins, so it stays the default. See ops/decode_attention.py.
-    if q.shape[1] == 1 and _os.environ.get(
-        "WHISPER_IPA_TPU_DECODE_KERNEL"
-    ) == "1":
-        try:
-            on_tpu = jax.devices()[0].platform != "cpu"
-        except Exception:
-            on_tpu = False
-        if on_tpu:
-            from ..ops.decode_attention import decode_cross_attention_int8
-
-            return _merge_heads(
-                decode_cross_attention_int8(qh, k_i8, k_scale, v_i8, v_scale)
-            )
-
     logits = jnp.einsum(
-        "bhsd,bhtd->bhst", qh, k_i8.astype(q.dtype)
+        "bhsd,bhdt->bhst", qh, k_i8.astype(q.dtype)
     ).astype(jnp.float32)
     ks = k_scale[:, :, None, :]
     # scale 0 marks tile-padding positions (real scales are > 0)
     logits = jnp.where(ks > 0.0, logits * ks, -jnp.inf)
     w = jax.nn.softmax(logits, axis=-1)
     w = (w * v_scale[:, :, None, :]).astype(q.dtype)
-    out = jnp.einsum("bhst,bhtd->bhsd", w, v_i8.astype(q.dtype))
+    out = jnp.einsum("bhst,bhdt->bhsd", w, v_i8.astype(q.dtype))
     return _merge_heads(out)
 
 

@@ -310,12 +310,13 @@ class DecoderCache(NamedTuple):
     cross_k/cross_v: (L, B, 1500, d) computed once per utterance.
 
     When the cross cache is int8-quantized (cross_kv_int8), cross_k/cross_v
-    hold head-split int8 codes (L, B, H, 1500, Dh) and
+    hold head-split, T-minor int8 codes (L, B, H, Dh, T_pad) and
     cross_k_scale/cross_v_scale hold per-(position, head) float32 scales
-    (L, B, H, 1500) — the layout consumed directly by the Pallas decode
-    kernel. Cross-K/V reads dominate the decode loop's HBM traffic (they
-    scale with batch x 1500 x d x layers), so halving their width is the
-    main decode-bandwidth lever.
+    (L, B, H, T_pad), T padded to the 128-lane tile with scale 0 marking
+    pad positions. Cross-K/V reads dominate the decode loop's HBM traffic
+    (they scale with batch x 1500 x d x layers): int8 halves their width
+    and the T-minor layout keeps lane tiles unpadded (3x measured step
+    speedup vs Dh-minor — see multi_head_attention_int8kv).
     """
 
     self_k: jax.Array
@@ -327,11 +328,12 @@ class DecoderCache(NamedTuple):
 
 
 def _quantize_kv_heads(x, n_head: int):
-    """Symmetric int8 per-(position, head) quantization, head-split layout.
+    """Symmetric int8 per-(position, head) quantization, T-minor layout.
 
-    (B, T, d) -> codes (B, H, T, Dh) int8, scales (B, H, T) f32.
-    The head-split layout feeds the Pallas decode kernel directly
-    (ops/decode_attention.py) with no per-step transpose.
+    (B, T, d) -> codes (B, H, Dh, T) int8, scales (B, H, T) f32.
+    T must be the MINOR (lane) axis: with Dh=64 minor the TPU pads lane
+    tiles 64->128 and every decode-step load moves 2x the bytes — the
+    (B, H, T, Dh) layout measured 3x slower on v5e (docs/PERF.md).
     """
     B, T, d = x.shape
     dh = d // n_head
@@ -339,14 +341,14 @@ def _quantize_kv_heads(x, n_head: int):
     amax = jnp.max(jnp.abs(xf), axis=-1)
     scale = jnp.maximum(amax, 1e-8) / 127.0  # (B, T, H)
     codes = jnp.round(xf / scale[..., None]).astype(jnp.int8)
-    codes = codes.transpose(0, 2, 1, 3)  # (B, H, T, Dh)
+    codes = codes.transpose(0, 2, 3, 1)  # (B, H, Dh, T)
     scale = scale.transpose(0, 2, 1)  # (B, H, T)
     # pad T to the 128-lane tile ONCE here: padding inside the decode step
     # would copy the whole cache every token. Padded positions get scale 0,
     # which the attention paths use as the mask (real scales are > 0).
     t_pad = ((T + 127) // 128) * 128
     if t_pad != T:
-        codes = jnp.pad(codes, ((0, 0), (0, 0), (0, t_pad - T), (0, 0)))
+        codes = jnp.pad(codes, ((0, 0), (0, 0), (0, 0), (0, t_pad - T)))
         scale = jnp.pad(scale, ((0, 0), (0, 0), (0, t_pad - T)))
     return codes, scale
 

@@ -8,9 +8,14 @@ HBM floor: the S=1 einsum tiles terribly onto the MXU and dominates decode.
 This kernel streams each (batch*head)'s K/V tile through VMEM exactly once
 (K/V stay int8 in HBM — the dequantize happens on-chip), computes
 logits -> masked softmax -> weighted sum entirely in VMEM, and writes only
-the (1, Dh) output. Layout: K/V are stored head-split, (B, H, T, Dh) int8,
-with per-(position, head) float32 scales (B, H, T) — produced by
-models.whisper.init_cache(cross_kv_int8=True).
+the (1, Dh) output. Layout: K/V head-split (B, H, T, Dh) int8 with
+per-(position, head) float32 scales (B, H, T).
+
+EXPERIMENT RECORD — not wired into the decode path. All three kernel
+formulations measured slower than XLA's einsums on this Dh-minor layout
+(67/38/37 vs 30 ms/token, v5e batch 128), and the production cache has
+since moved to the T-minor (B, H, Dh, T) layout, where plain XLA einsums
+run 3x faster still (docs/PERF.md "Decode cross-attention kernel study").
 
 The query must already carry the full d_head**-0.5 attention scale.
 """

@@ -10,4 +10,10 @@ Mirrors the reference's script surface:
   prepare_datasets       corpus preparation subcommands
   calculate_real_speed   out-of-process training monitor
   benchmark_models       model-size parameter/throughput benchmarks
+
+Beyond the reference surface:
+  serve                  batching/continuous HTTP inference server
+  profile_inference      xprof capture + per-op time table (headless)
+  error_analysis         phone-confusion analysis
+  transcribe / convert_weights / check_vocab / evaluate_zeroshot
 """

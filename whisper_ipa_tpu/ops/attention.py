@@ -23,7 +23,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-BLOCK_Q = 128
+# q rows per grid cell. Bigger blocks amortize the per-cell K/V residency
+# and grid overhead; v5e sweep (whisper-small encode, batch 128, bf16,
+# 2026-08-16): 128 -> 665 ms, 256 -> 596, 512 -> 565, 768 -> 557 (with
+# pad-free partial blocks; the old host-padded BLOCK_Q=128 ran 687 ms).
+# VMEM at 768: (768, 1536) f32 logits ~4.7 MB + K/V/q blocks ~0.5 MB.
+BLOCK_Q = 768
 
 
 def _round_up(n: int, m: int) -> int:
@@ -46,6 +51,11 @@ def _attn_kernel(kv_len: int, q_ref, k_ref, v_ref, out_ref):
     if t_pad > kv_len:  # static: mask the padded keys
         col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
         logits = jnp.where(col < kv_len, logits, -jnp.inf)
+        # partial-block K/V rows hold UNDEFINED VMEM contents (the inputs
+        # are not host-padded); the -inf mask zeroes their probabilities,
+        # but 0 * NaN = NaN in the p @ v dot — zero the rows themselves
+        row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+        v = jnp.where(row < kv_len, v, 0)
 
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
@@ -100,22 +110,20 @@ def _fused_attention_impl(q, k, v, interpret: bool = False):
     Tk = k.shape[2]
     BH = B * H
 
-    tq_pad = _round_up(Tq, BLOCK_Q)
-    tk_pad = _round_up(Tk, BLOCK_Q)
+    # No host-side padding: partial trailing blocks are handled in-kernel
+    # (K cols masked to -inf, V rows zeroed, partial q/out blocks clipped
+    # by Mosaic). The jnp.pad/slice pair this replaces showed up as 86 ms
+    # of pure HBM copies per whisper-small batch-128 encode in xprof.
+    tk_pad = _round_up(Tk, 128)
 
     qf = q.reshape(BH, Tq, Dh)
     kf = k.reshape(BH, Tk, Dh)
     vf = v.reshape(BH, Tk, Dh)
-    if tq_pad != Tq:
-        qf = jnp.pad(qf, ((0, 0), (0, tq_pad - Tq), (0, 0)))
-    if tk_pad != Tk:
-        kf = jnp.pad(kf, ((0, 0), (0, tk_pad - Tk), (0, 0)))
-        vf = jnp.pad(vf, ((0, 0), (0, tk_pad - Tk), (0, 0)))
 
-    grid = (BH, tq_pad // BLOCK_Q)
+    grid = (BH, _round_up(Tq, BLOCK_Q) // BLOCK_Q)
     out = pl.pallas_call(
         partial(_attn_kernel, Tk),
-        out_shape=jax.ShapeDtypeStruct((BH, tq_pad, Dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((BH, Tq, Dh), q.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -142,4 +150,4 @@ def _fused_attention_impl(q, k, v, interpret: bool = False):
         interpret=interpret,
     )(qf, kf, vf)
 
-    return out[:, :Tq].reshape(B, H, Tq, Dh)
+    return out.reshape(B, H, Tq, Dh)

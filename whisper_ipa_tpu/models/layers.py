@@ -240,6 +240,40 @@ def multi_head_attention(
     return _merge_heads(out)
 
 
+def multi_head_attention_two_part(
+    q, k_cache, v_cache, k_new, v_new, n_head: int, mask_cache, mask_new
+):
+    """Attention over [frozen cache | new in-step keys] WITHOUT
+    concatenating K/V (a (B, n_ctx, d) concat would re-copy the whole
+    cache every decode step — the copy this formulation exists to kill).
+    Only the LOGITS are concatenated ((B, H, S, n_ctx + S), a few KB at
+    S=1), then the two value dots are summed.
+
+    mask_cache: additive, broadcastable to (B, H, S, n_ctx);
+    mask_new: additive, broadcastable to (B, H, S, S).
+    """
+    d_head = q.shape[-1] // n_head
+    scale = d_head ** -0.25
+    qh = _split_heads(q, n_head) * scale
+    kc = _split_heads(k_cache, n_head) * scale
+    kn = _split_heads(k_new, n_head) * scale
+
+    lc = jnp.einsum("bhqd,bhkd->bhqk", qh, kc).astype(jnp.float32)
+    lc = lc + mask_cache
+    ln = jnp.einsum("bhqd,bhkd->bhqk", qh, kn).astype(jnp.float32)
+    ln = ln + mask_new
+    n_ctx = lc.shape[-1]
+    w = jax.nn.softmax(
+        jnp.concatenate([lc, ln], axis=-1), axis=-1
+    ).astype(v_cache.dtype)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", w[..., :n_ctx], _split_heads(v_cache, n_head)
+    ) + jnp.einsum(
+        "bhqk,bhkd->bhqd", w[..., n_ctx:], _split_heads(v_new, n_head)
+    )
+    return _merge_heads(out)
+
+
 def attention_block(x, p, n_head: int, mask=None, kv=None):
     """Self- or cross-attention through a Whisper attention param group.
 

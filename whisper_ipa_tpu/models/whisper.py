@@ -428,12 +428,31 @@ def decode_step(
     )
     x = x + pos_emb.astype(dtype)
 
-    # attention mask over the cache: key j visible iff j <= pos + query_idx
+    # Append-only self-attention: the scan never materializes an updated
+    # (L, B, n_ctx, d) cache (stacking those as scan ys re-copied the
+    # whole cache every token — xprof showed ~1 ms/step of pure copies at
+    # batch 128). Instead each layer attends over [frozen cache | new
+    # block K/V] with a two-part mask, the scan stacks only the small
+    # (B, S, d) projections, and ONE dynamic_update_slice per step lands
+    # them in the big buffers — which XLA aliases in place inside the
+    # decode while_loop.
     key_idx = jnp.arange(n_ctx)[None, :]
     query_idx = pos + jnp.arange(S)[:, None]
-    mask = jnp.where(key_idx <= query_idx, 0.0, -jnp.inf).astype(jnp.float32)
+    # frozen cache rows: strictly before pos (rows >= pos are stale)
+    mask_cache = jnp.where(
+        (key_idx < pos) & (key_idx <= query_idx), 0.0, -jnp.inf
+    ).astype(jnp.float32)  # (S, n_ctx)
+    # in-block causality for the S new keys at positions pos..pos+S-1
+    blk = jnp.arange(S)
+    mask_new = jnp.where(
+        blk[None, :] <= blk[:, None], 0.0, -jnp.inf
+    ).astype(jnp.float32)  # (S, S)
 
-    from .layers import multi_head_attention, multi_head_attention_int8kv
+    from .layers import (
+        multi_head_attention,
+        multi_head_attention_int8kv,
+        multi_head_attention_two_part,
+    )
 
     stacked = _stack_blocks(dec["blocks"])
 
@@ -443,14 +462,11 @@ def decode_step(
         q = linear(xn, block["attn"]["query"])
         k_new = linear(xn, block["attn"]["key"])
         v_new = linear(xn, block["attn"]["value"])
-        k_buf = jax.lax.dynamic_update_slice_in_dim(
-            k_cache, k_new, pos, axis=1
-        )
-        v_buf = jax.lax.dynamic_update_slice_in_dim(
-            v_cache, v_new, pos, axis=1
-        )
 
-        h = multi_head_attention(q, k_buf, v_buf, cfg.n_text_head, mask=mask)
+        h = multi_head_attention_two_part(
+            q, k_cache, v_cache, k_new, v_new,
+            cfg.n_text_head, mask_cache, mask_new,
+        )
         x = x + linear(h, block["attn"]["out"])
 
         xn = layer_norm(x, block["cross_attn_ln"])
@@ -464,9 +480,9 @@ def decode_step(
         x = x + linear(h, block["cross_attn"]["out"])
 
         x = x + mlp_block(layer_norm(x, block["mlp_ln"]), block)
-        return x, (k_buf, v_buf)
+        return x, (k_new, v_new)
 
-    x, (new_self_k, new_self_v) = jax.lax.scan(
+    x, (k_news, v_news) = jax.lax.scan(
         body,
         x,
         (
@@ -478,6 +494,14 @@ def decode_step(
             cache.cross_k_scale,
             cache.cross_v_scale,
         ),
+    )
+
+    # one in-place write of the (L, B, S, d) projections per step
+    new_self_k = jax.lax.dynamic_update_slice(
+        cache.self_k, k_news, (0, 0, pos, 0)
+    )
+    new_self_v = jax.lax.dynamic_update_slice(
+        cache.self_v, v_news, (0, 0, pos, 0)
     )
 
     x = layer_norm(x, dec["ln"])
@@ -513,21 +537,28 @@ def decode_step_multipos(
     pos_idx = pos[:, None] + jnp.arange(S)[None, :]
     x = x + dec["positional_embedding"][pos_idx].astype(dtype)
 
-    # per-element causal mask over the cache: (B, 1, S, n_ctx)
+    # Append-only self-attention (see decode_step): frozen cache rows
+    # strictly before each element's pos, plus the S new in-block keys
+    # under a causal mask. (B, 1, S, n_ctx + S).
     key_idx = jnp.arange(n_ctx)[None, None, :]
     query_idx = pos_idx[:, :, None]
-    mask = jnp.where(key_idx <= query_idx, 0.0, -jnp.inf).astype(jnp.float32)
-    mask = mask[:, None, :, :]
+    mask_cache = jnp.where(
+        (key_idx < pos[:, None, None]) & (key_idx <= query_idx),
+        0.0,
+        -jnp.inf,
+    ).astype(jnp.float32)[:, None, :, :]  # (B, 1, S, n_ctx)
+    blk = jnp.arange(S)
+    mask_new = jnp.where(
+        blk[None, :] <= blk[:, None], 0.0, -jnp.inf
+    ).astype(jnp.float32)  # (S, S)
 
-    from .layers import multi_head_attention, multi_head_attention_int8kv
+    from .layers import (
+        multi_head_attention,
+        multi_head_attention_int8kv,
+        multi_head_attention_two_part,
+    )
 
     stacked = _stack_blocks(dec["blocks"])
-
-    write = jax.vmap(
-        lambda buf, new, p: jax.lax.dynamic_update_slice_in_dim(
-            buf, new, p, axis=0
-        )
-    )
 
     def body(x, inp):
         block, k_cache, v_cache, xk, xv, k_scale, v_scale = inp
@@ -535,10 +566,11 @@ def decode_step_multipos(
         q = linear(xn, block["attn"]["query"])
         k_new = linear(xn, block["attn"]["key"])
         v_new = linear(xn, block["attn"]["value"])
-        k_buf = write(k_cache, k_new, pos)
-        v_buf = write(v_cache, v_new, pos)
 
-        h = multi_head_attention(q, k_buf, v_buf, cfg.n_text_head, mask=mask)
+        h = multi_head_attention_two_part(
+            q, k_cache, v_cache, k_new, v_new,
+            cfg.n_text_head, mask_cache, mask_new,
+        )
         x = x + linear(h, block["attn"]["out"])
 
         xn = layer_norm(x, block["cross_attn_ln"])
@@ -552,9 +584,9 @@ def decode_step_multipos(
         x = x + linear(h, block["cross_attn"]["out"])
 
         x = x + mlp_block(layer_norm(x, block["mlp_ln"]), block)
-        return x, (k_buf, v_buf)
+        return x, (k_new, v_new)
 
-    x, (new_self_k, new_self_v) = jax.lax.scan(
+    x, (k_news, v_news) = jax.lax.scan(
         body,
         x,
         (
@@ -567,6 +599,17 @@ def decode_step_multipos(
             cache.cross_v_scale,
         ),
     )
+
+    # one per-element in-place landing of the (L, B, S, d) projections
+    write = jax.vmap(
+        lambda buf, new, p: jax.lax.dynamic_update_slice(
+            buf, new, (0, p, 0)
+        ),
+        in_axes=(1, 1, 0),
+        out_axes=1,
+    )
+    new_self_k = write(cache.self_k, k_news, pos)
+    new_self_v = write(cache.self_v, v_news, pos)
 
     x = layer_norm(x, dec["ln"])
     step_logits = jnp.matmul(

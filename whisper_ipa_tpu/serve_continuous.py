@@ -164,60 +164,100 @@ def _decode_chunk(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "n_prefix", "dtype_name"),
+    static_argnames=(
+        "cfg", "n_rounds", "draft_k", "n_prefix", "max_new", "dtype_name",
+    ),
     donate_argnames=("cache",),
 )
-def _verify_chunk(
+def _spec_chunk(
     params,
     cfg: WhisperConfig,
     cache: DecoderCache,
-    tok_block,  # (B, K+1): [frontier token, draft_1..draft_K] per slot
-    pos,  # (B,): frontier position (lens - 1)
-    lens,  # (B,): for blank-mask placement
+    tokens_buf,  # (B, buf_len) int32: prefix + emitted so far, EOT-padded
+    last_tok,  # (B,)
+    lens,  # (B,)
+    finished,  # (B,) bool
     suppress_mask,
     blank_mask,
+    eot: int,
+    n_rounds: int,
+    draft_k: int,
     n_prefix: int,
+    max_new: int,
     dtype_name="float32",
 ):
-    """One speculative verification pass over the persistent batch.
+    """n_rounds speculative verification rounds, entirely on device.
 
-    Feeds each slot's frontier token plus K drafted continuations in a
-    single (K+1)-query forward and returns the greedy next token at every
-    position. Position j's logits are valid iff drafts[0..j-1] all
-    matched — the host accepts the longest such run (plus the correction
-    token), exactly the contract of decode/speculative.py. Rejected
-    positions leave stale K/V in the cache, which the next round's
-    frontier re-feed overwrites before anything can attend to it (the
-    causal mask hides indices past each slot's accepted length).
+    Each round drafts K tokens per slot by prompt-lookup over tokens_buf
+    (decode.speculative._ngram_drafts), verifies them in one (K+1)-query
+    forward, and accepts the longest matching run plus the correction
+    token — token-identical to single-step greedy. Running the drafting
+    and accept logic on device lets one host sync cover n_rounds rounds;
+    a host round-trip per round costs ~0.4 s through the axon tunnel and
+    made the host-drafted version 4x SLOWER than plain chunking
+    (docs/PERF.md). Rejected draft K/V is overwritten by the next
+    round's frontier re-feed (the invariant joins rely on).
+
+    Returns per-round emissions for the host: emits (n_rounds, B, K+1)
+    and counts v (n_rounds, B) — row r emits emits[r, b, :v[r, b]]
+    (EOT included when hit).
     """
+    from .decode.speculative import _ngram_drafts
+
     dtype = jnp.dtype(dtype_name)
-    logits, cache = decode_step_multipos(
-        params, cfg, tok_block, cache, pos, dtype=dtype
+    K = draft_k
+    idx = jnp.arange(K + 1)[None, :]
+    write_row = jax.vmap(
+        lambda buf, new, p: jax.lax.dynamic_update_slice_in_dim(
+            buf, new, p, axis=0
+        )
     )
-    lg = logits + suppress_mask  # (B, K+1, V)
-    # position j outputs token index lens + j; blank suppression applies
-    # to the first content token (index n_prefix) only
-    out_idx = lens[:, None] + jnp.arange(tok_block.shape[1])[None, :]
-    lg = jnp.where((out_idx == n_prefix)[..., None], lg + blank_mask, lg)
-    greedy = jnp.argmax(lg, axis=-1).astype(jnp.int32)
-    return cache, greedy
 
+    def round_body(carry, _):
+        cache, tokens_buf, last_tok, lens, finished = carry
+        drafts = _ngram_drafts(tokens_buf, lens, K)  # (B, K)
+        block = jnp.concatenate([last_tok[:, None], drafts], axis=1)
+        logits, cache = decode_step_multipos(
+            params, cfg, block, cache, lens - 1, dtype=dtype
+        )
+        slots = lens[:, None] + idx  # logits[:, i] predicts slot lens+i
+        lg = logits + suppress_mask
+        lg = jnp.where((slots == n_prefix)[..., None], lg + blank_mask, lg)
+        greedy = jnp.argmax(lg, axis=-1).astype(jnp.int32)  # (B, K+1)
 
-def _ngram_draft_host(hist: List[int], K: int) -> List[int]:
-    """Model-free prompt-lookup draft (host-side mirror of
-    decode.speculative._ngram_drafts): continue the most recent earlier
-    occurrence of the current bigram; repeat the last token when the
-    bigram is novel. Verification makes any draft source exact."""
-    n = len(hist)
-    if n >= 2:
-        b0, b1 = hist[-2], hist[-1]
-        for j in range(n - 3, -1, -1):
-            if hist[j] == b0 and hist[j + 1] == b1:
-                cont = hist[j + 2 : j + 2 + K]
-                if cont:
-                    return (cont + [hist[-1]] * K)[:K]
-                break
-    return [hist[-1]] * K
+        match = greedy[:, :K] == drafts
+        a = jnp.cumprod(match.astype(jnp.int32), axis=1).sum(axis=1)
+        eot_hit = (greedy == eot) & (idx <= a[:, None])
+        any_eot = eot_hit.any(axis=1)
+        first_eot = jnp.argmax(eot_hit, axis=1)
+        v = jnp.where(any_eot, first_eot + 1, a + 1)
+        budget = max_new - (lens - n_prefix)
+        v = jnp.minimum(v, budget)
+        v = jnp.where(finished, 0, v)
+
+        emit_w = jnp.where(idx < v[:, None], greedy, eot)
+        tokens_buf = write_row(tokens_buf, emit_w, lens)
+        # engine lens counts CONTENT tokens (the EOT itself is not
+        # content); the last content token precedes any emitted EOT
+        ate_eot = any_eot & (first_eot < v)
+        last_idx = jnp.where(ate_eot, first_eot - 1, v - 1)
+        last_emit = jnp.take_along_axis(
+            greedy, jnp.maximum(last_idx, 0)[:, None], axis=1
+        )[:, 0]
+        last_tok = jnp.where(last_idx >= 0, last_emit, last_tok)
+        lens = lens + v - jnp.where(ate_eot, 1, 0)
+        finished = finished | ate_eot | (lens - n_prefix >= max_new)
+        return (cache, tokens_buf, last_tok, lens, finished), (emit_w, v)
+
+    (cache, tokens_buf, last_tok, lens, finished), (emits, vs) = (
+        jax.lax.scan(
+            round_body,
+            (cache, tokens_buf, last_tok, lens, finished),
+            None,
+            length=n_rounds,
+        )
+    )
+    return cache, last_tok, lens, finished, emits, vs
 
 
 @dataclass
@@ -470,130 +510,63 @@ class ContinuousBatcher:
         )
 
     def _spec_round(self, active: List[int]):
-        """One speculative verification round (draft_k > 0).
-
-        Each slot's bigram prompt-lookup draft rides along with its
-        frontier re-feed in a single (K+1)-query device call; the host
-        accepts the longest matching run plus the correction token —
-        output is token-identical to the plain greedy engine, 1..K+1
-        tokens per round per slot instead of always 1.
-        """
+        """One speculative chunk (draft_k > 0): steps_per_sync
+        verification rounds run fully on device (_spec_chunk), then one
+        host sync unpacks the per-round emissions — token-identical to
+        the plain greedy engine, 1..K+1 tokens per round per slot."""
         K = self.draft_k
         B = self.slots
-        lens_np = np.asarray(self.lens).copy()
-        last_np = np.asarray(self.last_tok).copy()
-        tok_block = np.repeat(last_np[:, None], K + 1, axis=1).astype(
-            np.int32
-        )
-        drafts = np.zeros((B, K), np.int32)
-        for b in active:
-            hist = list(self.prefix) + self._slots[b].tokens
-            d = _ngram_draft_host(hist, K)
-            drafts[b] = d
-            tok_block[b, 1:] = d
-        self.cache, greedy = _verify_chunk(
-            self.params, self.cfg, self.cache,
-            jnp.asarray(tok_block),
-            jnp.asarray(np.maximum(lens_np - 1, 0).astype(np.int32)),
-            jnp.asarray(lens_np),
-            self.suppress, self.blank, self.n_prefix,
+        buf_len = self._cache_len
+        tokens_buf = np.full((B, buf_len), self.eot, np.int32)
+        for b in range(B):
+            hist = list(self.prefix) + (
+                self._slots[b].tokens if self._slots[b] else []
+            )
+            tokens_buf[b, : len(hist)] = hist[:buf_len]
+        (
+            self.cache,
+            self.last_tok,
+            self.lens,
+            self.finished,
+            emits,
+            vs,
+        ) = _spec_chunk(
+            self.params,
+            self.cfg,
+            self.cache,
+            jnp.asarray(tokens_buf),
+            self.last_tok,
+            self.lens,
+            self.finished,
+            self.suppress,
+            self.blank,
+            self.eot,
+            self.steps_per_sync,
+            K,
+            self.n_prefix,
+            self.max_new,
             dtype_name=self.dtype_name,
         )
-        greedy_np = np.asarray(greedy)  # (B, K+1) — the host sync
+        emits_np = np.asarray(emits)  # (R, B, K+1) — the host sync
+        vs_np = np.asarray(vs)  # (R, B)
         self._stats["chunks"] += 1
-        self._stats["spec_rounds"] += 1
+        self._stats["spec_rounds"] += vs_np.shape[0]
         for b in active:
             s = self._slots[b]
-            emitted: List[int] = []
             done = False
-            for j in range(K + 1):
-                t = int(greedy_np[b, j])
-                if t == self.eot:
-                    done = True
-                    break
-                emitted.append(t)
-                if j < K and int(drafts[b, j]) != t:
-                    break  # t is the correction; later logits invalid
-            room = self.max_new - (int(lens_np[b]) - self.n_prefix)
-            budget_hit = False
-            if len(emitted) >= room:
-                emitted = emitted[:room]
-                budget_hit = True
-            self._stats["spec_emitted"] += len(emitted)
-            for t in emitted:
-                s.tokens.append(t)
-                if s.on_token is not None:
-                    try:
-                        s.on_token(
-                            {
-                                "token": t,
-                                "window": len(s.window_tokens),
-                                "text_so_far": self.tokenizer
-                                .decode_text(s.all_tokens()),
-                            }
-                        )
-                    except Exception:
-                        pass
-            lens_np[b] += len(emitted)
-            if emitted:
-                last_np[b] = emitted[-1]
-            if done or budget_hit:
-                self._retire(b, budget_hit and not done)
-        self.lens = jnp.asarray(lens_np)
-        self.last_tok = jnp.asarray(last_np)
-        self.finished = jnp.asarray(
-            np.array([self._slots[i] is None for i in range(B)])
-        )
-
-    def _loop(self):
-        while not self._stop.is_set():
-            admitted = self._admit()
-            active = [i for i, s in enumerate(self._slots) if s is not None]
-            if not active:
-                if not admitted:
-                    time.sleep(0.002)
-                continue
-
-            if self.draft_k > 0:
-                self._spec_round(active)
-                continue
-
-            (
-                self.cache,
-                self.last_tok,
-                self.lens,
-                self.finished,
-                toks,
-            ) = _decode_chunk(
-                self.params,
-                self.cfg,
-                self.cache,
-                self.last_tok,
-                self.lens,
-                self.finished,
-                self.suppress,
-                self.blank,
-                self.eot,
-                self.steps_per_sync,
-                self.n_prefix,
-                dtype_name=self.dtype_name,
-            )
-            toks_np = np.asarray(toks)  # (n_steps, B) — the host sync
-            self._stats["chunks"] += 1
-            lens_np = np.asarray(self.lens)
-            for b in active:
-                s = self._slots[b]
-                done = False
-                for t in toks_np[:, b].tolist():
+            for r in range(vs_np.shape[0]):
+                for j in range(int(vs_np[r, b])):
+                    t = int(emits_np[r, b, j])
                     if t == self.eot:
                         done = True
                         break
-                    s.tokens.append(int(t))
+                    s.tokens.append(t)
+                    self._stats["spec_emitted"] += 1
                     if s.on_token is not None:
                         try:
                             s.on_token(
                                 {
-                                    "token": int(t),
+                                    "token": t,
                                     "window": len(s.window_tokens),
                                     "text_so_far": self.tokenizer
                                     .decode_text(s.all_tokens()),
@@ -601,6 +574,91 @@ class ContinuousBatcher:
                             )
                         except Exception:
                             pass
-                budget_hit = lens_np[b] - self.n_prefix >= self.max_new
-                if done or budget_hit:
-                    self._retire(b, budget_hit and not done)
+                if done:
+                    break
+            budget_hit = len(s.tokens) >= self.max_new
+            if done or budget_hit:
+                self._retire(b, budget_hit and not done)
+
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                self._loop_once()
+            except Exception as e:
+                # fail every pending request loudly instead of leaving
+                # futures hanging on a dead engine thread
+                for i, s in enumerate(self._slots):
+                    if s is not None and not s.future.done():
+                        s.future.set_exception(e)
+                    self._slots[i] = None
+                while True:
+                    try:
+                        slot_state, _ = self._queue.get_nowait()
+                    except queue.Empty:
+                        break
+                    if not slot_state.future.done():
+                        slot_state.future.set_exception(e)
+                for slot_state, _ in self._continuations:
+                    if not slot_state.future.done():
+                        slot_state.future.set_exception(e)
+                self._continuations.clear()
+                raise
+
+    def _loop_once(self):
+        admitted = self._admit()
+        active = [i for i, s in enumerate(self._slots) if s is not None]
+        if not active:
+            if not admitted:
+                time.sleep(0.002)
+            return
+
+        if self.draft_k > 0:
+            self._spec_round(active)
+            return
+
+        (
+            self.cache,
+            self.last_tok,
+            self.lens,
+            self.finished,
+            toks,
+        ) = _decode_chunk(
+            self.params,
+            self.cfg,
+            self.cache,
+            self.last_tok,
+            self.lens,
+            self.finished,
+            self.suppress,
+            self.blank,
+            self.eot,
+            self.steps_per_sync,
+            self.n_prefix,
+            dtype_name=self.dtype_name,
+        )
+        toks_np = np.asarray(toks)  # (n_steps, B) — the host sync
+        self._stats["chunks"] += 1
+        lens_np = np.asarray(self.lens)
+        for b in active:
+            s = self._slots[b]
+            done = False
+            for t in toks_np[:, b].tolist():
+                if t == self.eot:
+                    done = True
+                    break
+                s.tokens.append(int(t))
+                if s.on_token is not None:
+                    try:
+                        s.on_token(
+                            {
+                                "token": int(t),
+                                "window": len(s.window_tokens),
+                                "text_so_far": self.tokenizer
+                                .decode_text(s.all_tokens()),
+                            }
+                        )
+                    except Exception:
+                        pass
+            budget_hit = lens_np[b] - self.n_prefix >= self.max_new
+            if done or budget_hit:
+                self._retire(b, budget_hit and not done)

@@ -64,7 +64,7 @@ class TestFusedAttentionVJP:
             jnp.asarray(rng.standard_normal((1, 2, 128, 8)).astype(np.float32))
             for _ in range(3)
         ]
-        f = lambda q, k, v: jnp.sum(fused_attention(q, k, v, True) ** 2)  # noqa: E731
+        f = lambda q, k, v: jnp.sum(fused_attention(q, k, v, interpret=True) ** 2)  # noqa: E731
         g = lambda q, k, v: jnp.sum(_xla_attention(q, k, v) ** 2)  # noqa: E731
         ga = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
         gb = jax.grad(g, argnums=(0, 1, 2))(q, k, v)
@@ -86,7 +86,7 @@ class TestFusedAttentionVJP:
         ]
 
         def loss(q):
-            out = jax.lax.stop_gradient(fused_attention(q, k, v, True))
+            out = jax.lax.stop_gradient(fused_attention(q, k, v, interpret=True))
             return jnp.sum(out * 0.0) + jnp.sum(q)
 
         g = jax.grad(loss)(q)

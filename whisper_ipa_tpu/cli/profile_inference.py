@@ -43,6 +43,8 @@ def _op_table(logdir: str):
     data, _ = conv.xspace_to_tool_data([files[-1]], "framework_op_stats", {})
     tables = json.loads(data if isinstance(data, str) else data.decode())
     rows = []
+    # the converter emits two tables (with/without IDLE) holding the same
+    # device rows — read only the first that has any
     for table in tables:
         for r in table.get("rows", []):
             vals = [c.get("v") for c in r["c"]]
@@ -53,14 +55,18 @@ def _op_table(logdir: str):
                     "op": vals[3],
                     "type": vals[2],
                     "occurrences": int(vals[4] or 0),
-                    "total_ms": (vals[5] or 0.0) / 1000.0,
-                    "avg_us": vals[6] or 0.0,
+                    # SELF time: wrapper rows (while/scan) report their
+                    # whole body under total time and would double-count
+                    "self_ms": (vals[7] or 0.0) / 1000.0,
+                    "avg_us": vals[8] or 0.0,
                     "gbytes_per_sec": vals[15] or 0.0,
                     "gflops_per_sec": vals[14] or 0.0,
                     "bound_by": vals[17],
                 }
             )
-    rows.sort(key=lambda r: -r["total_ms"])
+        if rows:
+            break
+    rows.sort(key=lambda r: -r["self_ms"])
     return rows
 
 
@@ -152,7 +158,7 @@ def main(argv=None):
     if args.json:
         with open(args.json, "w") as f:
             json.dump(rows, f, indent=1)
-    total = sum(r["total_ms"] for r in rows)
+    total = sum(r["self_ms"] for r in rows)
     print(f"{'total device ms':>15s}: {total:9.1f}   "
           f"(device {jax.devices()[0].device_kind})")
     print(f"{'ms':>9s} {'n':>6s} {'GB/s':>6s} {'bound':>8s}  op")
@@ -161,7 +167,7 @@ def main(argv=None):
         if len(name) > 80:
             name = "…" + name[-79:]
         print(
-            f"{r['total_ms']:9.1f} {r['occurrences']:6d} "
+            f"{r['self_ms']:9.1f} {r['occurrences']:6d} "
             f"{r['gbytes_per_sec']:6.0f} {str(r['bound_by']):>8s}  {name}"
         )
 

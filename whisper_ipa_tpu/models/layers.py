@@ -223,14 +223,25 @@ def multi_head_attention(
     """
     d_head = q.shape[-1] // n_head
     scale = d_head ** -0.25
-    qh = _split_heads(q, n_head) * scale
-    kh = _split_heads(k, n_head) * scale
-    vh = _split_heads(v, n_head)
 
     if _fused_eligible(q, mask):
         from ..ops.attention import fused_attention
 
-        return _merge_heads(fused_attention(qh, kh, vh))
+        # the total d_head**-0.5 scale is folded into the kernel's q
+        # block in VMEM — host-side q*scale/k*scale muls materialized
+        # (B, H, T, Dh) copies (xprof: 52 ms per batch-128 encode)
+        return _merge_heads(
+            fused_attention(
+                _split_heads(q, n_head),
+                _split_heads(k, n_head),
+                _split_heads(v, n_head),
+                scale=float(d_head ** -0.5),
+            )
+        )
+
+    qh = _split_heads(q, n_head) * scale
+    kh = _split_heads(k, n_head) * scale
+    vh = _split_heads(v, n_head)
 
     logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32)
     if mask is not None:

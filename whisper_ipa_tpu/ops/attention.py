@@ -12,8 +12,9 @@ Numerical notes: logits and softmax accumulate in float32 regardless of
 input dtype; padded key positions (sequence rounded up to the 128-tile)
 are masked with -inf inside the kernel.
 
-Apply Whisper's split scaling (q and k each pre-multiplied by
-d_head**-0.25) before calling, as models/layers.py does.
+Pass the total attention scale (d_head**-0.5) via ``scale`` — it is
+applied to the q block in VMEM, so no scaled (B, H, T, Dh) copies are
+materialized in HBM (models/layers.py does this).
 """
 
 from __future__ import annotations
@@ -35,8 +36,15 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def _attn_kernel(kv_len: int, q_ref, k_ref, v_ref, out_ref):
+def _attn_kernel(kv_len: int, scale: float, q_ref, k_ref, v_ref, out_ref):
     q = q_ref[0]  # (BLOCK_Q, Dh)
+    if scale != 1.0:
+        # fold the attention scale into the VMEM-resident q block: the
+        # host-side q*scale and k*scale muls materialized (B, H, T, Dh)
+        # copies (52 ms per batch-128 whisper-small encode in xprof).
+        # Whisper head dims are powers of two, so d_head**-0.5 is exact
+        # in bf16.
+        q = q * jnp.asarray(scale, q.dtype)
     k = k_ref[0]  # (T_pad, Dh)
     v = v_ref[0]
 
@@ -66,18 +74,21 @@ def _attn_kernel(kv_len: int, q_ref, k_ref, v_ref, out_ref):
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-def _xla_attention(q, k, v):
+def _xla_attention(q, k, v, scale: float = 1.0):
     """Reference unfused path (used for the backward pass)."""
+    if scale != 1.0:
+        q = q * jnp.asarray(scale, q.dtype)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
     w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", w, v)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3,))
-def fused_attention(q, k, v, interpret: bool = False):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_attention(q, k, v, scale: float = 1.0, interpret: bool = False):
     """(B, H, Tq, Dh) x (B, H, Tk, Dh) -> (B, H, Tq, Dh), no mask.
 
-    q and k must already carry the attention scale.
+    ``scale`` (static) is applied to q inside the kernel; pass 1.0 when
+    q/k already carry the attention scale.
 
     Differentiable: the forward pass runs the Pallas kernel; the backward
     pass recomputes attention through the XLA path and takes its VJP
@@ -85,24 +96,25 @@ def fused_attention(q, k, v, interpret: bool = False):
     inside the backward pass, and not at all under stop_gradient, e.g. the
     frozen-encoder training regime).
     """
-    return _fused_attention_impl(q, k, v, interpret)
+    return _fused_attention_impl(q, k, v, scale, interpret)
 
 
-def _fused_attention_fwd(q, k, v, interpret):
-    return _fused_attention_impl(q, k, v, interpret), (q, k, v)
+def _fused_attention_fwd(q, k, v, scale, interpret):
+    return _fused_attention_impl(q, k, v, scale, interpret), (q, k, v)
 
 
-def _fused_attention_bwd(interpret, residuals, g):
+def _fused_attention_bwd(scale, interpret, residuals, g):
     q, k, v = residuals
-    _, vjp = jax.vjp(_xla_attention, q, k, v)
+    _, vjp = jax.vjp(lambda q, k, v: _xla_attention(q, k, v, scale), q, k, v)
     return vjp(g)
 
 
 fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def _fused_attention_impl(q, k, v, interpret: bool = False):
+@partial(jax.jit, static_argnames=("scale", "interpret"))
+def _fused_attention_impl(q, k, v, scale: float = 1.0,
+                          interpret: bool = False):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -122,7 +134,7 @@ def _fused_attention_impl(q, k, v, interpret: bool = False):
 
     grid = (BH, _round_up(Tq, BLOCK_Q) // BLOCK_Q)
     out = pl.pallas_call(
-        partial(_attn_kernel, Tk),
+        partial(_attn_kernel, Tk, scale),
         out_shape=jax.ShapeDtypeStruct((BH, Tq, Dh), q.dtype),
         grid=grid,
         in_specs=[

@@ -337,12 +337,14 @@ def _quantize_kv_heads(x, n_head: int):
     """
     B, T, d = x.shape
     dh = d // n_head
-    xf = x.astype(jnp.float32).reshape(B, T, n_head, dh)
-    amax = jnp.max(jnp.abs(xf), axis=-1)
-    scale = jnp.maximum(amax, 1e-8) / 127.0  # (B, T, H)
-    codes = jnp.round(xf / scale[..., None]).astype(jnp.int8)
-    codes = codes.transpose(0, 2, 3, 1)  # (B, H, Dh, T)
-    scale = scale.transpose(0, 2, 1)  # (B, H, T)
+    # transpose FIRST, then do all float work on T-minor tiles: with
+    # dh=64 minor, every f32 elementwise op pays the 64->128 lane pad
+    # (xprof: the old order spent ~87 ms per batch-128 init_cache in
+    # reshape/transpose/reduce overhead)
+    xf = x.transpose(0, 2, 1).astype(jnp.float32).reshape(B, n_head, dh, T)
+    amax = jnp.max(jnp.abs(xf), axis=2)  # (B, H, T)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    codes = jnp.round(xf / scale[:, :, None, :]).astype(jnp.int8)
     # pad T to the 128-lane tile ONCE here: padding inside the decode step
     # would copy the whole cache every token. Padded positions get scale 0,
     # which the attention paths use as the mask (real scales are > 0).

@@ -25,9 +25,11 @@ import time
 
 import numpy as np
 
-# best single-chip RTF point from the batch sweep (see docs/PERF.md):
-# 16: 1079x/7.5% MFU, 32: 1242x/8.6%, 64: 889x, 128: 1253x/8.7% (2026-08-16)
-HEADLINE_BATCH = 128
+# best single-chip RTF point from the batch sweep (see docs/PERF.md), r2:
+# 16: 1426x, 32: 1666x, 64: 1925x, 128: 2868x, 160: 2968x, 192: 3019x,
+# 256: 3046x (flat past 192; the T-minor KV layout halved the padded
+# cache so batches >128 fit). 192 keeps ~1 GB of headroom vs 256.
+HEADLINE_BATCH = 192
 SAMPLE_LEN = 64
 # int8 cross-attn KV cache (T-minor layout): 2380x RTF at batch 128 vs
 # 1253x fp bf16; exact token agreement at tiny scale, ~0.1% logit err

@@ -37,7 +37,7 @@ KV_INT8_DEFAULT = True
 
 
 def bench_point(batch, sample_len, iters=5, kv_int8=False,
-                model="small"):
+                model="small", kv_int4=False):
     import jax
     import jax.numpy as jnp
 
@@ -65,7 +65,8 @@ def bench_point(batch, sample_len, iters=5, kv_int8=False,
         sample_len=sample_len,
         suppress_tokens=[-1, tokenizer.eot],  # force full-length decode
         fp16=True,  # bfloat16 compute on TPU
-        kv_int8=kv_int8,  # int8 cross-attention K/V cache
+        kv_int8=kv_int8 and not kv_int4,  # int8 cross-attention K/V cache
+        kv_int4=kv_int4,  # nibble-packed int4 cross-KV (quarter bytes)
     )
 
     # fused Pallas frontend (framing+window+DFT+power+mel+log in one kernel)
@@ -498,6 +499,10 @@ def main():
     ap.add_argument(
         "--no-kv-int8", dest="kv_int8", action="store_false",
     )
+    ap.add_argument(
+        "--kv-int4", action="store_true",
+        help="nibble-packed int4 cross-KV cache (quarter of bf16 bytes)",
+    )
     ap.add_argument("--model", default="small")
     ap.add_argument(
         "--cached-features", action="store_true",
@@ -651,7 +656,8 @@ def main():
         r = best
     else:
         r = bench_point(args.batch, args.sample_len, args.iters,
-                        kv_int8=args.kv_int8, model=args.model)
+                        kv_int8=args.kv_int8, model=args.model,
+                        kv_int4=args.kv_int4)
 
     print(
         json.dumps(

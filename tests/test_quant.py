@@ -257,3 +257,90 @@ class TestStochasticQuantDevice:
             tokenizer=tok,
         )
         assert np.isfinite(results[0].avg_logprob)
+
+
+class TestInt4CrossKV:
+    """Opt-in nibble-packed int4 cross-attention KV cache."""
+
+    def _setup(self):
+        from dataclasses import replace
+
+        import jax.numpy as jnp
+
+        from whisper_ipa_tpu.config import CONFIGS
+        from whisper_ipa_tpu.models import init_params
+
+        cfg = replace(CONFIGS["test-tiny"], n_audio_ctx=32, n_text_ctx=32)
+        params = init_params(cfg, seed=0)
+        rng = np.random.default_rng(0)
+        feats = jnp.asarray(
+            rng.standard_normal((2, 32, cfg.n_audio_state)).astype(
+                np.float32
+            )
+        )
+        return cfg, params, feats
+
+    def test_int4_attention_close_to_fp(self):
+        """One cross-attention through the packed path vs the fp path."""
+        import jax.numpy as jnp
+
+        from whisper_ipa_tpu.models.layers import (
+            multi_head_attention,
+            multi_head_attention_int8kv,
+        )
+        from whisper_ipa_tpu.models.whisper import init_cache
+
+        cfg, params, feats = self._setup()
+        cache4 = init_cache(params, cfg, feats, max_len=8,
+                            cross_kv_int4=True)
+        cache_fp = init_cache(params, cfg, feats, max_len=8)
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(
+            rng.standard_normal((2, 1, cfg.n_text_state)).astype(np.float32)
+        )
+        ref = multi_head_attention(
+            q, cache_fp.cross_k[0], cache_fp.cross_v[0], cfg.n_text_head
+        )
+        got = multi_head_attention_int8kv(
+            q,
+            cache4.cross_k[0],
+            cache4.cross_k_scale[0],
+            cache4.cross_v[0],
+            cache4.cross_v_scale[0],
+            cfg.n_text_head,
+        )
+        err = float(
+            np.abs(np.asarray(got) - np.asarray(ref)).max()
+            / np.abs(np.asarray(ref)).max()
+        )
+        assert err < 0.15, err  # int4 noise, bounded
+
+    def test_int4_decode_runs_and_tracks_fp(self):
+        """Full greedy decode with kv_int4: runs under jit and the first
+        decoded token matches the fp path (weak but meaningful — the
+        first step sees the most uniform logits)."""
+        import jax.numpy as jnp
+
+        from whisper_ipa_tpu.decode import DecodingOptions, decode
+        from whisper_ipa_tpu.tokenizer import get_tokenizer
+
+        cfg, params, _ = self._setup()
+        tok = get_tokenizer(multilingual=True, language="en")
+        rng = np.random.default_rng(2)
+        mel = jnp.asarray(
+            rng.standard_normal((2, 64, cfg.n_mels)).astype(np.float32)
+        )
+        fp = decode(
+            params, cfg, mel,
+            DecodingOptions(language="en", without_timestamps=True,
+                            sample_len=4),
+            tokenizer=tok,
+        )
+        q4 = decode(
+            params, cfg, mel,
+            DecodingOptions(language="en", without_timestamps=True,
+                            sample_len=4, kv_int4=True),
+            tokenizer=tok,
+        )
+        assert len(q4) == len(fp)
+        assert [r.tokens[0] for r in q4] == [r.tokens[0] for r in fp]

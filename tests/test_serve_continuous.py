@@ -242,3 +242,16 @@ def test_speculative_engine_join_and_streaming(spec_engine, params, tok):
     assert r1["tokens"] == reference_tokens(params, a1, tok)
     assert r2["tokens"] == reference_tokens(params, a2, tok)
     assert [s["token"] for s in seen] == r1["tokens"]
+
+
+def test_speculative_engine_long_audio(spec_engine, params, tok):
+    """Window chaining works under in-flight speculation too."""
+    from whisper_ipa_tpu.audio import N_SAMPLES
+
+    rng = np.random.default_rng(8)
+    audio = rng.standard_normal(N_SAMPLES + 16000).astype(np.float32) * 0.1
+    out = spec_engine.transcribe(audio, timeout=900)
+    assert out["n_windows"] == 2
+    w0 = reference_tokens(params, audio[:N_SAMPLES], tok)
+    w1 = reference_tokens(params, audio[N_SAMPLES:], tok)
+    assert out["tokens"] == w0 + w1

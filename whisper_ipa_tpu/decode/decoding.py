@@ -51,6 +51,7 @@ class DecodingOptions:
     # the decode loop's dominant HBM read; ~0.4% logit error)
     seed: int = 0
     kv_int8: bool = False
+    kv_int4: bool = False  # nibble-packed int4 cross-KV (quarter bytes)
 
 
 @dataclass
@@ -292,6 +293,7 @@ def apply_timestamp_rules(
         "max_initial_ts_index",
         "sot_index",
         "cross_kv_int8",
+        "cross_kv_int4",
     ),
 )
 def _greedy_decode_jit(
@@ -312,6 +314,7 @@ def _greedy_decode_jit(
     max_initial_ts_index: int = 50,
     sot_index: int = 0,
     cross_kv_int8: bool = False,
+    cross_kv_int4: bool = False,
 ):
     """Batched greedy/temperature decode under one lax.while_loop."""
     dtype = jnp.dtype(dtype_name)
@@ -320,6 +323,7 @@ def _greedy_decode_jit(
     cache = init_cache(
         params, cfg, audio_features, max_len=max_len, dtype=dtype,
         cross_kv_int8=cross_kv_int8,
+        cross_kv_int4=cross_kv_int4,
     )
 
     # consume the prefix in one step
@@ -565,6 +569,7 @@ def decode(
         max_initial_ts_index=max_initial_ts_index,
         sot_index=sot_index,
         cross_kv_int8=options.kv_int8,
+        cross_kv_int4=options.kv_int4,
     )
 
     tokens_np = np.asarray(tokens_buf)

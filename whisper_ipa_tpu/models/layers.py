@@ -201,6 +201,11 @@ def multi_head_attention_int8kv(q, k_i8, k_scale, v_i8, v_scale, n_head: int):
     d_head = q.shape[-1] // n_head
     qh = _split_heads(q * (d_head**-0.5), n_head)  # (B, H, S, Dh)
 
+    if k_scale.shape[-1] != k_i8.shape[-1]:
+        # int4 nibble-packed codes (T_pad/2 bytes vs T_pad scales):
+        # dequantize per nibble plane, interleave only the SMALL logits
+        return _mha_int4kv(qh, k_i8, k_scale, v_i8, v_scale)
+
     logits = jnp.einsum(
         "bhsd,bhdt->bhst", qh, k_i8.astype(q.dtype)
     ).astype(jnp.float32)
@@ -210,6 +215,42 @@ def multi_head_attention_int8kv(q, k_i8, k_scale, v_i8, v_scale, n_head: int):
     w = jax.nn.softmax(logits, axis=-1)
     w = (w * v_scale[:, :, None, :]).astype(q.dtype)
     out = jnp.einsum("bhst,bhdt->bhsd", w, v_i8.astype(q.dtype))
+    return _merge_heads(out)
+
+
+def _mha_int4kv(qh, k_p4, k_scale, v_p4, v_scale):
+    """Attention over the nibble-packed int4 T-minor cache.
+
+    qh: (B, H, S, Dh) pre-scaled; k_p4/v_p4: (B, H, Dh, T_pad/2) int8
+    holding two T-adjacent int4 codes (even T low nibble, odd high);
+    scales: (B, H, T_pad) f32. The K/V loads stay packed (quarter of
+    bf16's bytes); the nibble planes are contracted separately and only
+    the (B, H, S, T) logits/probabilities — tiny next to the cache — are
+    interleaved/de-interleaved.
+    """
+    dtype = qh.dtype
+    B, H, S, Dh = qh.shape
+    T2 = k_p4.shape[-1]
+
+    def planes(p):
+        lo = jnp.right_shift(jnp.left_shift(p, 4), 4).astype(dtype)
+        hi = jnp.right_shift(p, 4).astype(dtype)
+        return lo, hi
+
+    k_lo, k_hi = planes(k_p4)
+    l_even = jnp.einsum("bhsd,bhdt->bhst", qh, k_lo).astype(jnp.float32)
+    l_odd = jnp.einsum("bhsd,bhdt->bhst", qh, k_hi).astype(jnp.float32)
+    logits = jnp.stack([l_even, l_odd], axis=-1).reshape(B, H, S, 2 * T2)
+    ks = k_scale[:, :, None, :]
+    logits = jnp.where(ks > 0.0, logits * ks, -jnp.inf)
+    w = jax.nn.softmax(logits, axis=-1)
+    w = w * v_scale[:, :, None, :]
+    v_lo, v_hi = planes(v_p4)
+    w_even = w[..., 0::2].astype(dtype)
+    w_odd = w[..., 1::2].astype(dtype)
+    out = jnp.einsum("bhst,bhdt->bhsd", w_even, v_lo) + jnp.einsum(
+        "bhst,bhdt->bhsd", w_odd, v_hi
+    )
     return _merge_heads(out)
 
 

@@ -103,6 +103,11 @@ def main(argv=None):
     p.add_argument("--language", default="en")
     p.add_argument("--beam-size", type=int, default=None)
     p.add_argument(
+        "--kv-int4", action="store_true",
+        help="nibble-packed int4 cross-KV cache: half of int8's cache "
+        "HBM — memory headroom for large models (docs/PERF.md)",
+    )
+    p.add_argument(
         "--quant-bits", type=int, default=None, choices=(4, 8),
         help="weight-only quantization: 8 (per-channel int8) or 4 "
         "(group-scaled packed int4) — cuts decode weight HBM traffic",
@@ -202,6 +207,7 @@ def main(argv=None):
             draft_k=args.draft_k,
             mesh=mesh,
             tensor_parallel=args.tp > 1,
+            kv_int4=args.kv_int4,
         )
     if args.warmup:
         import numpy as np

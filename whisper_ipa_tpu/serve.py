@@ -56,6 +56,7 @@ class TranscriptionService:
         beam_size: Optional[int] = None,
         bf16: bool = True,
         kv_int8: bool = True,
+        kv_int4: bool = False,
         quant_bits: Optional[int] = None,
         draft_params=None,
         draft_cfg: Optional[WhisperConfig] = None,
@@ -121,7 +122,8 @@ class TranscriptionService:
             fp16=bf16,
             # int8 cross-KV: +16-29% decode throughput at ~0.1% logit error
             # (token-identical in tests) — the right serving default
-            kv_int8=kv_int8,
+            kv_int8=kv_int8 and not kv_int4,
+            kv_int4=kv_int4,
         )
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()

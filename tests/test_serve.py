@@ -314,3 +314,28 @@ class TestShardedService:
                 params, CFG, batch_size=4, language="en",
                 mesh=mesh, tensor_parallel=True, quant_bits=8,
             )
+
+
+class TestShardedQuantizedService:
+    def test_dp_service_with_int8_weights(self):
+        """Data-parallel serving composes with weight-only quantization
+        (params replicated over the mesh, batches sharded)."""
+        from whisper_ipa_tpu.parallel.mesh import make_mesh
+
+        params = init_params(CFG, seed=0)
+        audio = (
+            np.random.default_rng(13)
+            .standard_normal(16000)
+            .astype(np.float32)
+            * 0.1
+        )
+        mesh = make_mesh(data=4, model=1)
+        svc = TranscriptionService(
+            params, CFG, batch_size=4, max_wait_ms=10.0,
+            language="en", bf16=False, mesh=mesh, quant_bits=8,
+        )
+        try:
+            got = svc.transcribe(audio, timeout=600)
+        finally:
+            svc.close()
+        assert "text" in got and len(got["segments"]) == 1

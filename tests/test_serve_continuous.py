@@ -278,3 +278,25 @@ def test_int8_kv_engine_matches_plain_greedy(params, tok):
         assert out["tokens"][0] == ref[0]
     finally:
         eng.close()
+
+
+def test_engine_fuzz_mixed_arrivals(engine, params, tok):
+    """Soak: mixed-length audio under random arrival jitter — every
+    request must match its standalone per-window greedy decode."""
+    from whisper_ipa_tpu.audio import N_SAMPLES
+
+    rng = np.random.default_rng(14)
+    audios = []
+    for i in range(6):
+        n = int(rng.integers(8000, N_SAMPLES + 24000))
+        audios.append(rng.standard_normal(n).astype(np.float32) * 0.1)
+    futs = []
+    for a in audios:
+        futs.append(engine.submit(a))
+        time.sleep(float(rng.uniform(0, 0.03)))
+    results = [f.result(timeout=900) for f in futs]
+    for a, r in zip(audios, results):
+        want = []
+        for s in range(0, len(a), N_SAMPLES):
+            want.extend(reference_tokens(params, a[s : s + N_SAMPLES], tok))
+        assert r["tokens"] == want

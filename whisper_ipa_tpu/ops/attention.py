@@ -68,10 +68,12 @@ def _attn_kernel(kv_len: int, scale: float, q_ref, k_ref, v_ref, out_ref):
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / denom).astype(v.dtype)
-
-    out = jnp.dot(p, v, preferred_element_type=jnp.float32)
-    out_ref[0] = out.astype(out_ref.dtype)
+    # divide the (BLOCK_Q, Dh) OUTPUT by the row sums instead of the
+    # (BLOCK_Q, T_pad) probabilities — T_pad/Dh x less VPU divide work
+    out = jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    out_ref[0] = (out / denom).astype(out_ref.dtype)
 
 
 def _xla_attention(q, k, v, scale: float = 1.0):

@@ -26,7 +26,7 @@ import time
 import numpy as np
 
 # best single-chip RTF point from the batch sweep (see docs/PERF.md), r2:
-# 16: 1426x, 32: 1666x, 64: 1925x, 128: 2868x, 160: 2968x, 192: 3019x,
+# 16: 1426x, 32: 1666x, 64: 1925x, 128: 2868x, 160: 2968x, 192: 3068x,
 # 256: 3046x (flat past 192; the T-minor KV layout halved the padded
 # cache so batches >128 fit). 192 keeps ~1 GB of headroom vs 256.
 HEADLINE_BATCH = 192

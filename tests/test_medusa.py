@@ -1,0 +1,126 @@
+"""Medusa-style draft heads: exactness, training, persistence.
+
+Exactness never depends on head quality (verification only accepts the
+target's own greedy tokens), so the parity test uses fresh heads; the
+training test closes the loop — heads trained on the model's OWN greedy
+outputs must raise the measured acceptance rate.
+"""
+
+from dataclasses import replace
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from whisper_ipa_tpu.config import CONFIGS
+from whisper_ipa_tpu.decode import DecodingOptions, decode
+from whisper_ipa_tpu.decode.speculative import speculative_decode
+from whisper_ipa_tpu.models import init_params
+from whisper_ipa_tpu.models.medusa import (
+    init_medusa_params,
+    load_medusa,
+    medusa_losses,
+    save_medusa,
+    train_medusa_step,
+)
+from whisper_ipa_tpu.tokenizer import get_tokenizer
+
+CFG = replace(CONFIGS["test-tiny"], n_audio_ctx=32, n_text_ctx=32)
+OPTS = DecodingOptions(language="en", without_timestamps=True, sample_len=8)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(CFG, seed=0)
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return get_tokenizer(multilingual=True, language="en")
+
+
+@pytest.fixture(scope="module")
+def mel():
+    rng = np.random.default_rng(0)
+    return jnp.asarray(
+        rng.standard_normal((2, 64, CFG.n_mels)).astype(np.float32)
+    )
+
+
+def test_medusa_exact_greedy_parity(params, tok, mel):
+    mp = init_medusa_params(CFG, n_heads=3, seed=1)
+    plain = decode(params, CFG, mel, OPTS, tokenizer=tok)
+    spec, stats = speculative_decode(
+        params, CFG, None, None, mel, OPTS,
+        tokenizer=tok, medusa_params=mp, return_stats=True,
+    )
+    assert [r.tokens for r in spec] == [r.tokens for r in plain]
+    assert stats.draft_k == 3
+    assert stats.tokens_per_round >= 1.0
+
+
+def test_medusa_training_improves_acceptance(params, tok, mel):
+    """Heads trained on the model's own greedy outputs accept more."""
+    import optax
+
+    from whisper_ipa_tpu.models.whisper import decoder_hidden, encode
+
+    mp = init_medusa_params(CFG, n_heads=2, seed=2)
+    _, before = speculative_decode(
+        params, CFG, None, None, mel, OPTS,
+        tokenizer=tok, medusa_params=mp, return_stats=True,
+    )
+
+    # training data: the model's own greedy continuations (teacher-forced)
+    plain = decode(params, CFG, mel, OPTS, tokenizer=tok)
+    prefix = [tok.sot, tok.language_token("en"),
+              tok.transcribe, tok.no_timestamps]
+    rows = []
+    for r in plain:
+        rows.append(prefix + r.tokens + [tok.eot])
+    width = max(len(r) for r in rows)
+    tokens = jnp.asarray(
+        [r + [tok.eot] * (width - len(r)) for r in rows], jnp.int32
+    )
+    feats = jax.jit(
+        lambda p, m: encode(p, CFG, m)
+    )(params, mel)
+    hidden = jax.jit(
+        lambda p, t, f: decoder_hidden(p, CFG, t, f)
+    )(params, tokens, feats)
+
+    tx = optax.adam(2e-2)
+    opt_state = tx.init(mp)
+    loss0 = None
+    step = jax.jit(
+        lambda mp, os, h, t: train_medusa_step(
+            mp, os, tx, params, CFG, h, t, tok.eot
+        )
+    )
+    for i in range(60):
+        mp, opt_state, loss = step(mp, opt_state, hidden, tokens)
+        if loss0 is None:
+            loss0 = float(loss)
+    assert float(loss) < loss0, (float(loss), loss0)
+
+    out, after = speculative_decode(
+        params, CFG, None, None, mel, OPTS,
+        tokenizer=tok, medusa_params=mp, return_stats=True,
+    )
+    # exactness holds regardless of training
+    assert [r.tokens for r in out] == [r.tokens for r in plain]
+    assert after.tokens_per_round >= before.tokens_per_round
+
+
+def test_medusa_save_load_roundtrip(tmp_path):
+    mp = init_medusa_params(CFG, n_heads=2, seed=3)
+    path = str(tmp_path / "medusa.safetensors")
+    save_medusa(path, mp)
+    got = load_medusa(path)
+    for a, b in zip(mp["heads"], got["heads"]):
+        for k in ("w1", "b1", "w2", "b2"):
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]), rtol=0, atol=0
+            )

@@ -114,8 +114,15 @@ def main(argv=None):
     )
     p.add_argument(
         "--draft-model", default=None,
-        help="speculative decoding: draft model name (e.g. tiny); output "
-        "tokens stay identical to plain greedy decoding",
+        help="speculative decoding: draft model name (e.g. tiny), "
+        "'ngram' (prompt lookup), or 'medusa' (trained one-shot heads "
+        "via --medusa-weights); output tokens stay identical to plain "
+        "greedy decoding",
+    )
+    p.add_argument(
+        "--medusa-weights", default=None,
+        help="safetensors file of Medusa heads (models/medusa.py) for "
+        "--draft-model medusa",
     )
     p.add_argument("--draft-weights", default=None)
     p.add_argument("--draft-k", type=int, default=4)
@@ -154,8 +161,21 @@ def main(argv=None):
         params, n = load_checkpoint_model(args.checkpoint, params)
         print(f"Loaded {n} decoder tensors from {args.checkpoint}")
 
-    draft_params = draft_cfg = None
-    if args.draft_model and args.draft_model != "ngram":
+    draft_params = draft_cfg = medusa_params = None
+    if args.draft_model == "medusa":
+        from ..models.medusa import init_medusa_params, load_medusa
+
+        medusa_params = (
+            load_medusa(args.medusa_weights)
+            if args.medusa_weights
+            else init_medusa_params(cfg, n_heads=args.draft_k)
+        )
+        if not args.medusa_weights:
+            print(
+                "WARNING: untrained Medusa heads (no --medusa-weights): "
+                "output stays exact but speculation will rarely accept"
+            )
+    elif args.draft_model and args.draft_model != "ngram":
         draft_cfg = get_config(args.draft_model)
         draft_params = load_or_init_params(
             args.draft_model, draft_cfg, args.draft_weights
@@ -205,6 +225,7 @@ def main(argv=None):
             draft_params=draft_params,
             draft_cfg=draft_cfg,
             draft_k=args.draft_k,
+            medusa_params=medusa_params,
             mesh=mesh,
             tensor_parallel=args.tp > 1,
             kv_int4=args.kv_int4,

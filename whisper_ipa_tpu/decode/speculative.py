@@ -116,6 +116,7 @@ def _ngram_drafts(tokens_buf, lens, K: int):
         "sot_index",
         "cross_kv_int8",
         "ngram",
+        "medusa",
     ),
 )
 def _spec_decode_jit(
@@ -136,6 +137,8 @@ def _spec_decode_jit(
     sot_index: int = 0,
     cross_kv_int8: bool = False,
     ngram: bool = False,
+    medusa: bool = False,
+    medusa_params=None,
 ):
     """Batched speculative greedy decode under one lax.while_loop."""
     dtype = jnp.dtype(dtype_name)
@@ -147,7 +150,7 @@ def _spec_decode_jit(
         params, cfg, audio_features, max_len=buf_len, dtype=dtype,
         cross_kv_int8=cross_kv_int8,
     )
-    if ngram:
+    if ngram or medusa:
         dcache = None
     else:
         dcache = init_cache(
@@ -156,10 +159,25 @@ def _spec_decode_jit(
         )
 
     # consume the prefix in one step (both models)
-    prefix_logits, tcache = decode_step(
-        params, cfg, prefix_tokens, tcache, 0, dtype=dtype
-    )
-    if not ngram:
+    if medusa:
+        from ..models.whisper import decode_step_multipos_hidden
+
+        B0 = prefix_tokens.shape[0]
+        prefix_logits, tcache, prefix_hidden = decode_step_multipos_hidden(
+            params, cfg, prefix_tokens, tcache,
+            jnp.zeros((B0,), jnp.int32), dtype=dtype,
+        )
+        # head k conditions on h_t to predict token t+k+2; the first
+        # round drafts slots n_prefix.. so it needs h at n_prefix-2
+        hidden0 = prefix_hidden[:, n_prefix - 2]
+    else:
+        prefix_logits, tcache = decode_step(
+            params, cfg, prefix_tokens, tcache, 0, dtype=dtype
+        )
+        hidden0 = jnp.zeros(
+            (prefix_tokens.shape[0], cfg.n_text_state), dtype
+        )
+    if not (ngram or medusa):
         _, dcache = decode_step(
             draft_params, draft_cfg, prefix_tokens, dcache, 0, dtype=dtype
         )
@@ -188,10 +206,17 @@ def _spec_decode_jit(
             tcache,
             dcache,
             emitted_total,
+            hidden_frontier,
         ) = state
 
         # -- draft: propose K tokens -------------------------------------
-        if ngram:
+        if medusa:
+            from ..models.medusa import medusa_propose
+
+            drafts = medusa_propose(
+                medusa_params, params, hidden_frontier, dtype
+            )  # (B, K) one-shot from the frontier hidden state
+        elif ngram:
             drafts = _ngram_drafts(tokens_buf, lens, K)  # (B, K)
         else:
 
@@ -220,9 +245,17 @@ def _spec_decode_jit(
 
         # -- target: verify all K drafts in one (K+1)-query forward -------
         block = jnp.concatenate([last_tok[:, None], drafts], axis=1)
-        tlogits, tcache = decode_step_multipos(
-            params, cfg, block, tcache, lens - 1, dtype=dtype
-        )
+        if medusa:
+            from ..models.whisper import decode_step_multipos_hidden
+
+            tlogits, tcache, block_hidden = decode_step_multipos_hidden(
+                params, cfg, block, tcache, lens - 1, dtype=dtype
+            )
+        else:
+            tlogits, tcache = decode_step_multipos(
+                params, cfg, block, tcache, lens - 1, dtype=dtype
+            )
+            block_hidden = None
         # tlogits[:, i] predicts the token at slot lens+i
         slots = lens[:, None] + idx  # (B, K+1)
         lg = tlogits + suppress_mask
@@ -268,6 +301,19 @@ def _spec_decode_jit(
         )
         emitted_total = emitted_total + v.sum()
 
+        if medusa:
+            # next round's heads condition on the hidden of the input at
+            # index (new lens)-2 = block position v-1 (v>=1 whenever the
+            # element is active)
+            new_hf = jnp.take_along_axis(
+                block_hidden,
+                jnp.maximum(v - 1, 0)[:, None, None],
+                axis=1,
+            )[:, 0]
+            hidden_frontier = jnp.where(
+                (v >= 1)[:, None], new_hf, hidden_frontier
+            )
+
         return (
             rounds + 1,
             lens,
@@ -278,6 +324,7 @@ def _spec_decode_jit(
             tcache,
             dcache,
             emitted_total,
+            hidden_frontier,
         )
 
     def cond(state):
@@ -294,6 +341,7 @@ def _spec_decode_jit(
         tcache,
         dcache,
         jnp.array(0, jnp.int32),
+        hidden0,
     )
     out = jax.lax.while_loop(cond, body, state)
     rounds, tokens_buf, sum_logprobs, emitted_total = (
@@ -316,6 +364,7 @@ def speculative_decode(
     draft_mel=None,
     tokenizer: Optional[WhisperTokenizer] = None,
     return_stats: bool = False,
+    medusa_params=None,
 ) -> List[DecodingResult]:
     """Greedy decode `mel` with `params`, accelerated by speculation.
 
@@ -332,13 +381,22 @@ def speculative_decode(
       decoding) — drafts continue the latest previous occurrence of the
       current bigram in the generated tokens. Zero draft cost; pays off
       on repetitive output.
+    - ``medusa_params`` (models/medusa.py): K trained residual heads
+      propose all K drafts in ONE shot from the frontier hidden state —
+      no draft model, no draft forward passes. ``draft_k`` is taken from
+      the number of heads.
 
     Requires greedy decoding without timestamps: ``temperature == 0``,
     ``without_timestamps=True``, no beam/best_of. The timestamp grammar is
     stateful across positions, which conflicts with block verification;
     transcription evaluation (the hot serving path) runs without timestamps.
     """
-    ngram = draft_params is None
+    medusa = medusa_params is not None
+    ngram = draft_params is None and not medusa
+    if medusa and draft_params is not None:
+        raise ValueError("medusa_params excludes a draft model")
+    if medusa:
+        draft_k = len(medusa_params["heads"])
     if options.temperature != 0.0:
         raise ValueError("speculative_decode requires temperature == 0")
     if not options.without_timestamps:
@@ -347,7 +405,7 @@ def speculative_decode(
         )
     if options.beam_size is not None or options.best_of is not None:
         raise ValueError("speculative_decode excludes beam_size/best_of")
-    if ngram:
+    if ngram or medusa:
         draft_cfg = cfg  # context-length bookkeeping only
     elif draft_cfg.n_vocab != cfg.n_vocab or (
         draft_cfg.multilingual != cfg.multilingual
@@ -375,7 +433,7 @@ def speculative_decode(
     )
 
     draft_features = None
-    if not ngram:
+    if not (ngram or medusa):
         if draft_mel is None:
             if draft_cfg.n_mels != cfg.n_mels:
                 raise ValueError(
@@ -440,6 +498,8 @@ def speculative_decode(
         sot_index=sot_index,
         cross_kv_int8=options.kv_int8,
         ngram=ngram,
+        medusa=medusa,
+        medusa_params=medusa_params,
     )
 
     tokens_np = np.asarray(tokens_buf)

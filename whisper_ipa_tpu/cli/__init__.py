@@ -14,6 +14,7 @@ Mirrors the reference's script surface:
 Beyond the reference surface:
   serve                  batching/continuous HTTP inference server
   profile_inference      xprof capture + per-op time table (headless)
+  train_medusa           fit speculative-decoding draft heads (frozen base)
   error_analysis         phone-confusion analysis
   transcribe / convert_weights / check_vocab / evaluate_zeroshot
 """

@@ -161,3 +161,28 @@ def test_train_medusa_cli_end_to_end(tmp_path):
     )
     mp = load_medusa(out)
     assert len(mp["heads"]) == 2
+
+
+def test_valid_target_mask_includes_first_eot():
+    """Regression (r3 advisor): the first EOT is a valid target — heads
+    must learn to PREDICT end-of-sequence; only padding past it is
+    masked out of the loss."""
+    import jax.numpy as jnp
+
+    from whisper_ipa_tpu.models.medusa import valid_target_mask
+
+    eot = 99
+    tokens = jnp.asarray(
+        [
+            [5, 7, eot, eot, eot],  # content, first EOT valid, pad masked
+            [eot, eot, eot, eot, eot],  # empty: only the first EOT valid
+            [1, 2, 3, 4, 5],  # no EOT: everything valid
+        ],
+        jnp.int32,
+    )
+    mask = valid_target_mask(tokens, eot)
+    assert mask.tolist() == [
+        [True, True, True, False, False],
+        [True, False, False, False, False],
+        [True, True, True, True, True],
+    ]

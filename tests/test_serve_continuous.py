@@ -300,3 +300,25 @@ def test_engine_fuzz_mixed_arrivals(engine, params, tok):
         for s in range(0, len(a), N_SAMPLES):
             want.extend(reference_tokens(params, a[s : s + N_SAMPLES], tok))
         assert r["tokens"] == want
+
+
+def test_device_budget_freeze_truncates_exactly(params, tok):
+    """Regression (r3 advisor): the plain-greedy engine must enforce
+    max_new ON DEVICE. With steps_per_sync > max_new, one chunk used to
+    advance lens past the cache end (start-clamped KV writes corrupted
+    the frontier row) and the host appended the over-budget tokens."""
+    eng = ContinuousBatcher(
+        params, CFG, slots=2, max_new_tokens=3,
+        steps_per_sync=6, language="en", tokenizer=tok,
+    )
+    try:
+        audio = (
+            np.random.default_rng(0).standard_normal(16000)
+            .astype(np.float32) * 0.1
+        )
+        ref = reference_tokens(params, audio, tok)  # sample_len=8 decode
+        out = eng.transcribe(audio, timeout=900)
+        assert out["tokens"] == ref[: 3]
+        assert out["truncated"] == (len(ref) > 3)
+    finally:
+        eng.close()

@@ -200,10 +200,17 @@ def main(argv=None):
                 "--continuous is greedy-only; the only draft source it "
                 "supports is --draft-model ngram (prompt-lookup)"
             )
+        if args.kv_int4:
+            raise SystemExit(
+                "--continuous supports int8 cross-KV only (the engine's "
+                "persistent cache has no int4 path); drop --kv-int4"
+            )
         if args.quant_bits is not None:
             from ..ops.quant import quantize_params
 
             params = quantize_params(params, bits=args.quant_bits)
+        # match TranscriptionService's serving defaults: bf16
+        # activations + int8 cross-attention KV cache
         service = ContinuousBatcher(
             params,
             cfg,
@@ -211,6 +218,8 @@ def main(argv=None):
             max_new_tokens=args.max_new_tokens,
             steps_per_sync=args.steps_per_sync,
             language=args.language,
+            bf16=True,
+            kv_int8=True,
             draft_k=args.draft_k if args.draft_model == "ngram" else 0,
         )
     else:

@@ -115,6 +115,7 @@ def _ngram_drafts(tokens_buf, lens, K: int):
         "dtype_name",
         "sot_index",
         "cross_kv_int8",
+        "cross_kv_int4",
         "ngram",
         "medusa",
     ),
@@ -136,6 +137,7 @@ def _spec_decode_jit(
     dtype_name: str = "float32",
     sot_index: int = 0,
     cross_kv_int8: bool = False,
+    cross_kv_int4: bool = False,
     ngram: bool = False,
     medusa: bool = False,
     medusa_params=None,
@@ -148,7 +150,7 @@ def _spec_decode_jit(
 
     tcache = init_cache(
         params, cfg, audio_features, max_len=buf_len, dtype=dtype,
-        cross_kv_int8=cross_kv_int8,
+        cross_kv_int8=cross_kv_int8, cross_kv_int4=cross_kv_int4,
     )
     if ngram or medusa:
         dcache = None
@@ -497,6 +499,7 @@ def speculative_decode(
         dtype_name=jnp.dtype(dtype).name,
         sot_index=sot_index,
         cross_kv_int8=options.kv_int8,
+        cross_kv_int4=options.kv_int4,
         ngram=ngram,
         medusa=medusa,
         medusa_params=medusa_params,

@@ -77,6 +77,18 @@ def medusa_propose(
     return jnp.stack(drafts, axis=1)  # (B, K)
 
 
+def valid_target_mask(tokens, eot: int):
+    """(B, T) bool: positions that are valid training targets.
+
+    Valid = up to and INCLUDING the first EOT — heads must learn to
+    predict end-of-sequence, so the first EOT is itself a target; only
+    positions strictly past it (EOT padding) are excluded. cumsum -
+    is_eot counts the EOTs strictly BEFORE each position.
+    """
+    is_eot = (tokens == eot).astype(jnp.int32)
+    return (jnp.cumsum(is_eot, axis=1) - is_eot) == 0
+
+
 def medusa_losses(
     medusa_params: Dict,
     params: Dict,
@@ -93,9 +105,7 @@ def medusa_losses(
     """
     emb = params["decoder"]["token_embedding"]
     B, T = tokens.shape
-    # valid content mask: up to and including the first EOT
-    is_eot = tokens == eot
-    after_eot = jnp.cumsum(is_eot.astype(jnp.int32), axis=1) > 0
+    after_eot = ~valid_target_mask(tokens, eot)
     total = jnp.float32(0.0)
     for k, head in enumerate(medusa_params["heads"]):
         shift = k + 2  # hidden at t predicts token t+1; head k: t+k+2

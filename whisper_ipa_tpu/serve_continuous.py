@@ -117,7 +117,7 @@ def _join_step(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "n_steps", "n_prefix", "dtype_name"),
+    static_argnames=("cfg", "n_steps", "n_prefix", "max_new", "dtype_name"),
     donate_argnames=("cache",),
 )
 def _decode_chunk(
@@ -132,28 +132,35 @@ def _decode_chunk(
     eot: int,
     n_steps: int,
     n_prefix: int,
+    max_new: int,
     dtype_name="float32",
 ):
     """Advance every slot by up to n_steps tokens (frozen once finished).
 
     Each step re-feeds the slot's latest token at its frontier (an
     identical-KV rewrite) and samples the next greedily. Returns the
-    (n_steps, B) emitted tokens for the host to inspect.
+    (n_steps, B) emitted tokens for the host to inspect: -1 marks a
+    halted slot (finished, or its max_new budget exhausted — the budget
+    is enforced HERE, on device, so a chunk never advances lens past
+    n_prefix + max_new and never writes KV beyond the cache; a
+    start-clamped dynamic_update_slice would silently corrupt the
+    frontier row otherwise).
     """
     dtype = jnp.dtype(dtype_name)
 
     def body(carry, _):
         cache, last_tok, lens, finished = carry
+        halted = finished | (lens - n_prefix >= max_new)
         logits, cache = decode_step_multipos(
             params, cfg, last_tok[:, None], cache, lens - 1, dtype=dtype
         )
         lg = logits[:, 0] + suppress_mask
         lg = jnp.where((lens == n_prefix)[:, None], lg + blank_mask, lg)
         nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
-        nxt = jnp.where(finished, eot, nxt)
-        lens = jnp.where(finished, lens, lens + 1)
-        finished = finished | (nxt == eot)
-        last_tok = jnp.where(nxt == eot, last_tok, nxt)
+        nxt = jnp.where(halted, -1, nxt)
+        lens = jnp.where(halted, lens, lens + 1)
+        finished = halted | (nxt == eot)
+        last_tok = jnp.where((nxt == eot) | (nxt < 0), last_tok, nxt)
         return (cache, last_tok, lens, finished), nxt
 
     (cache, last_tok, lens, finished), toks = jax.lax.scan(
@@ -634,6 +641,7 @@ class ContinuousBatcher:
             self.eot,
             self.steps_per_sync,
             self.n_prefix,
+            self.max_new,
             dtype_name=self.dtype_name,
         )
         toks_np = np.asarray(toks)  # (n_steps, B) — the host sync
@@ -645,6 +653,8 @@ class ContinuousBatcher:
             for t in toks_np[:, b].tolist():
                 if t == self.eot:
                     done = True
+                    break
+                if t < 0:  # halted on device (budget frozen)
                     break
                 s.tokens.append(int(t))
                 if s.on_token is not None:

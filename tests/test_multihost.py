@@ -110,3 +110,191 @@ def test_two_process_dp_train_step(tmp_path):
         losses.append(float(lines[0].split("loss=")[1]))
     # both processes see the same global loss (GSPMD all-reduce worked)
     assert losses[0] == pytest.approx(losses[1], abs=1e-6)
+
+
+# -- full production loop: train -> validate -> checkpoint -> kill -> resume
+
+LOOP_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+port, pid, num_steps, out_dir, data_json = sys.argv[1:6]
+pid, num_steps = int(pid), int(num_steps)
+
+from whisper_ipa_tpu.parallel.distributed import initialize
+initialize(f"localhost:{port}", num_processes=2, process_id=pid)
+
+# spy on checkpoint file writes: ONLY process 0 may touch the filesystem
+import whisper_ipa_tpu.train.checkpoints as ckpt_mod
+writes = []
+_orig = ckpt_mod.save_safetensors
+ckpt_mod.save_safetensors = lambda path, params: (
+    writes.append(path), _orig(path, params))[1]
+
+from dataclasses import replace
+import whisper_ipa_tpu.config as config_mod
+config_mod.CONFIGS["test-micro-mh"] = replace(
+    config_mod.CONFIGS["test-tiny"], name="test-micro-mh",
+    n_audio_state=32, n_audio_layer=1, n_text_state=32,
+    n_text_layer=1, n_text_ctx=48,
+)
+
+from whisper_ipa_tpu.train.loop import train
+summary = train(
+    model_name="test-micro-mh",
+    train_data_path=data_json,
+    test_data_path=data_json,
+    output_dir=out_dir,
+    num_steps=num_steps,
+    batch_size=4,          # global; each host feeds 2 rows
+    learning_rate=1e-3,
+    validate_every=4,
+    save_every=4,
+    resume=True,           # first run finds no checkpoint; second resumes
+    final_validate=False,
+)
+
+if pid != 0:
+    assert not writes, f"process 1 wrote checkpoint files: {writes}"
+else:
+    assert writes, "process 0 saved nothing"
+print(f"RESULT pid={pid} loss={summary['final_loss']:.6f} "
+      f"best_pfer={summary['best_pfer']}", flush=True)
+"""
+
+
+def _run_loop_workers(tmp_path, num_steps, out_dir, data_json):
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / f"loop_worker_{num_steps}.py"
+    script.write_text(LOOP_WORKER)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(port), str(pid),
+             str(num_steps), out_dir, data_json],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=REPO_ROOT,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=570)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"pid {pid} failed:\n{out[-4000:]}"
+    losses = []
+    for out in outs:
+        lines = [ln for ln in out.splitlines() if ln.startswith("RESULT")]
+        assert lines, out[-2000:]
+        losses.append(float(lines[0].split("loss=")[1].split()[0]))
+    return outs, losses
+
+
+@pytest.mark.slow
+def test_two_process_train_checkpoint_resume(tmp_path):
+    """The full multi-host production loop (VERDICT r2 item 1): a
+    2-process DP run that validates, checkpoints (process-0-gated,
+    collective param fetch), dies, and RESUMES from its checkpoint with
+    a continuing loss trajectory and no duplicate/raced file writes."""
+    import json
+
+    sys.path.insert(0, os.path.join(REPO_ROOT, "tests"))
+    from test_dataset import make_synthetic_dataset
+
+    data_json = make_synthetic_dataset(str(tmp_path / "ds"))
+    out_dir = str(tmp_path / "run")
+
+    # phase 1: train 8 steps (validates at 4+8, checkpoints at 4+8),
+    # then the processes exit — the "kill"
+    outs1, losses1 = _run_loop_workers(tmp_path, 8, out_dir, data_json)
+    assert losses1[0] == pytest.approx(losses1[1], abs=1e-5)
+    assert os.path.isdir(os.path.join(out_dir, "checkpoint-8"))
+    assert os.path.isdir(os.path.join(out_dir, "best-checkpoint"))
+    with open(os.path.join(out_dir, "validation_log.csv")) as f:
+        val_rows_1 = f.read().strip().splitlines()
+    assert len(val_rows_1) >= 3  # header + validations at steps 4, 8
+
+    # phase 2: fresh processes resume from checkpoint-8 and run to 16
+    outs2, losses2 = _run_loop_workers(tmp_path, 16, out_dir, data_json)
+    assert losses2[0] == pytest.approx(losses2[1], abs=1e-5)
+    assert any("Resumed from" in o and "step 8" in o for o in outs2)
+    # steps restart at 9, not 1 (console shows the parse-contract line)
+    assert any("Step 10/16" in o for o in outs2)
+    assert os.path.isdir(os.path.join(out_dir, "checkpoint-16"))
+    # the loss keeps falling across the kill/resume boundary
+    assert losses2[0] < losses1[0]
+    # optimizer moments came back too
+    with open(
+        os.path.join(out_dir, "checkpoint-16", "training_state.json")
+    ) as f:
+        assert json.load(f)["step"] == 16
+
+
+FETCH_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+port, pid = sys.argv[1], int(sys.argv[2])
+from whisper_ipa_tpu.parallel.distributed import initialize
+initialize(f"localhost:{port}", num_processes=2, process_id=pid)
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from whisper_ipa_tpu.parallel import make_mesh
+from whisper_ipa_tpu.parallel.distributed import global_batch_from_local
+from whisper_ipa_tpu.train.checkpoints import fetch_tree_to_host
+
+mesh = make_mesh(model=1)  # (data=4, model=1) over 2 hosts x 2 devices
+full = np.arange(4 * 8, dtype=np.float32).reshape(4, 8)
+
+# cross-host 'data'-sharded array: NOT fully addressable on either host
+sharded = global_batch_from_local(mesh, full[pid * 2 : pid * 2 + 2])
+assert not sharded.is_fully_addressable and not sharded.is_fully_replicated
+
+# replicated array: addressable read, no collective needed
+replicated = jax.device_put(full, NamedSharding(mesh, P()))
+
+tree = {"sharded": sharded, "replicated": replicated, "host": full * 2}
+out = fetch_tree_to_host(tree)
+assert np.array_equal(out["sharded"], full), out["sharded"]
+assert np.array_equal(out["replicated"], full)
+assert np.array_equal(out["host"], full * 2)
+print(f"RESULT pid={pid} ok", flush=True)
+"""
+
+
+def test_two_process_sharded_fetch(tmp_path):
+    """fetch_tree_to_host gathers cross-host-sharded leaves (the
+    np.asarray-raises case from VERDICT r2) to full numpy on every
+    process, and reads replicated/host leaves without a collective."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "fetch_worker.py"
+    script.write_text(FETCH_WORKER)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(port), str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=REPO_ROOT,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=570)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"pid {pid} failed:\n{out[-3000:]}"
+        assert f"RESULT pid={pid} ok" in out

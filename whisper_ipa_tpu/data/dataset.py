@@ -296,12 +296,18 @@ class PrefetchLoader:
         depth: int = 2,
         bucket_tokens: bool = True,
         max_token_len: int = 448,
+        fixed_token_len: Optional[int] = None,
     ):
+        """fixed_token_len: pad every batch's token matrix to exactly
+        this length (overrides bucketing). Multi-host training needs it:
+        each host pads its LOCAL rows independently, and the global
+        batch assembly requires identical shapes on every process."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_steps = num_steps
-        self.bucket_tokens = bucket_tokens
+        self.bucket_tokens = bucket_tokens and fixed_token_len is None
         self.max_token_len = max_token_len
+        self.fixed_token_len = fixed_token_len
         self._rng = np.random.default_rng(seed)
         self._queue: "queue.Queue" = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
@@ -331,6 +337,15 @@ class PrefetchLoader:
             replace=self.batch_size > len(self.dataset),
         ).tolist()
         batch = self.dataset.get_batch(indices)
+        if self.fixed_token_len is not None:
+            tokens = batch["tokens"]
+            if tokens.shape[1] < self.fixed_token_len:
+                pad = np.full(
+                    (tokens.shape[0], self.fixed_token_len - tokens.shape[1]),
+                    self.dataset.tokenizer.eot,
+                    np.int32,
+                )
+                batch["tokens"] = np.concatenate([tokens, pad], axis=1)
         if self.bucket_tokens:
             tokens = batch["tokens"]
             target = min(_round_up_pow2(tokens.shape[1]), self.max_token_len)

@@ -32,6 +32,44 @@ from ..models.convert import (
 from .step import TrainState
 
 
+def fetch_tree_to_host(tree):
+    """Device->host fetch that is safe for multi-host sharded arrays.
+
+    ``np.asarray`` raises on a jax.Array whose shards live on other
+    hosts' devices (not fully addressable, not fully replicated) — e.g.
+    tensor-parallel parameters on a pod. Such leaves are gathered with
+    ``multihost_utils.process_allgather`` (a collective: EVERY process
+    must call this function at the same point); everything else is a
+    plain local fetch. Returns a pytree of numpy arrays.
+    """
+    from jax.experimental import multihost_utils
+
+    def fetch(x):
+        if (
+            isinstance(x, jax.Array)
+            and not x.is_fully_addressable
+            and not x.is_fully_replicated
+        ):
+            return np.asarray(process_allgather(x, tiled=True))
+        return np.asarray(x)
+
+    process_allgather = multihost_utils.process_allgather
+    return jax.tree_util.tree_map(fetch, tree)
+
+
+def _host_state(state: TrainState, with_opt: bool = True) -> TrainState:
+    """Fetch a TrainState to host numpy (collective on multi-host)."""
+    return TrainState(
+        step=np.asarray(state.step),
+        params=fetch_tree_to_host(state.params),
+        opt_state=(
+            fetch_tree_to_host(state.opt_state)
+            if with_opt
+            else state.opt_state
+        ),
+    )
+
+
 def _flatten_pytree_numpy(tree) -> Dict[str, np.ndarray]:
     """Flatten any pytree to {jax-keypath: ndarray} for safetensors."""
     flat = {}
@@ -69,9 +107,24 @@ def save_checkpoint(
     learning_rate: Optional[float] = None,
     save_opt_state: bool = True,
     vocab_provenance: Optional[str] = None,
+    multihost_fetch: bool = True,
 ) -> str:
-    """Write checkpoint-{step}/ with weights, metadata, and opt state."""
+    """Write checkpoint-{step}/ with weights, metadata, and opt state.
+
+    Multi-host safe: when more than one process is running, EVERY
+    process must call this (the param/opt-state fetch is a collective
+    for cross-host-sharded arrays) but only process 0 touches the
+    filesystem — two hosts racing the same checkpoint-{step}/ files was
+    the reference-loop gap flagged in round 2. ``multihost_fetch=False``
+    skips the collective (emergency path: peers may not reach this
+    call); it then only succeeds for fully-replicated state.
+    """
     checkpoint_dir = os.path.join(output_dir, f"checkpoint-{step}")
+    if jax.process_count() > 1:
+        if multihost_fetch:
+            state = _host_state(state, with_opt=save_opt_state)
+        if jax.process_index() != 0:
+            return checkpoint_dir
     os.makedirs(checkpoint_dir, exist_ok=True)
 
     save_safetensors(
@@ -119,13 +172,35 @@ def save_checkpoint(
 
 
 def save_best_checkpoint(
-    state: TrainState, step: int, pfer: float, per: float, output_dir: str
+    state: TrainState,
+    step: int,
+    pfer: float,
+    per: float,
+    output_dir: str,
+    host_params=None,
 ) -> str:
     """Overwrite best-checkpoint/ (reference behavior at
-    scripts/train_whisper_ipa.py:573-588)."""
+    scripts/train_whisper_ipa.py:573-588).
+
+    Multi-host safe like save_checkpoint: call from every process, only
+    process 0 writes. Pass ``host_params`` (an already-fetched numpy
+    tree, e.g. the one validate() just used) to skip the collective.
+    """
     import shutil
 
     best_dir = os.path.join(output_dir, "best-checkpoint")
+    if host_params is not None:
+        state = TrainState(
+            step=state.step, params=host_params, opt_state=state.opt_state
+        )
+    elif jax.process_count() > 1:
+        state = TrainState(
+            step=state.step,
+            params=fetch_tree_to_host(state.params),
+            opt_state=state.opt_state,
+        )
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return best_dir
     if os.path.isdir(best_dir):
         shutil.rmtree(best_dir)
     os.makedirs(best_dir, exist_ok=True)

@@ -65,16 +65,22 @@ class TrainingLogger:
         "num_samples", "wall_clock_sec", "timestamp",
     ]
 
-    def __init__(self, output_dir: str):
+    def __init__(self, output_dir: str, write_files: bool = True):
+        """write_files=False keeps the in-memory tracking (best-PFER
+        state) but writes nothing — non-zero processes on a multi-host
+        run use this so CSV rows are not duplicated/raced while the
+        best-checkpoint decision stays consistent on every process."""
         self.output_dir = output_dir
+        self.write_files = write_files
         self.train_log_path = os.path.join(output_dir, "training_log.csv")
         self.val_log_path = os.path.join(output_dir, "validation_log.csv")
         self.best_pfer = float("inf")
         self.best_pfer_step = 0
         self.latest_val_per: Optional[float] = None
         self.latest_val_pfer: Optional[float] = None
-        self._init_csv(self.train_log_path, self.TRAIN_COLUMNS)
-        self._init_csv(self.val_log_path, self.VAL_COLUMNS)
+        if write_files:
+            self._init_csv(self.train_log_path, self.TRAIN_COLUMNS)
+            self._init_csv(self.val_log_path, self.VAL_COLUMNS)
 
     @staticmethod
     def _init_csv(path: str, columns: List[str]):
@@ -98,6 +104,8 @@ class TrainingLogger:
         batch_size: int,
         wall_clock_sec: float,
     ):
+        if not self.write_files:
+            return
         with open(self.train_log_path, "a", newline="") as f:
             csv.writer(f).writerow(
                 [
@@ -119,19 +127,20 @@ class TrainingLogger:
         pfer = metrics["pfer"]
         self.latest_val_per = per
         self.latest_val_pfer = pfer
-        with open(self.val_log_path, "a", newline="") as f:
-            csv.writer(f).writerow(
-                [
-                    step,
-                    f"{per:.4f}",
-                    f"{pfer:.4f}",
-                    f"{metrics.get('per_std', 0):.4f}",
-                    f"{metrics.get('pfer_std', 0):.4f}",
-                    metrics.get("num_samples", ""),
-                    f"{wall_clock_sec:.2f}",
-                    datetime.now().isoformat(),
-                ]
-            )
+        if self.write_files:
+            with open(self.val_log_path, "a", newline="") as f:
+                csv.writer(f).writerow(
+                    [
+                        step,
+                        f"{per:.4f}",
+                        f"{pfer:.4f}",
+                        f"{metrics.get('per_std', 0):.4f}",
+                        f"{metrics.get('pfer_std', 0):.4f}",
+                        metrics.get("num_samples", ""),
+                        f"{wall_clock_sec:.2f}",
+                        datetime.now().isoformat(),
+                    ]
+                )
         if pfer < self.best_pfer:
             self.best_pfer = pfer
             self.best_pfer_step = step

@@ -137,7 +137,18 @@ def train(
     encoder_bf16: bool = False,
     cache_encoder: bool = False,
 ) -> Dict:
-    """Main training entry point (reference-compatible surface + resume)."""
+    """Main training entry point (reference-compatible surface + resume).
+
+    Multi-host: every process runs this same function (SPMD). File
+    artifacts (config/CSV/checkpoints/summary) are written by process 0
+    only; validation decodes on process 0 from a host-fetched copy of
+    the parameters and the metrics are broadcast so the best-checkpoint
+    decision is consistent everywhere; checkpoint saves are collective
+    calls gated inside train/checkpoints.py.
+    """
+    is_main = jax.process_index() == 0
+    n_proc = jax.process_count()
+    multi = n_proc > 1
     os.makedirs(output_dir, exist_ok=True)
 
     args_dict = {
@@ -152,8 +163,9 @@ def train(
         "test_run": test_run,
         "resume": resume,
     }
-    save_training_config(output_dir, args_dict, get_hardware_info())
-    logger = TrainingLogger(output_dir)
+    if is_main:
+        save_training_config(output_dir, args_dict, get_hardware_info())
+    logger = TrainingLogger(output_dir, write_files=is_main)
 
     print("=" * 70)
     print("Fine-tuning Whisper for IPA Transcription (TPU)")
@@ -207,13 +219,25 @@ def train(
             resumed_ckpt = ckpt
             print(f"Resumed from {ckpt} at step {int(state.step)}")
 
-    mesh = make_mesh() if data_parallel else None
+    mesh = make_mesh() if (data_parallel or multi) else None
     if mesh is not None:
         n_dev = mesh.devices.size
         print(f"Data-parallel over {n_dev} device(s): {mesh}")
         if batch_size % n_dev != 0:
             batch_size = max(n_dev, (batch_size // n_dev) * n_dev)
             print(f"  (batch size rounded to {batch_size} for even sharding)")
+    if multi:
+        # the global train state must live on the global mesh: host-local
+        # (uncommitted) arrays cannot enter a multi-host jit. Parameters
+        # and optimizer moments are replicated; GSPMD derives the grad
+        # all-reduce from the 'data'-sharded batch.
+        from ..parallel.mesh import replicate
+
+        state = type(state)(
+            step=replicate(mesh, state.step),
+            params=replicate(mesh, state.params),
+            opt_state=replicate(mesh, state.opt_state),
+        )
 
     # datasets
     print(f"\nLoading training data: {train_data_path}")
@@ -267,12 +291,66 @@ def train(
     latest_loss = None
     eot = tokenizer.eot
 
+    def run_validation(cur_state, num_samples):
+        """Validate; multi-host: p0 decodes from a host-fetched copy of
+        the params and broadcasts the metrics, so every process makes
+        the same best-checkpoint decision. Returns (metrics,
+        host_params) — host_params is reused by save_best_checkpoint to
+        avoid a second collective fetch."""
+        if not multi:
+            return (
+                validate(
+                    cur_state.params, cfg, test_dataset, tokenizer,
+                    num_samples=num_samples,
+                ),
+                None,
+            )
+        from jax.experimental import multihost_utils
+
+        from .checkpoints import fetch_tree_to_host
+
+        host_params = fetch_tree_to_host(cur_state.params)  # collective
+        import numpy as np
+
+        if is_main:
+            m = validate(
+                host_params, cfg, test_dataset, tokenizer,
+                num_samples=num_samples,
+            )
+            vec = np.asarray(
+                [
+                    m["per"], m["pfer"],
+                    m.get("per_std", 0.0), m.get("pfer_std", 0.0),
+                    float(m.get("num_samples", 0)),
+                ],
+                np.float32,
+            )
+        else:
+            vec = np.zeros(5, np.float32)
+        out = multihost_utils.broadcast_one_to_all(vec)  # collective
+        metrics = {
+            "per": float(out[0]),
+            "pfer": float(out[1]),
+            "per_std": float(out[2]),
+            "pfer_std": float(out[3]),
+            "num_samples": int(out[4]),
+        }
+        return metrics, host_params
+
+    # each host feeds its local slice of the global batch (global rows =
+    # local rows x process_count; the global array assembles on the mesh
+    # without any cross-host input copy)
+    local_batch = batch_size // n_proc if multi else batch_size
     loader = PrefetchLoader(
         train_dataset,
-        batch_size,
+        local_batch,
         num_steps - start_step,
         seed=seed + start_step,
+        # hosts pad independently: the global assembly needs one shape
+        fixed_token_len=min(448, cfg.n_text_ctx) if multi else None,
     )
+    if multi:
+        from ..parallel.distributed import global_batch_from_local
 
     try:
         step = start_step
@@ -280,10 +358,20 @@ def train(
             step += 1
             try:
                 step_start = time.time()
-                mel = jnp.asarray(batch["mel_features"])
-                tokens = jnp.asarray(batch["tokens"])
-                if mesh is not None:
-                    mel, tokens = shard_batch(mesh, mel, tokens)
+                if multi:
+                    import numpy as _np
+
+                    mel = global_batch_from_local(
+                        mesh, _np.asarray(batch["mel_features"])
+                    )
+                    tokens = global_batch_from_local(
+                        mesh, _np.asarray(batch["tokens"])
+                    )
+                else:
+                    mel = jnp.asarray(batch["mel_features"])
+                    tokens = jnp.asarray(batch["tokens"])
+                    if mesh is not None:
+                        mel, tokens = shard_batch(mesh, mel, tokens)
                 if profile_dir and step == start_step + 10:
                     jax.profiler.start_trace(profile_dir)
                 state, loss = train_step(
@@ -325,19 +413,20 @@ def train(
                     )
 
                 if validate_every and step % validate_every == 0:
-                    metrics = validate(
-                        state.params, cfg, test_dataset, tokenizer, num_samples=100
-                    )
+                    metrics, host_params = run_validation(state, 100)
                     is_best = logger.log_validation(
                         step, metrics, time.time() - start_time
                     )
                     if is_best:
                         save_best_checkpoint(
-                            state, step, metrics["pfer"], metrics["per"], output_dir
+                            state, step, metrics["pfer"], metrics["per"],
+                            output_dir, host_params=host_params,
                         )
-                        print(
-                            f"  New best PFER {metrics['pfer']:.2f}% at step {step}"
-                        )
+                        if is_main:
+                            print(
+                                f"  New best PFER {metrics['pfer']:.2f}% "
+                                f"at step {step}"
+                            )
 
                 if save_every and step % save_every == 0:
                     save_checkpoint(
@@ -359,6 +448,9 @@ def train(
                 print(f"\nError at step {step}: {e}")
                 traceback.print_exc()
                 try:
+                    # multihost_fetch=False: peers may not be in this
+                    # handler, so no collectives — works for replicated
+                    # (DP) state, skipped for cross-host-sharded state
                     save_checkpoint(
                         state,
                         step,
@@ -370,6 +462,7 @@ def train(
                         start_time=start_time,
                         learning_rate=learning_rate,
                         vocab_provenance=tokenizer.provenance,
+                        multihost_fetch=False,
                     )
                 except Exception as save_err:
                     # train_step donates its input TrainState: if the step
@@ -391,12 +484,8 @@ def train(
     print("Training complete!")
     print("=" * 70)
     if final_validate:
-        metrics = validate(
-            state.params,
-            cfg,
-            test_dataset,
-            tokenizer,
-            num_samples=min(final_validate_samples, len(test_dataset)),
+        metrics, _ = run_validation(
+            state, min(final_validate_samples, len(test_dataset))
         )
         logger.log_validation(num_steps, metrics, time.time() - start_time)
     else:
@@ -433,8 +522,11 @@ def train(
             "best_pfer_step": logger.best_pfer_step,
             "end_time": datetime.now().isoformat(),
         }
-        with open(os.path.join(output_dir, "training_summary.json"), "w") as f:
-            json.dump(summary, f, indent=2)
+        if is_main:
+            with open(
+                os.path.join(output_dir, "training_summary.json"), "w"
+            ) as f:
+                json.dump(summary, f, indent=2)
         print(f"\nTraining complete in {total_time / 60:.1f} minutes")
         print(f"  Final loss: {latest_loss:.4f}")
         print(f"  Final PER: {metrics['per']:.2f}%")

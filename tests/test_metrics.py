@@ -275,3 +275,52 @@ class TestErrorAnalysis:
         assert ("s", 1) in report["top_insertions"]
         assert 0 < report["phone_accuracy"] <= 1
         assert report["per"]["mean"] > 0
+
+
+class TestCompatFolds:
+    """r3: real-corpus non-IPA leaks get honest feature vectors."""
+
+    def test_greek_orthography_leak_is_i(self):
+        from whisper_ipa_tpu.metrics.features import get_phone_features
+
+        # Modern Greek iota/upsilon (incl. diaeresis forms) sound /i/
+        i_vec = get_phone_features("i")
+        assert (get_phone_features("ϊ") != 0).any()
+        assert abs(get_phone_features("ϊ") - i_vec).sum() <= 2
+        assert (get_phone_features("ϋ") != 0).any()
+
+    def test_fullwidth_latin_folds_to_ascii(self):
+        import numpy as np
+
+        from whisper_ipa_tpu.metrics.features import get_phone_features
+
+        assert np.array_equal(
+            get_phone_features("ｌ"), get_phone_features("l")
+        )
+        assert np.array_equal(
+            get_phone_features("ａ"), get_phone_features("a")
+        )
+
+    def test_tamil_aytam_is_x(self):
+        import numpy as np
+
+        from whisper_ipa_tpu.metrics.features import get_phone_features
+
+        assert np.array_equal(
+            get_phone_features("ஃ"), get_phone_features("x")
+        )
+
+    def test_juncture_marks_known_with_zero_features(self):
+        from whisper_ipa_tpu.metrics.features import (
+            get_phone_features,
+            known_phone,
+        )
+
+        for mark in ("'", "・", "#", "!"):
+            assert known_phone(mark)  # classified, not a coverage gap
+            assert (get_phone_features(mark) == 0).all()  # reference cost
+
+    def test_cjk_junk_stays_unknown(self):
+        from whisper_ipa_tpu.metrics.features import known_phone
+
+        assert not known_phone("玖")

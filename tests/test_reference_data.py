@@ -98,7 +98,61 @@ def test_segmentation_covers_real_phones(entries):
     unk = sum(unknown.values())
     coverage = 1 - unk / total
     print(f"phone coverage: {coverage:.4f}; unknown: {unknown.most_common(10)}")
-    assert coverage > 0.97, unknown.most_common(20)
+    assert coverage > 0.999, unknown.most_common(20)
+
+
+def test_segmentation_coverage_all_versions():
+    """>= 99.9% known phones in EVERY dataset file of all three data
+    versions (r3: zero-vector phones distort PFER, so the unknown
+    inventory was folded into the feature table — Greek orthography
+    leaks, fullwidth Latin, the Tamil aytam, juncture marks). The only
+    acceptable unknowns left are literal CJK junk characters."""
+    import glob
+    from collections import Counter
+
+    from whisper_ipa_tpu.metrics import known_phone, tokenize_ipa
+
+    checked = 0
+    for fp in sorted(glob.glob(os.path.join(REFERENCE_DATA, "*", "*.json"))):
+        with open(fp, encoding="utf-8") as f:
+            try:
+                data = json.load(f)
+            except Exception:
+                continue
+        if not isinstance(data, list) or not data:
+            continue
+        total = 0
+        unknown = Counter()
+        for e in data:
+            ipa = e.get("ipa_transcription") if isinstance(e, dict) else None
+            if not ipa:
+                continue
+            for phone in tokenize_ipa(unicodedata.normalize("NFC", ipa)):
+                total += 1
+                if not known_phone(phone):
+                    unknown[phone] += 1
+        if not total:
+            continue
+        checked += 1
+        coverage = 1 - sum(unknown.values()) / total
+        assert coverage >= 0.999, (fp, coverage, unknown.most_common(10))
+    assert checked >= 30  # all three versions' per-language files
+
+
+def test_prep_table_phones_all_known():
+    """Every IPA phone the corpus-prep tables can emit (TIMIT/OGI
+    ARPABET, METUbet) must have a real feature vector."""
+    from whisper_ipa_tpu.data.prep.phonesets import (
+        METUBET_TO_IPA,
+        OGI_ARPABET_TO_IPA,
+        TIMIT_ARPABET_TO_IPA,
+    )
+    from whisper_ipa_tpu.metrics import known_phone, tokenize_ipa
+
+    for table in (TIMIT_ARPABET_TO_IPA, METUBET_TO_IPA, OGI_ARPABET_TO_IPA):
+        for ipa in table.values():
+            for phone in tokenize_ipa(ipa):
+                assert known_phone(phone), (ipa, phone)
 
 
 @pytest.mark.parametrize(

@@ -343,6 +343,36 @@ _DIACRITICS: Dict[str, Dict[str, int]] = {
 
 _TIE_BARS = ("͡", "͜")
 
+# Non-IPA characters that leak through real-corpus G2P with a known
+# phonetic identity (inventory from the reference data snapshot,
+# tests/test_reference_data.py). Greek iota/upsilon survive in words the
+# Greek G2P passed through (both are /i/ in Modern Greek); the Tamil
+# aytam ஃ is /x/ (and marks /f/ in loanword ஃப); fullwidth Latin
+# (ｌ, ａ, ...) NFKC-folds to the ASCII letter, handled generically below.
+_CHAR_FOLD = {"ι": "i", "υ": "i", "ஃ": "x"}
+
+
+def _fold_char(ch: str) -> Optional[str]:
+    """Map a non-IPA character to its IPA-table equivalent, if any."""
+    if ch in _CHAR_FOLD:
+        return _CHAR_FOLD[ch]
+    folded = unicodedata.normalize("NFKC", ch)
+    if folded != ch and folded[:1] in _BASE_TABLE:
+        return folded[:1]
+    return None
+
+
+def _is_boundary(phone: str) -> bool:
+    """Juncture/punctuation 'phones' (e.g. the Japanese moraic-nasal
+    separator ' in ze̞n'in, the katakana middle dot ・): real corpora
+    contain them and the reference segments them as standalone phones
+    (its panphon-drop fallback, scripts/evaluate_ipa.py:53-65), scoring
+    them with the all-zero except-path vector. We keep the identical
+    zero cost but classify them as KNOWN boundary symbols."""
+    return all(
+        unicodedata.category(ch).startswith(("P", "Z")) for ch in phone
+    )
+
 
 @lru_cache(maxsize=4096)
 def phone_to_vector(phone: str) -> Optional[np.ndarray]:
@@ -358,6 +388,9 @@ def phone_to_vector(phone: str) -> Optional[np.ndarray]:
     exact = _EXACT_TABLE.get(phone)
     if exact is not None:
         return exact.copy()
+
+    if _is_boundary(phone):
+        return np.zeros(NUM_FEATURES, dtype=np.int8)
 
     # tie-bar affricates / doubly articulated
     for tie in _TIE_BARS:
@@ -399,8 +432,13 @@ def phone_to_vector(phone: str) -> Optional[np.ndarray]:
         elif base is None:
             # try NFD: base letter + combining marks
             decomp = unicodedata.normalize("NFD", ch)
-            if len(decomp) > 1 and decomp[0] in _BASE_TABLE:
-                base = _BASE_TABLE[decomp[0]].copy()
+            head = decomp[0]
+            if head not in _BASE_TABLE:
+                folded = _fold_char(head)
+                if folded is not None:
+                    head = folded
+            if head in _BASE_TABLE:
+                base = _BASE_TABLE[head].copy()
                 for m in decomp[1:]:
                     if m in _DIACRITICS:
                         marks.append(m)

@@ -95,36 +95,109 @@ class TestFusedAttentionVJP:
 
 class TestDecodeCrossAttentionKernel:
     def test_kernel_matches_xla_path(self):
-        """Pallas flash-decode kernel (interpret mode) == the XLA int8
-        fallback, bit-for-bit shapes and near-identical values."""
+        """T-minor Pallas decode kernel (interpret mode) == the XLA int8
+        einsum path (models/layers.multi_head_attention_int8kv math)."""
         import jax
         import jax.numpy as jnp
 
         from whisper_ipa_tpu.ops.decode_attention import (
-            decode_cross_attention_int8,
+            decode_cross_attention_int8_tminor,
         )
 
         rng = np.random.default_rng(0)
-        B, H, T, Dh = 2, 3, 200, 64
+        B, H, T, Dh = 2, 3, 256, 64
         q = jnp.asarray(
             rng.standard_normal((B, H, 1, Dh)).astype(np.float32)
         )
-        k8 = jnp.asarray(rng.integers(-127, 128, (B, H, T, Dh)), jnp.int8)
-        v8 = jnp.asarray(rng.integers(-127, 128, (B, H, T, Dh)), jnp.int8)
+        k8 = jnp.asarray(rng.integers(-127, 128, (B, H, Dh, T)), jnp.int8)
+        v8 = jnp.asarray(rng.integers(-127, 128, (B, H, Dh, T)), jnp.int8)
+        ks = rng.uniform(0.001, 0.02, (B, H, T)).astype(np.float32)
+        vs = rng.uniform(0.001, 0.02, (B, H, T)).astype(np.float32)
+        # tile-padding positions carry scale 0 == masked
+        ks[:, :, 200:] = 0.0
+        ks, vs = jnp.asarray(ks), jnp.asarray(vs)
+
+        got = decode_cross_attention_int8_tminor(
+            q, k8, ks, v8, vs, interpret=True
+        )
+
+        logits = jnp.einsum(
+            "bhsd,bhdt->bhst", q, k8.astype(jnp.float32)
+        ).astype(jnp.float32)
+        logits = jnp.where(
+            ks[:, :, None, :] > 0.0, logits * ks[:, :, None, :], -jnp.inf
+        )
+        w = jax.nn.softmax(logits, axis=-1) * vs[:, :, None, :]
+        want = jnp.einsum("bhst,bhdt->bhsd", w, v8.astype(jnp.float32))
+
+        assert got.shape == (B, H, 1, Dh)
+        assert float(jnp.max(jnp.abs(got - want))) < 1e-4
+
+    def test_int4_kernel_matches_xla_path(self):
+        """Fused int4 decode kernel (interpret mode) == the XLA
+        nibble-plane path (_mha_int4kv) on the same packed cache."""
+        import jax.numpy as jnp
+
+        from whisper_ipa_tpu.models import layers
+        from whisper_ipa_tpu.ops.decode_attention import (
+            decode_cross_attention_int4_tminor,
+        )
+
+        rng = np.random.default_rng(2)
+        B, H, T, Dh = 2, 3, 256, 16  # T2 = 128 (kernel minimum)
+        qh = jnp.asarray(
+            rng.standard_normal((B, H, 1, Dh)).astype(np.float32)
+        )
+        codes = rng.integers(-7, 8, (B, H, Dh, T)).astype(np.int8)
+        lo, hi = codes[..., 0::2], codes[..., 1::2]
+        packed = ((lo & 0xF) | (hi << 4)).astype(np.int8)
+        k_p4 = jnp.asarray(packed)
+        v_p4 = jnp.asarray(np.roll(packed, 1, axis=0))
+        ks = rng.uniform(0.01, 0.2, (B, H, T)).astype(np.float32)
+        vs = rng.uniform(0.01, 0.2, (B, H, T)).astype(np.float32)
+        ks[:, :, 200:] = 0.0  # tile padding == masked
+        ks, vs = jnp.asarray(ks), jnp.asarray(vs)
+
+        got = decode_cross_attention_int4_tminor(
+            qh, k_p4, ks, v_p4, vs, interpret=True
+        )
+        assert got.shape == (B, H, 1, Dh)
+        got = layers._merge_heads(got)
+        prev = layers._DECODE_KERNEL
+        try:
+            layers.use_decode_kernel(False)  # force the XLA plane path
+            want = layers._mha_int4kv(qh, k_p4, ks, v_p4, vs)
+        finally:
+            layers._DECODE_KERNEL = prev
+        assert got.shape == want.shape
+        assert float(jnp.max(jnp.abs(got - want))) < 1e-4
+
+    def test_layers_dispatch_matches_einsum(self):
+        """multi_head_attention_int8kv with the kernel forced ON equals
+        the einsum path on the same quantized cache."""
+        import jax.numpy as jnp
+
+        from whisper_ipa_tpu.models import layers
+
+        rng = np.random.default_rng(1)
+        B, H, T, Dh = 2, 2, 128, 8
+        d = H * Dh
+        q = jnp.asarray(rng.standard_normal((B, 1, d)).astype(np.float32))
+        k8 = jnp.asarray(rng.integers(-127, 128, (B, H, Dh, T)), jnp.int8)
+        v8 = jnp.asarray(rng.integers(-127, 128, (B, H, Dh, T)), jnp.int8)
         ks = jnp.asarray(
             rng.uniform(0.001, 0.02, (B, H, T)).astype(np.float32)
         )
         vs = jnp.asarray(
             rng.uniform(0.001, 0.02, (B, H, T)).astype(np.float32)
         )
-
-        got = decode_cross_attention_int8(q, k8, ks, v8, vs, interpret=True)
-
-        logits = jnp.einsum(
-            "bhsd,bhtd->bhst", q, k8.astype(jnp.float32)
-        ) * ks[:, :, None, :]
-        w = jax.nn.softmax(logits, axis=-1) * vs[:, :, None, :]
-        want = jnp.einsum("bhst,bhtd->bhsd", w, v8.astype(jnp.float32))
-
-        assert got.shape == (B, H, 1, Dh)
+        want = layers.multi_head_attention_int8kv(q, k8, ks, v8, vs, H)
+        prev = layers._DECODE_KERNEL
+        try:
+            layers.use_decode_kernel(True)
+            got = layers.multi_head_attention_int8kv(
+                q, k8, ks, v8, vs, H, interpret=True
+            )
+        finally:
+            layers._DECODE_KERNEL = prev
         assert float(jnp.max(jnp.abs(got - want))) < 1e-4

@@ -95,6 +95,11 @@ def build_parser() -> argparse.ArgumentParser:
         "features (~3x step throughput; encoder is frozen anyway)",
     )
     p.add_argument(
+        "--unfreeze-encoder", action="store_true",
+        help="Full fine-tune: train the encoder too (the reference "
+        "always freezes it; needed when starting from random weights)",
+    )
+    p.add_argument(
         "--preset",
         default=None,
         choices=["large-single-chip"],
@@ -138,6 +143,7 @@ def main(argv=None):
         mu_dtype=args.mu_dtype,
         encoder_bf16=args.encoder_bf16,
         cache_encoder=args.cache_encoder,
+        freeze_encoder=not args.unfreeze_encoder,
     )
 
 

@@ -181,7 +181,47 @@ def _fused_eligible(q, mask) -> bool:
         return False
 
 
-def multi_head_attention_int8kv(q, k_i8, k_scale, v_i8, v_scale, n_head: int):
+# Decode-kernel policy: the single-query (S=1) cross-attention over the
+# int8 T-minor cache can run through the fused Pallas kernel in
+# ops/decode_attention.py (raw int8 DMA + on-chip dequant) instead of the
+# convert-in-dot einsums. Measured on one v5e (whisper-small shapes,
+# batch 128, 12-layer x 64-step scan, r3): DEAD HEAT — kernel 6.97
+# ms/token vs XLA 6.98, both ~553 GB/s: the einsums already stream int8
+# at the achievable rate on the T-minor layout. Default OFF (the einsum
+# is simpler and equally fast); the kernel stays as the validated
+# on-chip-dequant base for the int4 variant. Override with
+# WHISPER_IPA_TPU_DECODE_KERNEL=1/0 or use_decode_kernel(True/False/None).
+_DECODE_KERNEL = {"1": True, "0": False}.get(
+    _os.environ.get("WHISPER_IPA_TPU_DECODE_KERNEL", "auto")
+)  # None = auto (currently: off)
+
+
+def use_decode_kernel(enabled) -> None:
+    """True = always (when eligible), False = never, None = auto."""
+    global _DECODE_KERNEL
+    _DECODE_KERNEL = enabled
+
+
+def _on_accelerator() -> bool:
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
+
+
+def _decode_kernel_eligible(qh, k_i8, interpret: bool) -> bool:
+    if qh.shape[2] != 1:  # single-query steps only (the greedy loop)
+        return False
+    if k_i8.shape[-1] % 128 != 0:  # init_cache pre-pads to the lane tile
+        return False
+    if _DECODE_KERNEL is not True:
+        return False  # None = auto: einsum (measured parity, simpler)
+    return interpret or _on_accelerator()
+
+
+def multi_head_attention_int8kv(
+    q, k_i8, k_scale, v_i8, v_scale, n_head: int, interpret: bool = False
+):
     """Unmasked attention with an int8-quantized, T-minor K/V cache.
 
     q: (B, S, d); k_i8/v_i8: (B, H, Dh, T) int8; scales: (B, H, T) f32
@@ -204,7 +244,19 @@ def multi_head_attention_int8kv(q, k_i8, k_scale, v_i8, v_scale, n_head: int):
     if k_scale.shape[-1] != k_i8.shape[-1]:
         # int4 nibble-packed codes (T_pad/2 bytes vs T_pad scales):
         # dequantize per nibble plane, interleave only the SMALL logits
-        return _mha_int4kv(qh, k_i8, k_scale, v_i8, v_scale)
+        return _mha_int4kv(
+            qh, k_i8, k_scale, v_i8, v_scale, interpret=interpret
+        )
+
+    if _decode_kernel_eligible(qh, k_i8, interpret):
+        from ..ops.decode_attention import (
+            decode_cross_attention_int8_tminor,
+        )
+
+        out = decode_cross_attention_int8_tminor(
+            qh, k_i8, k_scale, v_i8, v_scale, interpret=interpret
+        )
+        return _merge_heads(out)
 
     logits = jnp.einsum(
         "bhsd,bhdt->bhst", qh, k_i8.astype(q.dtype)
@@ -218,7 +270,7 @@ def multi_head_attention_int8kv(q, k_i8, k_scale, v_i8, v_scale, n_head: int):
     return _merge_heads(out)
 
 
-def _mha_int4kv(qh, k_p4, k_scale, v_p4, v_scale):
+def _mha_int4kv(qh, k_p4, k_scale, v_p4, v_scale, interpret: bool = False):
     """Attention over the nibble-packed int4 T-minor cache.
 
     qh: (B, H, S, Dh) pre-scaled; k_p4/v_p4: (B, H, Dh, T_pad/2) int8
@@ -227,10 +279,28 @@ def _mha_int4kv(qh, k_p4, k_scale, v_p4, v_scale):
     bf16's bytes); the nibble planes are contracted separately and only
     the (B, H, S, T) logits/probabilities — tiny next to the cache — are
     interleaved/de-interleaved.
+
+    Single-query steps can route through the fused Pallas kernel
+    (in-VMEM nibble dequant) via use_decode_kernel(True). Measured r3:
+    dead heat with this XLA plane path (8.40 vs 8.41 ms/token, batch
+    128 v5e) — both are VPU-dequant-bound, so the kernel is opt-in like
+    the int8 one (docs/PERF.md r3 int4 kernel row).
     """
     dtype = qh.dtype
     B, H, S, Dh = qh.shape
     T2 = k_p4.shape[-1]
+
+    if S == 1 and T2 % 128 == 0 and _DECODE_KERNEL is True and (
+        interpret or _on_accelerator()
+    ):
+        from ..ops.decode_attention import (
+            decode_cross_attention_int4_tminor,
+        )
+
+        out = decode_cross_attention_int4_tminor(
+            qh, k_p4, k_scale, v_p4, v_scale, interpret=interpret
+        )
+        return _merge_heads(out)
 
     def planes(p):
         lo = jnp.right_shift(jnp.left_shift(p, 4), 4).astype(dtype)

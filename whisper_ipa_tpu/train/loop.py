@@ -136,6 +136,7 @@ def train(
     mu_dtype: Optional[str] = None,
     encoder_bf16: bool = False,
     cache_encoder: bool = False,
+    freeze_encoder: bool = True,
 ) -> Dict:
     """Main training entry point (reference-compatible surface + resume).
 
@@ -182,12 +183,23 @@ def train(
         params["encoder"] = cast_tree_dtype(params["encoder"], jnp.bfloat16)
         print("Frozen encoder stored in bfloat16 (halved HBM residency)")
 
+    if cache_encoder and not freeze_encoder:
+        raise ValueError(
+            "cache_encoder requires a frozen encoder (cached features "
+            "would go stale as the encoder trains)"
+        )
     n_dec = count_parameters(params["decoder"])
     n_total = count_parameters(params)
-    print(
-        f"Trainable parameters: {n_dec:,} / {n_total:,} "
-        f"({100 * n_dec / n_total:.1f}%) [encoder frozen]"
-    )
+    if freeze_encoder:
+        print(
+            f"Trainable parameters: {n_dec:,} / {n_total:,} "
+            f"({100 * n_dec / n_total:.1f}%) [encoder frozen]"
+        )
+    else:
+        print(
+            f"Trainable parameters: {n_total:,} (full fine-tune, "
+            "encoder unfrozen)"
+        )
 
     from .optimizer import make_schedule
 
@@ -201,7 +213,7 @@ def train(
     state, tx = create_train_state(
         params,
         learning_rate=learning_rate,
-        freeze_encoder=True,
+        freeze_encoder=freeze_encoder,
         schedule=schedule if use_schedule else None,
         accum_steps=accum_steps,
         mu_dtype=mu_dtype,
@@ -381,7 +393,7 @@ def train(
                     cfg,
                     tx,
                     eot,
-                    freeze_encoder=True,
+                    freeze_encoder=freeze_encoder,
                     dtype_name=compute_dtype,
                     remat=remat,
                     blockwise=blockwise_loss,

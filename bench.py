@@ -326,40 +326,174 @@ def _bench_ngram(cfg, batch, draft_k, sample_len, iters):
     }
 
 
+def bench_spec_measured(checkpoint, data_json, model="tiny",
+                        medusa_weights=None, draft_checkpoint=None,
+                        draft="tiny", batch=16, sample_len=32, iters=3,
+                        mel_cache_dir=None, draft_k=4):
+    """MEASURED speculative acceptance on trained models + real audio.
+
+    Unlike bench_speculative (random weights -> projected speedups),
+    this loads a TRAINED checkpoint, decodes audio drawn from a real
+    dataset JSON, and reports actual tokens/round and end-to-end
+    speedup vs the plain greedy loop. Draft source is either trained
+    Medusa heads (--medusa-weights) or a trained draft model
+    (--draft-checkpoint). EOT is NOT suppressed: acceptance and early
+    stopping behave exactly as in production serving.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_ipa_tpu.config import get_config
+    from whisper_ipa_tpu.data.dataset import create_data_loader
+    from whisper_ipa_tpu.decode import (
+        DecodingOptions,
+        decode,
+        speculative_decode,
+    )
+    from whisper_ipa_tpu.models import load_checkpoint_model
+    from whisper_ipa_tpu.train.loop import load_or_init_params
+
+    cfg = get_config(model)
+    params = load_or_init_params(model, cfg, None)
+    params, _ = load_checkpoint_model(checkpoint, params)
+
+    medusa_params = None
+    draft_params = draft_cfg = None
+    if medusa_weights:
+        from whisper_ipa_tpu.models.medusa import load_medusa
+
+        medusa_params = load_medusa(medusa_weights)
+        draft_k = len(medusa_params["heads"])
+    elif draft_checkpoint:
+        draft_cfg = get_config(draft)
+        draft_params = load_or_init_params(draft, draft_cfg, None)
+        draft_params, _ = load_checkpoint_model(
+            draft_checkpoint, draft_params
+        )
+    else:
+        raise ValueError(
+            "bench_spec_measured needs --medusa-weights or "
+            "--draft-checkpoint"
+        )
+
+    ds = create_data_loader(
+        data_json, n_mels=cfg.n_mels, mel_cache_dir=mel_cache_dir
+    )
+    batch = min(batch, len(ds))
+    mel = jnp.asarray(ds.get_batch(list(range(batch)))["mel_features"])
+    tokenizer = ds.tokenizer
+
+    options = DecodingOptions(
+        language="en", without_timestamps=True,
+        sample_len=sample_len, fp16=True,
+    )
+
+    def timed(fn):
+        t0 = time.time()
+        fn()
+        compile_s = time.time() - t0
+        t0 = time.time()
+        for _ in range(iters):
+            fn()
+        return (time.time() - t0) / iters, compile_s
+
+    t_base, c1 = timed(
+        lambda: decode(params, cfg, mel, options, tokenizer=tokenizer)
+    )
+    spec = lambda **kw: speculative_decode(
+        params, cfg, draft_params, draft_cfg, mel, options,
+        draft_k=draft_k, tokenizer=tokenizer,
+        medusa_params=medusa_params, **kw
+    )
+    t_spec, c2 = timed(spec)
+    results_spec, stats = spec(return_stats=True)
+    results_base = decode(params, cfg, mel, options, tokenizer=tokenizer)
+    # exactness check: speculation must not change the greedy output
+    match = sum(
+        rs.tokens == rb.tokens
+        for rs, rb in zip(results_spec, results_base)
+    )
+    return {
+        "t_base": t_base,
+        "t_spec": t_spec,
+        "speedup": t_base / t_spec,
+        "tokens_per_round": stats.tokens_per_round,
+        "rounds": stats.rounds,
+        "emitted_tokens": stats.emitted_tokens,
+        "exact_match": f"{match}/{batch}",
+        "compiles": [c1, c2],
+        "batch": batch,
+        "draft_k": draft_k,
+        "source": "medusa" if medusa_params else f"{draft}-draft",
+        "device": jax.devices()[0].device_kind,
+    }
+
+
 def bench_continuous(slots=8, n_requests=32, sample_len=48,
-                     steps_per_sync=4, model="small", draft_k=0):
+                     steps_per_sync=4, model="small", draft_k=0,
+                     checkpoint=None, draft_checkpoint=None,
+                     draft="tiny", data_json=None):
     """Continuous-batching engine under staggered load on the real chip.
 
     Submits n_requests with small arrival jitter and reports end-to-end
     token throughput, median/p90 request latency, and queue (join) delay.
-    EOT is suppressed so every request decodes sample_len tokens.
+    Default mode (random weights, synthetic audio): EOT is suppressed so
+    every request decodes the full sample_len budget (worst case).
+    Trained mode (checkpoint + data_json [+ draft_checkpoint for
+    in-flight MODEL-draft speculation]): real audio, EOT live —
+    acceptance and early stopping are MEASURED, not synthetic.
     """
     import jax.numpy as jnp
 
-    from whisper_ipa_tpu.audio import N_SAMPLES
+    from whisper_ipa_tpu.audio import N_SAMPLES, load_audio
     from whisper_ipa_tpu.config import get_config
-    from whisper_ipa_tpu.models import init_params
+    from whisper_ipa_tpu.models import init_params, load_checkpoint_model
     from whisper_ipa_tpu.serve_continuous import ContinuousBatcher
     from whisper_ipa_tpu.tokenizer import get_tokenizer
 
     cfg = get_config(model)
-    params = init_params(cfg, seed=0)
+    if checkpoint:
+        from whisper_ipa_tpu.train.loop import load_or_init_params
+
+        params = load_or_init_params(model, cfg, None)
+        params, _ = load_checkpoint_model(checkpoint, params)
+    else:
+        params = init_params(cfg, seed=0)
+    draft_params = draft_cfg = None
+    if draft_checkpoint:
+        from whisper_ipa_tpu.train.loop import load_or_init_params
+
+        draft_cfg = get_config(draft)
+        draft_params = load_or_init_params(draft, draft_cfg, None)
+        draft_params, _ = load_checkpoint_model(
+            draft_checkpoint, draft_params
+        )
     tokenizer = get_tokenizer(
         multilingual=True, num_languages=cfg.num_languages, language="en"
     )
     eng = ContinuousBatcher(
         params, cfg, slots=slots, max_new_tokens=sample_len,
         steps_per_sync=steps_per_sync, language="en", bf16=True,
-        draft_k=draft_k, tokenizer=tokenizer,
+        draft_k=draft_k, draft_params=draft_params, draft_cfg=draft_cfg,
+        tokenizer=tokenizer,
     )
-    # suppress EOT so every request runs the full budget (worst case)
-    eng.suppress = eng.suppress.at[tokenizer.eot].set(-np.inf)
+    if data_json:
+        import json as _json
 
-    rng = np.random.default_rng(0)
-    audios = [
-        rng.standard_normal(N_SAMPLES).astype(np.float32) * 0.1
-        for _ in range(n_requests)
-    ]
+        with open(data_json) as f:
+            entries = _json.load(f)
+        audios = [
+            load_audio(entries[i % len(entries)]["audio_path"])
+            for i in range(n_requests)
+        ]
+    else:
+        # suppress EOT so every request runs the full budget (worst case)
+        eng.suppress = eng.suppress.at[tokenizer.eot].set(-np.inf)
+        rng = np.random.default_rng(0)
+        audios = [
+            rng.standard_normal(N_SAMPLES).astype(np.float32) * 0.1
+            for _ in range(n_requests)
+        ]
     # warmup: compile encode/join/chunk programs
     eng.transcribe(audios[0], timeout=3000)
 
@@ -493,6 +627,23 @@ def main():
     ap.add_argument("--draft", default="tiny",
                     help="draft model for --speculative")
     ap.add_argument(
+        "--medusa", action="store_true",
+        help="MEASURED medusa acceptance: trained checkpoint + heads + "
+        "real audio (needs --checkpoint, --medusa-weights, --spec-data)",
+    )
+    ap.add_argument("--checkpoint", default=None,
+                    help="trained base checkpoint for --medusa/--measured")
+    ap.add_argument("--medusa-weights", default=None)
+    ap.add_argument(
+        "--draft-checkpoint", default=None,
+        help="trained draft-model checkpoint: MEASURED model-draft "
+        "speculation (with --checkpoint and --spec-data)",
+    )
+    ap.add_argument("--spec-data", default=None,
+                    help="dataset JSON providing real audio for "
+                    "--medusa/--draft-checkpoint measurement")
+    ap.add_argument("--mel-cache-dir", default=None)
+    ap.add_argument(
         "--kv-int8", action="store_true", default=KV_INT8_DEFAULT,
         help="int8 cross-attention KV cache in the decode loop",
     )
@@ -522,13 +673,21 @@ def main():
 
     if args.continuous:
         slots = args.batch if args.batch != HEADLINE_BATCH else 8
-        draft_k = args.draft_k if args.draft == "ngram" else 0
+        draft_k = (
+            args.draft_k
+            if (args.draft == "ngram" or args.draft_checkpoint)
+            else 0
+        )
         r = bench_continuous(
             slots=slots,
             sample_len=args.sample_len if args.sample_len != SAMPLE_LEN
             else 48,
             model=args.model,
             draft_k=draft_k,
+            checkpoint=args.checkpoint,
+            draft_checkpoint=args.draft_checkpoint,
+            draft=args.draft,
+            data_json=args.spec_data,
         )
         print(
             json.dumps(
@@ -556,6 +715,51 @@ def main():
         )
         print(
             f"# elapsed={r['elapsed']:.2f}s n={r['n_requests']} "
+            f"device={r['device']}",
+            file=sys.stderr,
+        )
+        return
+
+    if args.medusa or args.draft_checkpoint:
+        if not (args.checkpoint and args.spec_data):
+            ap.error("--medusa/--draft-checkpoint need --checkpoint "
+                     "and --spec-data")
+        batch = args.batch if args.batch != HEADLINE_BATCH else 16
+        r = bench_spec_measured(
+            checkpoint=args.checkpoint,
+            data_json=args.spec_data,
+            model=args.model,
+            medusa_weights=args.medusa_weights,
+            draft_checkpoint=args.draft_checkpoint,
+            draft=args.draft,
+            batch=batch,
+            sample_len=args.sample_len if args.sample_len != SAMPLE_LEN
+            else 32,
+            iters=max(args.iters, 3),
+            mel_cache_dir=args.mel_cache_dir,
+            draft_k=args.draft_k,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "speculative decode MEASURED speedup "
+                    f"({r['source']}->{args.model}, trained, real audio)",
+                    "value": round(r["speedup"], 3),
+                    "unit": "x vs single-step greedy",
+                    "vs_baseline": round(r["speedup"], 3),
+                    "tokens_per_round": round(r["tokens_per_round"], 2),
+                    "rounds": r["rounds"],
+                    "emitted_tokens": r["emitted_tokens"],
+                    "exact_match": r["exact_match"],
+                    "batch": r["batch"],
+                    "draft_k": r["draft_k"],
+                    "t_base_s": round(r["t_base"], 3),
+                    "t_spec_s": round(r["t_spec"], 3),
+                }
+            )
+        )
+        print(
+            f"# compiles={[round(c) for c in r['compiles']]}s "
             f"device={r['device']}",
             file=sys.stderr,
         )

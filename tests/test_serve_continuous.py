@@ -257,6 +257,60 @@ def test_speculative_engine_long_audio(spec_engine, params, tok):
     assert out["tokens"] == w0 + w1
 
 
+def test_model_draft_engine_matches_plain_greedy(params, tok):
+    """In-flight MODEL-draft speculation (persistent draft KV caches):
+    an UNRELATED random draft (near-zero acceptance, the worst case)
+    must still yield token-identical output to standalone greedy."""
+    draft_params = init_params(CFG, seed=9)
+    eng = ContinuousBatcher(
+        params, CFG, slots=2, max_new_tokens=MAX_NEW,
+        steps_per_sync=2, language="en", draft_k=3,
+        draft_params=draft_params, draft_cfg=CFG, tokenizer=tok,
+    )
+    try:
+        rng = np.random.default_rng(10)
+        a1 = rng.standard_normal(16000).astype(np.float32) * 0.1
+        a2 = rng.standard_normal(16000).astype(np.float32) * 0.1
+        f1 = eng.submit(a1)
+        time.sleep(0.02)  # a2 joins the running batch
+        f2 = eng.submit(a2)
+        r1 = f1.result(timeout=600)
+        r2 = f2.result(timeout=600)
+        assert r1["tokens"] == reference_tokens(params, a1, tok)
+        assert r2["tokens"] == reference_tokens(params, a2, tok)
+        assert eng.stats()["spec_rounds"] > 0
+    finally:
+        eng.close()
+
+
+def test_model_draft_engine_self_draft_accepts_fully(params, tok):
+    """Draft == target: every draft token verifies, so each round
+    advances K+1 tokens (where budget allows) and output is unchanged —
+    the acceptance ceiling of the persistent-draft path."""
+    eng = ContinuousBatcher(
+        params, CFG, slots=2, max_new_tokens=MAX_NEW,
+        steps_per_sync=2, language="en", draft_k=3,
+        draft_params=params, draft_cfg=CFG, tokenizer=tok,
+    )
+    try:
+        audio = (
+            np.random.default_rng(11)
+            .standard_normal(16000)
+            .astype(np.float32)
+            * 0.1
+        )
+        out = eng.transcribe(audio, timeout=600)
+        assert out["tokens"] == reference_tokens(params, audio, tok)
+        st = eng.stats()
+        assert st["spec_rounds"] > 0
+        # full acceptance: K+1 = 4 tokens/round, so the 8-token budget
+        # clears in <= 2 rounds = one 2-round chunk (plain greedy would
+        # need 4 chunks); EOT can only shorten it further
+        assert st["chunks"] <= 2
+    finally:
+        eng.close()
+
+
 def test_int8_kv_engine_matches_plain_greedy(params, tok):
     """Engine with the int8 cross-KV cache (serving default elsewhere):
     joins/scatter work in the T-minor quantized layout."""

@@ -195,10 +195,10 @@ def main(argv=None):
                 "--continuous is single-chip; use the micro-batch service "
                 "for --dp/--tp"
             )
-        if args.beam_size or draft_params is not None:
+        if args.beam_size or medusa_params is not None:
             raise SystemExit(
-                "--continuous is greedy-only; the only draft source it "
-                "supports is --draft-model ngram (prompt-lookup)"
+                "--continuous is greedy-only; draft sources it supports "
+                "are --draft-model ngram or a draft MODEL (not medusa)"
             )
         if args.kv_int4:
             raise SystemExit(
@@ -220,7 +220,9 @@ def main(argv=None):
             language=args.language,
             bf16=True,
             kv_int8=True,
-            draft_k=args.draft_k if args.draft_model == "ngram" else 0,
+            draft_k=args.draft_k if args.draft_model else 0,
+            draft_params=draft_params,
+            draft_cfg=draft_cfg,
         )
     else:
         service = TranscriptionService(

@@ -267,6 +267,116 @@ def _spec_chunk(
     return cache, last_tok, lens, finished, emits, vs
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "draft_cfg", "n_rounds", "draft_k", "n_prefix", "max_new",
+        "dtype_name",
+    ),
+    donate_argnames=("cache", "draft_cache"),
+)
+def _spec_chunk_model(
+    params,
+    draft_params,
+    cfg: WhisperConfig,
+    draft_cfg: WhisperConfig,
+    cache: DecoderCache,
+    draft_cache: DecoderCache,
+    last_tok,  # (B,)
+    lens,  # (B,)
+    finished,  # (B,) bool
+    suppress_mask,
+    blank_mask,
+    eot: int,
+    n_rounds: int,
+    draft_k: int,
+    n_prefix: int,
+    max_new: int,
+    dtype_name="float32",
+):
+    """n_rounds MODEL-draft verification rounds, entirely on device.
+
+    Each round runs K autoregressive single steps of the persistent
+    DRAFT model (its own self/cross KV cache, same slot layout), then
+    one (K+1)-query verification forward of the target — emitted tokens
+    are exactly the target's greedy decode, as in _spec_chunk. The
+    draft's cache needs NO repair pass: accepted tokens equal the draft
+    tokens whose K/V the drafting steps already wrote, and the one
+    correction token's row is rewritten by the next round's first draft
+    step (the same identical-KV frontier re-feed the joins rely on —
+    the correction lands at exactly lens_new - 1). Drafting applies the
+    same suppress/blank masks as verification so the draft can't
+    propose tokens the target is forbidden to accept.
+
+    Emission contract matches _spec_chunk: emits (n_rounds, B, K+1),
+    counts v (n_rounds, B).
+    """
+    dtype = jnp.dtype(dtype_name)
+    K = draft_k
+    idx = jnp.arange(K + 1)[None, :]
+
+    def round_body(carry, _):
+        cache, dcache, last_tok, lens, finished = carry
+
+        def draft_step(dc, i):
+            dcache, tok = dc
+            logits, dcache = decode_step_multipos(
+                draft_params, draft_cfg, tok[:, None], dcache,
+                lens - 1 + i, dtype=dtype,
+            )
+            lg = logits[:, 0] + suppress_mask
+            lg = jnp.where(
+                (lens + i == n_prefix)[:, None], lg + blank_mask, lg
+            )
+            nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            return (dcache, nxt), nxt
+
+        (dcache, _), drafts = jax.lax.scan(
+            draft_step, (dcache, last_tok), jnp.arange(K)
+        )
+        drafts = drafts.T  # (B, K)
+
+        block = jnp.concatenate([last_tok[:, None], drafts], axis=1)
+        logits, cache = decode_step_multipos(
+            params, cfg, block, cache, lens - 1, dtype=dtype
+        )
+        slots = lens[:, None] + idx
+        lg = logits + suppress_mask
+        lg = jnp.where((slots == n_prefix)[..., None], lg + blank_mask, lg)
+        greedy = jnp.argmax(lg, axis=-1).astype(jnp.int32)  # (B, K+1)
+
+        match = greedy[:, :K] == drafts
+        a = jnp.cumprod(match.astype(jnp.int32), axis=1).sum(axis=1)
+        eot_hit = (greedy == eot) & (idx <= a[:, None])
+        any_eot = eot_hit.any(axis=1)
+        first_eot = jnp.argmax(eot_hit, axis=1)
+        v = jnp.where(any_eot, first_eot + 1, a + 1)
+        budget = max_new - (lens - n_prefix)
+        v = jnp.minimum(v, budget)
+        v = jnp.where(finished, 0, v)
+
+        emit_w = jnp.where(idx < v[:, None], greedy, eot)
+        ate_eot = any_eot & (first_eot < v)
+        last_idx = jnp.where(ate_eot, first_eot - 1, v - 1)
+        last_emit = jnp.take_along_axis(
+            greedy, jnp.maximum(last_idx, 0)[:, None], axis=1
+        )[:, 0]
+        last_tok = jnp.where(last_idx >= 0, last_emit, last_tok)
+        lens = lens + v - jnp.where(ate_eot, 1, 0)
+        finished = finished | ate_eot | (lens - n_prefix >= max_new)
+        return (cache, dcache, last_tok, lens, finished), (emit_w, v)
+
+    (cache, draft_cache, last_tok, lens, finished), (emits, vs) = (
+        jax.lax.scan(
+            round_body,
+            (cache, draft_cache, last_tok, lens, finished),
+            None,
+            length=n_rounds,
+        )
+    )
+    return cache, draft_cache, last_tok, lens, finished, emits, vs
+
+
 @dataclass
 class _Slot:
     future: Optional[Future] = None
@@ -306,10 +416,31 @@ class ContinuousBatcher:
         bf16: bool = False,
         kv_int8: bool = False,
         draft_k: int = 0,
+        draft_params=None,
+        draft_cfg: Optional[WhisperConfig] = None,
         tokenizer: Optional[WhisperTokenizer] = None,
     ):
+        """draft_k > 0 turns on in-flight speculation: model-free n-gram
+        drafts by default, or a persistent DRAFT MODEL when
+        draft_params/draft_cfg are given (it keeps its own slot-aligned
+        KV caches and drafts K tokens per verification round — the
+        engine's answer to trained-pair speculation; docs/ROADMAP.md)."""
+        if (draft_params is None) != (draft_cfg is None):
+            raise ValueError("draft_params and draft_cfg go together")
+        if draft_params is not None and draft_k <= 0:
+            raise ValueError("a draft model needs draft_k > 0")
+        if draft_cfg is not None and (
+            draft_cfg.n_vocab != cfg.n_vocab
+            or draft_cfg.multilingual != cfg.multilingual
+            or draft_cfg.n_mels != cfg.n_mels
+        ):
+            raise ValueError(
+                "draft and target must share tokenizer and mel size"
+            )
         self.params = params
         self.cfg = cfg
+        self.draft_params = draft_params
+        self.draft_cfg = draft_cfg
         self.slots = slots
         self.max_new = max_new_tokens
         self.steps_per_sync = steps_per_sync
@@ -328,10 +459,10 @@ class ContinuousBatcher:
         self.n_prefix = len(self.prefix)
         # draft_k > 0 needs K cache/position headroom past the frontier
         # for the (K+1)-wide verification block
-        self.n_ctx = min(
-            self.n_prefix + self.max_new + 1,
-            cfg.n_text_ctx - draft_k,
-        )
+        ctx_cap = cfg.n_text_ctx - draft_k
+        if draft_cfg is not None:
+            ctx_cap = min(ctx_cap, draft_cfg.n_text_ctx - draft_k)
+        self.n_ctx = min(self.n_prefix + self.max_new + 1, ctx_cap)
         self.max_new = self.n_ctx - self.n_prefix - 1
         self._cache_len = self.n_ctx + draft_k
         self.suppress = jnp.asarray(
@@ -351,6 +482,16 @@ class ContinuousBatcher:
             params, cfg, dummy, max_len=self._cache_len,
             dtype=jnp.dtype(self.dtype_name), cross_kv_int8=kv_int8,
         )
+        self.draft_cache = None
+        if draft_params is not None:
+            ddummy = jnp.zeros(
+                (slots, draft_cfg.n_audio_ctx, draft_cfg.n_audio_state),
+                jnp.dtype(self.dtype_name),
+            )
+            self.draft_cache = init_cache(
+                draft_params, draft_cfg, ddummy, max_len=self._cache_len,
+                dtype=jnp.dtype(self.dtype_name), cross_kv_int8=kv_int8,
+            )
         self.last_tok = jnp.full((slots,), self.eot, jnp.int32)
         self.lens = jnp.full((slots,), self.n_prefix, jnp.int32)
         self.finished = jnp.ones((slots,), bool)
@@ -445,6 +586,19 @@ class ContinuousBatcher:
                 dtype_name=self.dtype_name, cross_kv_int8=self.kv_int8,
             )
             self.cache = _scatter_slot(self.cache, one, i)
+            if self.draft_params is not None:
+                dfeats = _encode_one(
+                    self.draft_params, self.draft_cfg,
+                    jnp.asarray(mel)[None], dtype_name=self.dtype_name,
+                )
+                done_ = _cross_kv_one(
+                    self.draft_params, self.draft_cfg, dfeats,
+                    dtype_name=self.dtype_name,
+                    cross_kv_int8=self.kv_int8,
+                )
+                self.draft_cache = _scatter_slot(
+                    self.draft_cache, done_, i
+                )
             if not slot_state.started_at:
                 slot_state.started_at = time.time()
             self._slots[i] = slot_state
@@ -473,6 +627,14 @@ class ContinuousBatcher:
             jnp.asarray(tok_rows), jnp.asarray(pos),
             dtype_name=self.dtype_name,
         )
+        if self.draft_params is not None:
+            # the draft consumes the same prefix so its self-KV tracks
+            # the target's slot state from position 0
+            self.draft_cache = _join_step(
+                self.draft_params, self.draft_cfg, self.draft_cache,
+                jnp.asarray(tok_rows), jnp.asarray(pos),
+                dtype_name=self.dtype_name,
+            )
         join_mask = np.zeros(B, bool)
         join_mask[joiners] = True
         self.last_tok = jnp.where(
@@ -518,42 +680,72 @@ class ContinuousBatcher:
 
     def _spec_round(self, active: List[int]):
         """One speculative chunk (draft_k > 0): steps_per_sync
-        verification rounds run fully on device (_spec_chunk), then one
-        host sync unpacks the per-round emissions — token-identical to
-        the plain greedy engine, 1..K+1 tokens per round per slot."""
+        verification rounds run fully on device (_spec_chunk for n-gram
+        drafts, _spec_chunk_model for a persistent draft model), then
+        one host sync unpacks the per-round emissions — token-identical
+        to the plain greedy engine, 1..K+1 tokens per round per slot."""
         K = self.draft_k
         B = self.slots
-        buf_len = self._cache_len
-        tokens_buf = np.full((B, buf_len), self.eot, np.int32)
-        for b in range(B):
-            hist = list(self.prefix) + (
-                self._slots[b].tokens if self._slots[b] else []
+        if self.draft_params is not None:
+            (
+                self.cache,
+                self.draft_cache,
+                self.last_tok,
+                self.lens,
+                self.finished,
+                emits,
+                vs,
+            ) = _spec_chunk_model(
+                self.params,
+                self.draft_params,
+                self.cfg,
+                self.draft_cfg,
+                self.cache,
+                self.draft_cache,
+                self.last_tok,
+                self.lens,
+                self.finished,
+                self.suppress,
+                self.blank,
+                self.eot,
+                self.steps_per_sync,
+                K,
+                self.n_prefix,
+                self.max_new,
+                dtype_name=self.dtype_name,
             )
-            tokens_buf[b, : len(hist)] = hist[:buf_len]
-        (
-            self.cache,
-            self.last_tok,
-            self.lens,
-            self.finished,
-            emits,
-            vs,
-        ) = _spec_chunk(
-            self.params,
-            self.cfg,
-            self.cache,
-            jnp.asarray(tokens_buf),
-            self.last_tok,
-            self.lens,
-            self.finished,
-            self.suppress,
-            self.blank,
-            self.eot,
-            self.steps_per_sync,
-            K,
-            self.n_prefix,
-            self.max_new,
-            dtype_name=self.dtype_name,
-        )
+        else:
+            buf_len = self._cache_len
+            tokens_buf = np.full((B, buf_len), self.eot, np.int32)
+            for b in range(B):
+                hist = list(self.prefix) + (
+                    self._slots[b].tokens if self._slots[b] else []
+                )
+                tokens_buf[b, : len(hist)] = hist[:buf_len]
+            (
+                self.cache,
+                self.last_tok,
+                self.lens,
+                self.finished,
+                emits,
+                vs,
+            ) = _spec_chunk(
+                self.params,
+                self.cfg,
+                self.cache,
+                jnp.asarray(tokens_buf),
+                self.last_tok,
+                self.lens,
+                self.finished,
+                self.suppress,
+                self.blank,
+                self.eot,
+                self.steps_per_sync,
+                K,
+                self.n_prefix,
+                self.max_new,
+                dtype_name=self.dtype_name,
+            )
         emits_np = np.asarray(emits)  # (R, B, K+1) — the host sync
         vs_np = np.asarray(vs)  # (R, B)
         self._stats["chunks"] += 1

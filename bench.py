@@ -532,7 +532,7 @@ def bench_continuous(slots=8, n_requests=32, sample_len=48,
 
 
 def bench_train(batch, token_len=48, iters=20, dtype="bfloat16",
-                cached_features=False):
+                cached_features=False, blockwise=False):
     """Train-step throughput + MFU (decoder fine-tune, frozen encoder).
 
     cached_features: train on precomputed encoder outputs (the frozen
@@ -573,7 +573,8 @@ def bench_train(batch, token_len=48, iters=20, dtype="bfloat16",
     def step(state):
         return train_step(state, mel, tokens, cfg, tx, eot,
                           freeze_encoder=True, dtype_name=dtype,
-                          inputs_are_features=cached_features)
+                          inputs_are_features=cached_features,
+                          blockwise=blockwise)
 
     t0 = time.time()
     state, loss = step(state)
@@ -658,6 +659,10 @@ def main():
     ap.add_argument(
         "--cached-features", action="store_true",
         help="train-step bench on precomputed encoder outputs",
+    )
+    ap.add_argument(
+        "--blockwise", action="store_true",
+        help="train-step bench with blockwise (chunked-vocab) CE loss",
     )
     args = ap.parse_args()
 
@@ -820,7 +825,8 @@ def main():
     if args.train:
         batch = args.batch if args.batch != HEADLINE_BATCH else 12
         r = bench_train(batch, iters=args.iters if args.iters != 5 else 20,
-                        cached_features=args.cached_features)
+                        cached_features=args.cached_features,
+                        blockwise=args.blockwise)
         print(
             json.dumps(
                 {

@@ -71,8 +71,33 @@ def _unpack_int4(packed, w_s4, dtype):
     return jnp.stack([lo, hi], axis=1).reshape(2 * n_half, n_out)
 
 
+# Fused int4 weight matmul policy (ops/quant_matmul.int4_matmul): the
+# packed codes DMA into VMEM and dequantize on-chip, with the dequant
+# amortized over all M rows — unlike the int4 KV decode kernel (M=1,
+# VPU-dequant-bound, no win). Opt-in until measured faster end-to-end:
+# WHISPER_IPA_TPU_INT4_MATMUL=1 or use_int4_matmul(True).
+_INT4_MATMUL = _os.environ.get("WHISPER_IPA_TPU_INT4_MATMUL") == "1"
+
+
+def use_int4_matmul(enabled: bool) -> None:
+    global _INT4_MATMUL
+    _INT4_MATMUL = enabled
+
+
 def linear(x, p):
     if "w_q4" in p:
+        rows_per_group = p["w_q4"].shape[0] // p["w_s4"].shape[0]
+        if (
+            _INT4_MATMUL
+            and rows_per_group % 8 == 0
+            and jax.devices()[0].platform != "cpu"
+        ):
+            from ..ops.quant_matmul import int4_matmul
+
+            y = int4_matmul(x, p["w_q4"], p["w_s4"]).astype(x.dtype)
+            if "b" in p and p["b"] is not None:
+                y = y + p["b"].astype(x.dtype)
+            return y
         lo, hi = _int4_halves(p["w_q4"], p["w_s4"], x.dtype)
         # y = x @ w with w rows de-interleaved: even input features hit
         # the low-nibble half, odd the high-nibble half

@@ -91,6 +91,12 @@ def main(argv=None):
     p.add_argument("--val-samples", type=int, default=48)
     p.add_argument("--out", default="/tmp/gen_exp")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument(
+        "--remat", action="store_true",
+        help="rematerialize the backward pass (full fine-tunes of small+ "
+        "models OOM a 16 GB chip without it)",
+    )
+    p.add_argument("--accum-steps", type=int, default=1)
     args = p.parse_args(argv)
 
     from whisper_ipa_tpu.config import get_config
@@ -129,10 +135,16 @@ def main(argv=None):
         freeze_encoder=False,  # random init: the encoder must learn too
         warmup_steps=50,
         compute_dtype="bfloat16" if args.bf16 else "float32",
+        remat=args.remat,
+        accum_steps=args.accum_steps,
         final_validate=True,
         final_validate_samples=args.val_samples,
         mel_cache_dir=os.path.join(args.out, "melcache"),
     )
+    if "final_per" not in summary:
+        raise SystemExit(
+            f"training stopped early (emergency checkpoint?): {summary}"
+        )
 
     # train-set score (same decode path) for the generalization gap
     train_ds = create_data_loader(train_json, n_mels=cfg.n_mels)

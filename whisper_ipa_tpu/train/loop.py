@@ -424,6 +424,20 @@ def train(
                         time.time() - start_time,
                     )
 
+                if step % 200 == 0:
+                    # long runs on remote-tunnel backends showed host RSS
+                    # growing ~one mel batch per step and step dispatch
+                    # slowing in lockstep, both reset by validation's
+                    # allocation burst (observed: 5.8 -> 16 GB RSS and
+                    # 0.05 -> 0.9 s/step over 1000 steps, whisper-small
+                    # full fine-tune). Dead per-step buffers sit in
+                    # reference cycles until a gen-2 GC; collect
+                    # explicitly so memory stays flat without relying on
+                    # validation cadence. ~10-30 ms every 200 steps.
+                    import gc
+
+                    gc.collect()
+
                 if validate_every and step % validate_every == 0:
                     metrics, host_params = run_validation(state, 100)
                     is_best = logger.log_validation(

@@ -355,7 +355,10 @@ def bench_spec_measured(checkpoint, data_json, model="tiny",
 
     cfg = get_config(model)
     params = load_or_init_params(model, cfg, None)
-    params, _ = load_checkpoint_model(checkpoint, params)
+    # full=True: synth-trained checkpoints carry a TRAINED encoder; the
+    # decoder-only reference overlay would leave a random one beneath it
+    params, n = load_checkpoint_model(checkpoint, params, full=True)
+    print(f"# target checkpoint: {n} tensors", file=sys.stderr)
 
     medusa_params = None
     draft_params = draft_cfg = None
@@ -456,7 +459,7 @@ def bench_continuous(slots=8, n_requests=32, sample_len=48,
         from whisper_ipa_tpu.train.loop import load_or_init_params
 
         params = load_or_init_params(model, cfg, None)
-        params, _ = load_checkpoint_model(checkpoint, params)
+        params, _ = load_checkpoint_model(checkpoint, params, full=True)
     else:
         params = init_params(cfg, seed=0)
     draft_params = draft_cfg = None
@@ -466,7 +469,7 @@ def bench_continuous(slots=8, n_requests=32, sample_len=48,
         draft_cfg = get_config(draft)
         draft_params = load_or_init_params(draft, draft_cfg, None)
         draft_params, _ = load_checkpoint_model(
-            draft_checkpoint, draft_params
+            draft_checkpoint, draft_params, full=True
         )
     tokenizer = get_tokenizer(
         multilingual=True, num_languages=cfg.num_languages, language="en"

@@ -194,6 +194,31 @@ class TestCheckpointInterop:
             np.asarray(mf["encoder.conv1.w"]), np.asarray(pf["encoder.conv1.w"])
         )
 
+    def test_full_overlay(self, params, tmp_path, mel):
+        """full=True overlays the ENCODER too — the load path for
+        checkpoints from full fine-tunes (train --unfreeze-encoder),
+        where the decoder-only contract would hide a random encoder."""
+        trained = init_params(CFG, seed=1)
+        path = str(tmp_path / "ckpt_full")
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        save_safetensors(os.path.join(path, "model.safetensors"), trained)
+
+        merged, n_full = load_checkpoint_model(path, params, full=True)
+        _, n_dec = load_checkpoint_model(path, params)
+        assert n_full > n_dec
+        mf = flatten_params(merged)
+        tf = flatten_params(trained)
+        np.testing.assert_array_equal(
+            np.asarray(mf["encoder.conv1.w"]),
+            np.asarray(tf["encoder.conv1.w"]),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(mf["decoder.token_embedding"]),
+            np.asarray(tf["decoder.token_embedding"]),
+        )
+
     def test_hf_conversion(self):
         """Synthetic HF-named dict converts to working params."""
         rng = np.random.default_rng(0)

@@ -28,6 +28,13 @@ def main(argv=None):
     )
     p.add_argument("--model", default="small")
     p.add_argument("--checkpoint", default=None)
+    p.add_argument(
+        "--full-checkpoint", action="store_true",
+        help="overlay ALL tensors from --checkpoint (encoder included) "
+        "instead of the decoder-only reference contract — required for "
+        "checkpoints from full fine-tunes (train --unfreeze-encoder), "
+        "else the heads fit hidden states from a random encoder",
+    )
     p.add_argument("--weights", default=None)
     p.add_argument("--train-data", required=True)
     p.add_argument("--output", default="medusa_heads.safetensors")
@@ -60,8 +67,11 @@ def main(argv=None):
     cfg = get_config(args.model)
     params = load_or_init_params(args.model, cfg, args.weights)
     if args.checkpoint:
-        params, n = load_checkpoint_model(args.checkpoint, params)
-        print(f"Loaded {n} decoder tensors from {args.checkpoint}")
+        params, n = load_checkpoint_model(
+            args.checkpoint, params, full=args.full_checkpoint
+        )
+        scope = "model" if args.full_checkpoint else "decoder"
+        print(f"Loaded {n} {scope} tensors from {args.checkpoint}")
 
     dataset = create_data_loader(
         args.train_data,

@@ -287,16 +287,42 @@ def overlay_decoder_weights(
 
 
 def load_checkpoint_model(
-    checkpoint_path: str, base_params: Params
+    checkpoint_path: str, base_params: Params, full: bool = False
 ) -> Tuple[Params, int]:
-    """Load ``<dir>/model.safetensors`` and overlay decoder weights."""
+    """Load ``<dir>/model.safetensors`` and overlay decoder weights.
+
+    full=True overlays EVERY matching tensor (encoder included) — for
+    checkpoints from full fine-tunes (train --unfreeze-encoder), where
+    the decoder-only reference contract would silently leave a random
+    encoder under a trained decoder.
+    """
     import os
 
     weights_path = checkpoint_path
     if os.path.isdir(checkpoint_path):
         weights_path = os.path.join(checkpoint_path, "model.safetensors")
     flat = load_safetensors_flat(weights_path)
-    return overlay_decoder_weights(base_params, flat)
+    if not full:
+        return overlay_decoder_weights(base_params, flat)
+
+    fmt = detect_format(flat)
+    canon = (
+        _hf_to_canonical(flat) if fmt == "hf" else _mlx_to_canonical(flat)
+    )
+    base_flat = flatten_params(base_params)
+    n_loaded = 0
+    for k, v in canon.items():
+        if k in base_flat:
+            expected = base_flat[k]
+            v = jnp.asarray(v, jnp.float32)
+            if v.shape != expected.shape:
+                raise ValueError(
+                    f"shape mismatch for {k}: checkpoint {v.shape} vs "
+                    f"model {expected.shape}"
+                )
+            base_flat[k] = v
+            n_loaded += 1
+    return unflatten_params(base_flat), n_loaded
 
 
 def cast_tree_dtype(tree, dtype):

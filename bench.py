@@ -535,12 +535,18 @@ def bench_continuous(slots=8, n_requests=32, sample_len=48,
 
 
 def bench_train(batch, token_len=48, iters=20, dtype="bfloat16",
-                cached_features=False, blockwise=False):
+                cached_features=False, blockwise=False, remat=False,
+                unfreeze=False, bf16_head=False):
     """Train-step throughput + MFU (decoder fine-tune, frozen encoder).
 
     cached_features: train on precomputed encoder outputs (the frozen
     encoder's activations are constant per sample — train(cache_encoder=
     True) removes ~2/3 of each step's FLOPs).
+
+    unfreeze: full fine-tune (encoder gradients too) — the regime where
+    the Pallas flash BACKWARD kernel matters: the encoder self-attention
+    backward otherwise materializes (B, H, 1500, 1500) probabilities per
+    layer in HBM.
     """
     import jax
     import jax.numpy as jnp
@@ -555,6 +561,9 @@ def bench_train(batch, token_len=48, iters=20, dtype="bfloat16",
         train_step_flops,
     )
 
+    if unfreeze and cached_features:
+        raise SystemExit("--unfreeze needs mel input (no --cached-features)")
+
     cfg = get_config("small")
     params = init_params(cfg, seed=0)
     rng = np.random.default_rng(0)
@@ -566,7 +575,7 @@ def bench_train(batch, token_len=48, iters=20, dtype="bfloat16",
             lambda p, m: encode(p, cfg, m, dtype=jnp.dtype(dtype))
         )(params, mel)
     state, tx = create_train_state(params, learning_rate=1e-5,
-                                   freeze_encoder=True)
+                                   freeze_encoder=not unfreeze)
     eot = 50257
     tok = np.full((batch, token_len), 300, np.int32)
     tok[:, :4] = [50258, 50259, 50359, 50363]
@@ -575,9 +584,10 @@ def bench_train(batch, token_len=48, iters=20, dtype="bfloat16",
 
     def step(state):
         return train_step(state, mel, tokens, cfg, tx, eot,
-                          freeze_encoder=True, dtype_name=dtype,
+                          freeze_encoder=not unfreeze, dtype_name=dtype,
                           inputs_are_features=cached_features,
-                          blockwise=blockwise)
+                          blockwise=blockwise, remat=remat,
+                          bf16_head=bf16_head)
 
     t0 = time.time()
     state, loss = step(state)
@@ -590,7 +600,10 @@ def bench_train(batch, token_len=48, iters=20, dtype="bfloat16",
     float(loss)  # host fetch = sync point
     elapsed = time.time() - t0
 
-    flops = train_step_flops(cfg, token_len) * batch * iters
+    flops = (
+        train_step_flops(cfg, token_len, freeze_encoder=not unfreeze)
+        * batch * iters
+    )
     if cached_features:
         flops -= encoder_flops(cfg) * batch * iters
     peak = peak_flops(jax.devices()[0].device_kind)
@@ -666,6 +679,23 @@ def main():
     ap.add_argument(
         "--blockwise", action="store_true",
         help="train-step bench with blockwise (chunked-vocab) CE loss",
+    )
+    ap.add_argument(
+        "--remat", action="store_true",
+        help="train-step bench with per-layer rematerialization (the "
+        "backward recomputes activations instead of saving them; fits "
+        "batches that otherwise OOM, e.g. cached-features batch >= 128)",
+    )
+    ap.add_argument(
+        "--unfreeze", action="store_true",
+        help="train-step bench with encoder gradients (full fine-tune; "
+        "exercises the Pallas flash-backward encoder attention kernel)",
+    )
+    ap.add_argument(
+        "--bf16-head", action="store_true",
+        help="train-step bench with bfloat16 logits-GEMM operands "
+        "(float32 accumulation; the f32 head is ~7%% of credited FLOPs "
+        "but runs at a fraction of MXU peak)",
     )
     args = ap.parse_args()
 
@@ -829,7 +859,8 @@ def main():
         batch = args.batch if args.batch != HEADLINE_BATCH else 12
         r = bench_train(batch, iters=args.iters if args.iters != 5 else 20,
                         cached_features=args.cached_features,
-                        blockwise=args.blockwise)
+                        blockwise=args.blockwise, remat=args.remat,
+                        unfreeze=args.unfreeze, bf16_head=args.bf16_head)
         print(
             json.dumps(
                 {

@@ -82,3 +82,52 @@ class TestBlockwiseLoss:
             compute_loss(params, CFG, mel, tokens, EOT, blockwise=True)
         )
         assert blockwise == pytest.approx(dense, rel=1e-5)
+
+
+class TestBf16Head:
+    """bf16-operand logits GEMM: loss parity + finite, aligned grads."""
+
+    def _setup(self):
+        params = init_params(CFG, seed=0)
+        rng = np.random.default_rng(1)
+        mel = jnp.asarray(
+            rng.standard_normal((2, CFG.n_audio_ctx * 2, CFG.n_mels)).astype(
+                np.float32
+            )
+        )
+        tokens = jnp.asarray(
+            [[50258, 50259, 50359, 50363, 100, 200, EOT, EOT]] * 2, jnp.int32
+        )
+        return params, mel, tokens
+
+    def test_loss_close_to_f32_head(self):
+        params, mel, tokens = self._setup()
+        f32 = float(compute_loss(params, CFG, mel, tokens, EOT))
+        bf16 = float(
+            compute_loss(params, CFG, mel, tokens, EOT, bf16_head=True)
+        )
+        # operands round to bf16 (~2^-8 relative); the loss is a log-sum
+        # over ~51k logits so errors average out further
+        assert bf16 == pytest.approx(f32, rel=5e-3)
+
+    def test_grads_finite_and_aligned(self):
+        params, mel, tokens = self._setup()
+
+        def loss_fn(p, bf16_head):
+            return compute_loss(
+                p, CFG, mel, tokens, EOT, bf16_head=bf16_head
+            )
+
+        g32 = jax.grad(loss_fn)(params, False)
+        g16 = jax.grad(loss_fn)(params, True)
+        a = jnp.concatenate(
+            [x.ravel() for x in jax.tree_util.tree_leaves(g32)]
+        )
+        b = jnp.concatenate(
+            [x.ravel() for x in jax.tree_util.tree_leaves(g16)]
+        )
+        assert bool(jnp.all(jnp.isfinite(b)))
+        cos = jnp.vdot(a, b) / (
+            jnp.linalg.norm(a) * jnp.linalg.norm(b) + 1e-12
+        )
+        assert float(cos) > 0.999

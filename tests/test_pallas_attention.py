@@ -71,6 +71,45 @@ class TestFusedAttentionVJP:
         for a, b in zip(ga, gb):
             assert float(jnp.max(jnp.abs(a - b))) < 1e-5
 
+    @pytest.mark.parametrize(
+        "tq,tk",
+        [
+            (130, 257),  # partial q block + padded keys
+            (1100, 300),  # 3 q blocks: dk/dv accumulate across revisits
+        ],
+    )
+    def test_flash_bwd_kernel_matches_xla(self, tq, tk):
+        """The Pallas backward kernel (interpret) == the XLA VJP on
+        partial blocks, padded keys, and multi-block accumulation."""
+        import jax
+        import jax.numpy as jnp
+
+        from whisper_ipa_tpu.ops.attention import (
+            _flash_attention_bwd_impl,
+            _xla_attention,
+        )
+
+        rng = np.random.default_rng(3)
+        q = jnp.asarray(
+            rng.standard_normal((1, 2, tq, 8)).astype(np.float32) * 0.3
+        )
+        k = jnp.asarray(
+            rng.standard_normal((1, 2, tk, 8)).astype(np.float32) * 0.3
+        )
+        v = jnp.asarray(rng.standard_normal((1, 2, tk, 8)).astype(np.float32))
+        g = jnp.asarray(rng.standard_normal((1, 2, tq, 8)).astype(np.float32))
+
+        scale = 8 ** -0.5
+        got = _flash_attention_bwd_impl(q, k, v, g, scale, interpret=True)
+        _, vjp = jax.vjp(
+            lambda q, k, v: _xla_attention(q, k, v, scale), q, k, v
+        )
+        want = vjp(g)
+        for name, a, b in zip("qkv", got, want):
+            err = float(jnp.max(jnp.abs(a - b)))
+            ref = float(jnp.max(jnp.abs(b))) + 1e-6
+            assert err / ref < 1e-5, (name, err, ref)
+
     def test_grad_under_stop_gradient(self):
         """stop_gradient over the fused output must not error (the frozen-
         encoder regime that broke on TPU before the custom VJP)."""

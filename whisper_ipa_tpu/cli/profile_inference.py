@@ -80,6 +80,9 @@ def main(argv=None):
     p.add_argument("--sample-len", type=int, default=32)
     p.add_argument("--train", action="store_true",
                    help="profile one train step instead of decode")
+    p.add_argument("--cached-features", action="store_true",
+                   help="with --train: feed precomputed encoder outputs "
+                   "(the cache_encoder=True fine-tune regime)")
     p.add_argument("--top", type=int, default=25)
     p.add_argument("--logdir", default="/tmp/whisper_ipa_tpu_profile")
     p.add_argument("--json", default=None,
@@ -112,6 +115,12 @@ def main(argv=None):
         tok[:, :4] = [50258, 50259, 50359, 50363]
         tok[:, -1] = 50257
         tokens = jnp.asarray(tok)
+        if args.cached_features:
+            from ..models.whisper import encode
+
+            mel = jax.jit(
+                lambda p, m: encode(p, cfg, m, dtype=jnp.bfloat16)
+            )(params, mel)
         state, tx = create_train_state(params, learning_rate=1e-5,
                                        freeze_encoder=True)
 
@@ -119,6 +128,7 @@ def main(argv=None):
             state, loss = train_step(
                 state, mel, tokens, cfg, tx, 50257,
                 freeze_encoder=True, dtype_name="bfloat16",
+                inputs_are_features=args.cached_features,
             )
             float(loss)
             return state

@@ -95,6 +95,11 @@ def build_parser() -> argparse.ArgumentParser:
         "features (~3x step throughput; encoder is frozen anyway)",
     )
     p.add_argument(
+        "--bf16-head", action="store_true",
+        help="bfloat16 operands (float32 accumulation) in the logits "
+        "GEMM — the float32 head runs at a fraction of MXU peak",
+    )
+    p.add_argument(
         "--unfreeze-encoder", action="store_true",
         help="Full fine-tune: train the encoder too (the reference "
         "always freezes it; needed when starting from random weights)",
@@ -144,6 +149,7 @@ def main(argv=None):
         encoder_bf16=args.encoder_bf16,
         cache_encoder=args.cache_encoder,
         freeze_encoder=not args.unfreeze_encoder,
+        bf16_head=args.bf16_head,
     )
 
 

@@ -181,6 +181,18 @@ import os as _os
 _FUSED_ATTENTION = {"1": True, "0": False}.get(
     _os.environ.get("WHISPER_IPA_TPU_FUSED_ATTN", "auto")
 )  # None = auto
+# Minimum q length for the fused kernel. Short-q callers (decode steps,
+# speculative verify, AND the teacher-forced training cross-attention at
+# q = token_len-1 ~ 47) stay on XLA — measured on one v5e (cached-feature
+# train step, batch 64, r3): routing the q=47 cross-attention through the
+# Pallas kernels took the step 124.6 -> 160.7 ms (fwd kernel only) ->
+# 236.5 ms (+ flash bwd). Two reasons: (a) a per-(b,h) grid at q=47 is
+# 768 tiny cells per layer — cell setup swamps the ~18 MFLOP of work;
+# (b) flash's HBM advantage vanishes at short q: the (47, 1500) probs
+# matrix is the SAME size as K/V, so XLA's materializing einsums are
+# already within ~15% of the operand-traffic roofline. The kernels win
+# when Tq is block-sized (encoder self-attention, Tq = Tk = 1500, where
+# probs are 150x K/V bytes).
 _FUSED_MIN_QLEN = 128
 
 
@@ -375,6 +387,19 @@ def multi_head_attention(
             )
         )
 
+    # NOT wrapped in jax.checkpoint. Tried (r3): rematerializing the
+    # (B, H, Tq, Tk) softmax in the backward instead of saving it cost
+    # 19% on the cached-feature train step (batch 64: 124.6 -> 148
+    # ms/step; batch 96: 402 samples/s vs full-remat's 433) and did NOT
+    # unlock batch 128 — the binding residuals there are the stacked
+    # per-layer cross-attention K/V projections (2 x bf16[12,B,1500,768]
+    # = 6.6 GB at B=128, per the OOM dump), which attention-local remat
+    # cannot touch. The existing per-layer `remat` flag subsumes both
+    # and measures faster, so memory pressure routes there instead.
+    return _attention_core(q, k, v, mask, n_head=n_head, scale=scale)
+
+
+def _attention_core(q, k, v, mask, *, n_head: int, scale: float):
     qh = _split_heads(q, n_head) * scale
     kh = _split_heads(k, n_head) * scale
     vh = _split_heads(v, n_head)

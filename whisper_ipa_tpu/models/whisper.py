@@ -199,7 +199,7 @@ def decoder_hidden(
 
     stacked = _stack_blocks(dec["blocks"])
 
-    def body(x, block):
+    def _tail(x, block, xa_k, xa_v):
         h, _ = attention_block(
             layer_norm(x, block["attn_ln"]),
             block["attn"],
@@ -207,8 +207,6 @@ def decoder_hidden(
             mask=mask,
         )
         x = x + h
-        xa_k = linear(audio_features, block["cross_attn"]["key"])
-        xa_v = linear(audio_features, block["cross_attn"]["value"])
         h, _ = attention_block(
             layer_norm(x, block["cross_attn_ln"]),
             block["cross_attn"],
@@ -217,7 +215,19 @@ def decoder_hidden(
         )
         x = x + h
         x = x + mlp_block(layer_norm(x, block["mlp_ln"]), block)
-        return x, None
+        return x
+
+    # Per-layer K/V projections stay INSIDE the scan body. A hoisted
+    # all-layers (B*T_enc, d) x (d, L*2*d) GEMM was tried (r3) and
+    # reverted: the (B, T_enc, L*2*d) result is L-times the feature
+    # bytes (3.5 GB bf16 at batch 64 for whisper-small) and must stay
+    # live across the whole scan + backward — it OOMed the 16 GB v5e at
+    # a batch the per-layer form runs comfortably (XLA recomputes the
+    # per-layer K/V in the backward instead of saving them).
+    def body(x, block):
+        xa_k = linear(audio_features, block["cross_attn"]["key"])
+        xa_v = linear(audio_features, block["cross_attn"]["value"])
+        return _tail(x, block, xa_k, xa_v), None
 
     if remat:
         body = jax.checkpoint(body)
@@ -232,18 +242,34 @@ def decoder_logits(
     audio_features,
     dtype=jnp.float32,
     remat: bool = False,
+    bf16_head: bool = False,
 ):
     """Teacher-forced decoder: (B, T) x (B, 1500, d) -> (B, T, n_vocab).
 
     Used by training (reference compute_loss calls model.logits at
     scripts/train_whisper_ipa.py:232).
+
+    bf16_head: run the (d x n_vocab) logits GEMM with bfloat16 operands
+    and float32 accumulation (preferred_element_type) instead of the
+    default full-float32 GEMM. On the MXU an f32 matmul decomposes into
+    multiple bf16 passes, so the f32 head runs at a fraction of peak
+    while being ~7% of the credited train-step FLOPs. The logits (and
+    the loss computed from them) stay float32; only the multiplicands
+    round to bf16 (~0.4% relative logit error — standard mixed-precision
+    LM-head practice).
     """
     x = decoder_hidden(
         params, cfg, tokens, audio_features, dtype=dtype, remat=remat
     )
+    emb = params["decoder"]["token_embedding"]
+    if bf16_head:
+        return jnp.matmul(
+            x.astype(jnp.bfloat16),
+            emb.T.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
     return jnp.matmul(
-        x.astype(jnp.float32),
-        params["decoder"]["token_embedding"].T.astype(jnp.float32),
+        x.astype(jnp.float32), emb.T.astype(jnp.float32)
     )
 
 

@@ -76,6 +76,173 @@ def _attn_kernel(kv_len: int, scale: float, q_ref, k_ref, v_ref, out_ref):
     out_ref[0] = (out / denom).astype(out_ref.dtype)
 
 
+# q rows per grid cell in the BACKWARD kernel. Smaller than the forward's
+# 768: the backward keeps three (BLOCK, T_pad) f32 temporaries (logits,
+# probs, dP) in VMEM at once.
+BLOCK_Q_BWD = 512
+
+
+def _attn_bwd_kernel(
+    tq: int, kv_len: int, scale: float,
+    q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+):
+    """Flash-style attention backward for one (b*h, q-block) grid cell.
+
+    Recomputes logits/softmax from q/k in VMEM (never materializing the
+    (Tq, Tk) probabilities in HBM), then forms dq for this q block and
+    accumulates dk/dv across q blocks (the dk/dv out blocks ignore the
+    q-grid index, so Pallas keeps them VMEM-resident across the revisits).
+
+    Uses the denominator-folding identities (P = p/denom unnormalized):
+      dV = P^T g            = p^T (g/denom)
+      dP' = (g/denom) v^T   = dP_true/denom
+      delta = rowsum(p . dP') = rowsum(P . dP_true)
+      dS = P.(dP_true - delta) = p . (dP' - delta/denom)
+    so the only (BLOCK, T_pad)-sized elementwise ops are one multiply and
+    one subtract — no big divides.
+    """
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(1)
+    q = q_ref[0]  # (BLOCK, Dh); rows past tq hold undefined VMEM
+    k = k_ref[0]  # (T_pad, Dh); rows past kv_len hold undefined VMEM
+    v = v_ref[0]
+    g = g_ref[0]
+
+    t_pad = k.shape[0]
+    if t_pad > kv_len:
+        # zero the undefined K/V pad rows: dS's zero pad columns hit them
+        # in the dq/dP dots, and 0 * NaN = NaN would poison the result
+        row = jax.lax.broadcasted_iota(jnp.int32, k.shape, 0)
+        k = jnp.where(row < kv_len, k, 0)
+        v = jnp.where(row < kv_len, v, 0)
+    # partial final q block: rows past tq hold undefined VMEM (possibly
+    # NaN) and feed the dk dot (dS^T @ q) — zero them
+    rowid = (
+        jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], 1), 0)
+        + i * q.shape[0]
+    )
+    rvalid = rowid < tq
+    q = jnp.where(rvalid, q, 0)
+    if scale != 1.0:
+        q = q * jnp.asarray(scale, q.dtype)  # qs: S = qs @ k^T
+
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BLOCK, T_pad) f32
+    if t_pad > kv_len:
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < kv_len, logits, -jnp.inf)
+
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    # invalid q rows contribute nothing to the dk/dv accumulation
+    p = jnp.where(rvalid, p, 0.0)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    denom = jnp.where(rvalid, denom, 1.0)
+
+    gs = jnp.where(rvalid, g.astype(jnp.float32) / denom, 0.0)  # g/denom
+    gs = gs.astype(v.dtype)
+    dP = jax.lax.dot_general(  # (BLOCK, T_pad) = gs @ v^T
+        gs, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    delta = jnp.sum(p * dP, axis=-1, keepdims=True)
+    dS = p * (dP - delta / denom)  # (BLOCK, T_pad) f32
+
+    dSc = dS.astype(q.dtype)
+    dq = jax.lax.dot_general(  # (BLOCK, Dh) = dS @ k, then undo the fold
+        dSc, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if scale != 1.0:
+        dq = dq * jnp.asarray(scale, dq.dtype)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+    dk = jax.lax.dot_general(  # (T_pad, Dh) = dS^T @ qs
+        dSc, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dv = jax.lax.dot_general(  # (T_pad, Dh) = p^T @ gs
+        p.astype(gs.dtype), gs,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[0] = dk.astype(dk_ref.dtype)
+        dv_ref[0] = dv.astype(dv_ref.dtype)
+
+    @pl.when(i > 0)
+    def _accum():
+        dk_ref[0] += dk.astype(dk_ref.dtype)
+        dv_ref[0] += dv.astype(dv_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("scale", "interpret"))
+def _flash_attention_bwd_impl(q, k, v, g, scale: float = 1.0,
+                              interpret: bool = False):
+    """dq/dk/dv via the Pallas backward kernel. dk/dv accumulate in f32."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, Tq, Dh = q.shape
+    Tk = k.shape[2]
+    BH = B * H
+    tk_pad = _round_up(Tk, 128)
+    n_qb = _round_up(Tq, BLOCK_Q_BWD) // BLOCK_Q_BWD
+
+    qf = q.reshape(BH, Tq, Dh)
+    kf = k.reshape(BH, Tk, Dh)
+    vf = v.reshape(BH, Tk, Dh)
+    gf = g.reshape(BH, Tq, Dh)
+
+    # single q block (the teacher-forced training shapes): no cross-block
+    # accumulation, so emit dk/dv in the input dtype directly — f32
+    # outputs would double the dominant HBM write (dk/dv are (Tk=1500)-
+    # sized in cross-attention) and add a convert pass. Multi-block grids
+    # keep the f32 accumulator for exact partial sums.
+    acc_dtype = jnp.float32 if n_qb > 1 else k.dtype
+
+    full_kv = pl.BlockSpec(
+        (1, tk_pad, Dh), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    qblock = pl.BlockSpec(
+        (1, BLOCK_Q_BWD, Dh), lambda b, i: (b, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    dq, dk, dv = pl.pallas_call(
+        partial(_attn_bwd_kernel, Tq, Tk, scale),
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Tq, Dh), q.dtype),
+            jax.ShapeDtypeStruct((BH, Tk, Dh), acc_dtype),
+            jax.ShapeDtypeStruct((BH, Tk, Dh), acc_dtype),
+        ],
+        grid=(BH, n_qb),
+        in_specs=[qblock, full_kv, full_kv, qblock],
+        out_specs=[
+            qblock,
+            pl.BlockSpec(
+                (1, tk_pad, Dh), lambda b, i: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tk_pad, Dh), lambda b, i: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, gf)
+
+    return (
+        dq.reshape(B, H, Tq, Dh),
+        dk.reshape(B, H, Tk, Dh).astype(k.dtype),
+        dv.reshape(B, H, Tk, Dh).astype(v.dtype),
+    )
+
+
 def _xla_attention(q, k, v, scale: float = 1.0):
     """Reference unfused path (used for the backward pass)."""
     if scale != 1.0:
@@ -93,10 +260,11 @@ def fused_attention(q, k, v, scale: float = 1.0, interpret: bool = False):
     q/k already carry the attention scale.
 
     Differentiable: the forward pass runs the Pallas kernel; the backward
-    pass recomputes attention through the XLA path and takes its VJP
-    (flash-style recompute — the (T, T) probabilities are materialized only
-    inside the backward pass, and not at all under stop_gradient, e.g. the
-    frozen-encoder training regime).
+    pass runs a flash-style Pallas kernel too (_attn_bwd_kernel) that
+    recomputes logits/softmax in VMEM — the (Tq, Tk) probabilities never
+    touch HBM in either pass, and not at all under stop_gradient, e.g.
+    the frozen-encoder training regime. (CPU without interpret falls back
+    to the XLA VJP.)
     """
     return _fused_attention_impl(q, k, v, scale, interpret)
 
@@ -107,8 +275,18 @@ def _fused_attention_fwd(q, k, v, scale, interpret):
 
 def _fused_attention_bwd(scale, interpret, residuals, g):
     q, k, v = residuals
-    _, vjp = jax.vjp(lambda q, k, v: _xla_attention(q, k, v, scale), q, k, v)
-    return vjp(g)
+    on_cpu = False
+    if not interpret:
+        try:
+            on_cpu = jax.devices()[0].platform == "cpu"
+        except Exception:
+            on_cpu = True
+    if on_cpu:  # Pallas needs an accelerator (or interpret mode)
+        _, vjp = jax.vjp(
+            lambda q, k, v: _xla_attention(q, k, v, scale), q, k, v
+        )
+        return vjp(g)
+    return _flash_attention_bwd_impl(q, k, v, g, scale, interpret)
 
 
 fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)

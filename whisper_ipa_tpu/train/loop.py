@@ -137,6 +137,7 @@ def train(
     encoder_bf16: bool = False,
     cache_encoder: bool = False,
     freeze_encoder: bool = True,
+    bf16_head: bool = False,
 ) -> Dict:
     """Main training entry point (reference-compatible surface + resume).
 
@@ -398,6 +399,7 @@ def train(
                     remat=remat,
                     blockwise=blockwise_loss,
                     inputs_are_features=cache_encoder,
+                    bf16_head=bf16_head,
                 )
                 if profile_dir and step == start_step + 15:
                     jax.profiler.stop_trace()

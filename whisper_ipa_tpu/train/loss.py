@@ -45,6 +45,7 @@ def compute_loss(
     dtype=jnp.float32,
     remat: bool = False,
     blockwise: bool = False,
+    bf16_head: bool = False,
 ):
     """CE loss for a batch (reference compute_loss surface).
 
@@ -79,6 +80,7 @@ def compute_loss(
         )
 
     logits = decoder_logits(
-        params, cfg, decoder_input, audio_features, dtype=dtype, remat=remat
+        params, cfg, decoder_input, audio_features, dtype=dtype,
+        remat=remat, bf16_head=bf16_head,
     )
     return masked_cross_entropy(logits, target_tokens, mask)

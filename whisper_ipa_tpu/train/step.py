@@ -59,7 +59,7 @@ def create_train_state(
     jax.jit,
     static_argnames=(
         "cfg", "tx", "eot", "freeze_encoder", "dtype_name", "remat",
-        "blockwise", "inputs_are_features",
+        "blockwise", "inputs_are_features", "bf16_head",
     ),
     donate_argnames=("state",),
 )
@@ -75,12 +75,15 @@ def train_step(
     remat: bool = False,
     blockwise: bool = False,
     inputs_are_features: bool = False,
+    bf16_head: bool = False,
 ) -> Tuple[TrainState, jax.Array]:
     """One optimization step. Returns (new_state, loss).
 
     dtype_name: activation compute dtype — "float32" for the reference's
     numerical regime, "bfloat16" for ~2x MXU throughput (params, optimizer
-    state, and the loss/logit head stay float32 either way).
+    state, and the loss/logit head stay float32 either way;
+    bf16_head=True opts the logits GEMM's multiplicands into bfloat16
+    with float32 accumulation — see models.whisper.decoder_logits).
 
     inputs_are_features: ``mel`` already holds precomputed encoder outputs
     (B, n_audio_ctx, d) — the frozen encoder's activations are constant per
@@ -100,6 +103,7 @@ def train_step(
             dtype=jnp.dtype(dtype_name),
             remat=remat,
             blockwise=blockwise,
+            bf16_head=bf16_head,
         )
 
     loss, grads = jax.value_and_grad(loss_fn)(state.params)

@@ -146,8 +146,18 @@ def _stack_blocks(blocks: List[Dict]) -> Dict:
 
 # -- encoder --------------------------------------------------------------
 
-def encode(params: Params, cfg: WhisperConfig, mel, dtype=jnp.float32):
-    """Audio encoder: (B, 3000, n_mels) -> (B, 1500, d)."""
+def encode(params: Params, cfg: WhisperConfig, mel, dtype=jnp.float32,
+           remat: bool = False):
+    """Audio encoder: (B, 3000, n_mels) -> (B, 1500, d).
+
+    remat=True checkpoints each encoder layer — only relevant to FULL
+    fine-tuning (frozen-encoder training runs the encoder under
+    stop_gradient, which saves nothing already). The binding residuals
+    in the unfrozen backward are the per-layer (B, 1500, 4d) MLP hidden
+    activations stacked over the scan (1.65 GB at batch 16,
+    whisper-small, per the OOM dump); rematerializing the layer trades
+    ~1/3 extra encoder FLOPs for all of that.
+    """
     enc = params["encoder"]
     x = mel.astype(dtype)
     x = gelu(conv1d(x, enc["conv1"], stride=1))
@@ -165,6 +175,9 @@ def encode(params: Params, cfg: WhisperConfig, mel, dtype=jnp.float32):
         x = x + h
         x = x + mlp_block(layer_norm(x, block["mlp_ln"]), block)
         return x, None
+
+    if remat:
+        body = jax.checkpoint(body)
 
     x, _ = jax.lax.scan(body, x, stacked)
     return layer_norm(x, enc["ln_post"])

@@ -54,7 +54,10 @@ def compute_loss(
     encoder runs under stop_gradient so no encoder grads are materialized.
     """
     if audio_features is None:
-        audio_features = encode(params, cfg, mel, dtype=dtype)
+        audio_features = encode(
+            params, cfg, mel, dtype=dtype,
+            remat=remat and not freeze_encoder,
+        )
         if freeze_encoder:
             audio_features = jax.lax.stop_gradient(audio_features)
 

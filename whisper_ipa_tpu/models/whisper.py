@@ -235,8 +235,20 @@ def decoder_hidden(
     # reverted: the (B, T_enc, L*2*d) result is L-times the feature
     # bytes (3.5 GB bf16 at batch 64 for whisper-small) and must stay
     # live across the whole scan + backward — it OOMed the 16 GB v5e at
-    # a batch the per-layer form runs comfortably (XLA recomputes the
-    # per-layer K/V in the backward instead of saving them).
+    # a batch the per-layer form runs comfortably.
+    # Selective remat of ONLY the cross-K/V projections was tried (r3:
+    # checkpoint_name("cross_kv") + save_anything_except_these_names)
+    # and REVERTED on measurement: the projections are the scan's
+    # dominant saved residuals (2 x (L, B, 1500, d) stacked, 17.1 ms of
+    # dynamic_update_slice writes in the batch-64 xprof), but
+    # recomputing them costs two (B*1500, d) x (d, d) GEMMs per layer
+    # = ~2.7 TFLOP at batch 64 (~30% of the step's credited FLOPs) —
+    # far more than the residual-write savings. Measured
+    # cached-features batch 64: 126.3 -> 155.3 ms/step
+    # (45.1% -> 36.7% MFU). Same direction as the full-attention
+    # recompute (layers.py, -19%): every remat trade loses here because
+    # the big GEMMs already run at ~91% MXU efficiency, so recompute
+    # FLOPs are nearly as expensive as the bytes they save.
     def body(x, block):
         xa_k = linear(audio_features, block["cross_attn"]["key"])
         xa_v = linear(audio_features, block["cross_attn"]["value"])

@@ -747,7 +747,12 @@ def main():
                         if r["tokens_per_round"] else None
                     ),
                     "note": "staggered arrivals join a running batch; "
-                    "EOT suppressed (full-length worst case)",
+                    + (
+                        "trained checkpoint + real audio, EOT live "
+                        "(requests early-stop)"
+                        if args.checkpoint
+                        else "EOT suppressed (full-length worst case)"
+                    ),
                 }
             )
         )

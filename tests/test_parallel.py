@@ -123,6 +123,67 @@ class TestTensorParallelInference:
         # TP-sharded execution must produce the same tokens
         assert [r.tokens for r in tp] == [r.tokens for r in plain]
 
+    def test_tp_train_step_matches_unsharded(self):
+        """TP TRAIN-STEP numeric oracle (round-3 verdict gap): loss AND
+        the updated params through the Megatron column/row backward +
+        GSPMD reductions must match the unsharded step over 3 steps,
+        for dp=1 x tp=2 and dp=2 x tp=2."""
+        from dataclasses import replace
+
+        from whisper_ipa_tpu.config import CONFIGS
+        from whisper_ipa_tpu.models import init_params
+        from whisper_ipa_tpu.parallel import shard_batch
+        from whisper_ipa_tpu.train import create_train_state, train_step
+
+        cfg = replace(CONFIGS["test-tiny"], n_audio_ctx=32, n_text_ctx=32)
+        eot = 50257
+        batch = 4
+        rng = np.random.default_rng(3)
+        mel_np = rng.standard_normal((batch, 64, cfg.n_mels)).astype(
+            np.float32
+        )
+        tokens_np = np.tile(
+            [[50258, 50259, 50359, 50363, 100, 200, eot, eot]], (batch, 1)
+        ).astype(np.int32)
+
+        def run(mesh):
+            # fresh params per run: train_step donates its input state
+            params = init_params(cfg, seed=0)
+            if mesh is not None:
+                from whisper_ipa_tpu.parallel import shard_params
+
+                params = shard_params(mesh, params, tensor_parallel=True)
+            state, tx = create_train_state(
+                params, learning_rate=1e-3, freeze_encoder=False
+            )
+            mel = jnp.asarray(mel_np)
+            tokens = jnp.asarray(tokens_np)
+            if mesh is not None:
+                mel, tokens = shard_batch(mesh, mel, tokens)
+            losses = []
+            for _ in range(3):
+                state, loss = train_step(
+                    state, mel, tokens, cfg, tx, eot, freeze_encoder=False
+                )
+                losses.append(float(loss))
+            return losses, jax.device_get(state.params)
+
+        ref_losses, ref_params = run(None)
+        for n_dev in (2, 4):  # dp=1 x tp=2, dp=2 x tp=2
+            mesh = make_mesh(model=2, devices=jax.devices()[:n_dev])
+            tp_losses, tp_params = run(mesh)
+            np.testing.assert_allclose(
+                tp_losses, ref_losses, rtol=1e-4,
+                err_msg=f"TP loss drift over 3 steps ({n_dev} devices)",
+            )
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-5
+                ),
+                tp_params,
+                ref_params,
+            )
+
     def test_tp_sharded_decode_int8_kv(self):
         """TP-sharded decode with the int8 head-split cross-KV cache: GSPMD
         must propagate the model-axis sharding through quantization and the

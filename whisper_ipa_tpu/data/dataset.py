@@ -346,6 +346,16 @@ class PrefetchLoader:
                     np.int32,
                 )
                 batch["tokens"] = np.concatenate([tokens, pad], axis=1)
+            elif tokens.shape[1] > self.fixed_token_len:
+                # never emit a wider batch than promised: multi-host
+                # global-batch assembly requires identical widths on
+                # every process. Truncate, keeping a terminal EOT so
+                # the loss mask still finds an end on every row.
+                trunc = np.ascontiguousarray(
+                    tokens[:, : self.fixed_token_len]
+                )
+                trunc[:, -1] = self.dataset.tokenizer.eot
+                batch["tokens"] = trunc
         if self.bucket_tokens:
             tokens = batch["tokens"]
             target = min(_round_up_pow2(tokens.shape[1]), self.max_token_len)

@@ -87,9 +87,17 @@ def use_int4_matmul(enabled: bool) -> None:
 def linear(x, p):
     if "w_q4" in p:
         rows_per_group = p["w_q4"].shape[0] // p["w_s4"].shape[0]
+        # the fused kernel holds both f32 input splits (4*M*K bytes) in
+        # VMEM per grid step; encoder/prefill-shaped calls (M = B*1500)
+        # would overflow the ~16 MB VMEM, so bound eligibility by M*K
+        # and fall back to the XLA half-weight path above it
+        m_rows = 1
+        for d in x.shape[:-1]:
+            m_rows *= d
         if (
             _INT4_MATMUL
             and rows_per_group % 8 == 0
+            and m_rows * x.shape[-1] <= 2 * 1024 * 1024
             and jax.devices()[0].platform != "cpu"
         ):
             from ..ops.quant_matmul import int4_matmul

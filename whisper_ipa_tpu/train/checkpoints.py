@@ -115,7 +115,9 @@ def save_checkpoint(
     process must call this (the param/opt-state fetch is a collective
     for cross-host-sharded arrays) but only process 0 touches the
     filesystem — two hosts racing the same checkpoint-{step}/ files was
-    the reference-loop gap flagged in round 2. ``multihost_fetch=False``
+    the reference-loop gap flagged in round 2. Resume without shared
+    storage is handled in train(): the restored step is allgathered and
+    process 0's state broadcast when hosts disagree. ``multihost_fetch=False``
     skips the collective (emergency path: peers may not reach this
     call); it then only succeeds for fully-replicated state.
     """

@@ -178,6 +178,13 @@ def train(
     print(f"\nModel: {model_name} (n_mels={n_mels})")
 
     params = load_or_init_params(model_name, cfg, weights)
+    if encoder_bf16 and not freeze_encoder:
+        raise ValueError(
+            "encoder_bf16 requires freeze_encoder: casting a TRAINED "
+            "encoder to bfloat16 would make the optimizer update bf16 "
+            "master weights (silent quality loss). Use --bf16 for "
+            "bf16 activations with f32 master weights instead."
+        )
     if encoder_bf16:
         from ..models.convert import cast_tree_dtype
 
@@ -231,6 +238,29 @@ def train(
             state, meta = restore_checkpoint(ckpt, state)
             resumed_ckpt = ckpt
             print(f"Resumed from {ckpt} at step {int(state.step)}")
+    if multi and resume:
+        # checkpoints are written by process 0 only; without shared
+        # storage the other hosts find nothing and would start at step 0
+        # with fresh params while process 0 resumes — a silent desync.
+        # Process 0 is authoritative: broadcast its state when the
+        # resumed steps disagree across hosts.
+        from jax.experimental import multihost_utils
+
+        steps = multihost_utils.process_allgather(
+            jnp.asarray(int(state.step), jnp.int32)
+        )
+        if int(steps.min()) != int(steps.max()):
+            print(
+                "Resume steps disagree across hosts "
+                f"({sorted(int(s) for s in steps)}); broadcasting "
+                "process 0's restored state (no shared filesystem?)"
+            )
+            b_step, b_params, b_opt = multihost_utils.broadcast_one_to_all(
+                (state.step, state.params, state.opt_state)
+            )
+            state = type(state)(
+                step=b_step, params=b_params, opt_state=b_opt
+            )
 
     mesh = make_mesh() if (data_parallel or multi) else None
     if mesh is not None:

@@ -432,6 +432,108 @@ def bench_spec_measured(checkpoint, data_json, model="tiny",
     }
 
 
+def discover_trained():
+    """Find a trained checkpoint + held-out data for the default bench.
+
+    Order: WHISPER_IPA_TPU_BENCH_CKPT/_DATA env vars, then the corpus-
+    scale runs (examples/corpus_scale.py), then the r3 generalization
+    run. Returns (ckpt_dir, data_json, model_name) or None.
+    """
+    import os
+
+    env_ckpt = os.environ.get("WHISPER_IPA_TPU_BENCH_CKPT")
+    env_data = os.environ.get("WHISPER_IPA_TPU_BENCH_DATA")
+    candidates = []
+    if env_ckpt and env_data:
+        candidates.append((env_ckpt, env_data))
+    for run_dir, data in (
+        ("/tmp/corpus/run_small", "/tmp/corpus/data/test.json"),
+        ("/tmp/corpus/run_tiny", "/tmp/corpus/data/test.json"),
+        ("/tmp/gen_small/run", "/tmp/gen_small/data/heldout.json"),
+    ):
+        best = os.path.join(run_dir, "best-checkpoint")
+        if os.path.isdir(best):
+            candidates.append((best, data))
+        else:
+            from whisper_ipa_tpu.train.checkpoints import latest_checkpoint
+
+            latest = latest_checkpoint(run_dir)
+            if latest:
+                candidates.append((latest, data))
+    for ckpt, data in candidates:
+        if not (
+            os.path.isfile(os.path.join(ckpt, "model.safetensors"))
+            and os.path.isfile(data)
+        ):
+            continue
+        cfg_path = os.path.join(os.path.dirname(ckpt), "training_config.json")
+        model = "small"
+        if os.path.isfile(cfg_path):
+            with open(cfg_path) as f:
+                model = json.load(f)["training_args"].get(
+                    "model_name", "small"
+                )
+        return ckpt, data, model
+    return None
+
+
+def bench_trained(checkpoint, data_json, model, batch=32, sample_len=224,
+                  iters=2, kv_int8=True):
+    """Real-audio trained-checkpoint row: RTF with EOT live + PER/PFER.
+
+    Unlike the forced-length headline (random weights, EOT suppressed),
+    this decodes held-out audio with a TRAINED model exactly as serving
+    would — tokens are meaningful, early stopping is real, and the
+    quality metrics come from the same evaluate_batch the reference
+    uses (reference scripts/evaluate_model.py:127-232).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_ipa_tpu.config import get_config
+    from whisper_ipa_tpu.data.dataset import create_data_loader
+    from whisper_ipa_tpu.decode import DecodingOptions, decode
+    from whisper_ipa_tpu.metrics.evaluate import evaluate_batch
+    from whisper_ipa_tpu.models import load_checkpoint_model
+    from whisper_ipa_tpu.train.loop import load_or_init_params
+
+    cfg = get_config(model)
+    params = load_or_init_params(model, cfg, None)
+    params, _ = load_checkpoint_model(checkpoint, params, full=True)
+
+    ds = create_data_loader(data_json, n_mels=cfg.n_mels)
+    batch = min(batch, len(ds))
+    got = ds.get_batch(list(range(batch)))
+    mel = jnp.asarray(got["mel_features"])
+    refs = [t.strip() for t in got["ipa_texts"]]
+
+    options = DecodingOptions(
+        language="en", without_timestamps=True,
+        sample_len=sample_len, fp16=True, kv_int8=kv_int8,
+    )
+
+    t0 = time.time()
+    results = decode(params, cfg, mel, options, tokenizer=ds.tokenizer)
+    compile_time = time.time() - t0
+    t0 = time.time()
+    for _ in range(iters):
+        results = decode(params, cfg, mel, options, tokenizer=ds.tokenizer)
+    elapsed = (time.time() - t0) / iters
+
+    hyps = [r.text.strip() for r in results]
+    metrics = evaluate_batch(refs, hyps)
+    return {
+        "rtf_30s": batch * 30.0 / elapsed,
+        "per": metrics["per"],
+        "pfer": metrics["pfer"],
+        "batch": batch,
+        "elapsed": elapsed,
+        "compile_time": compile_time,
+        "checkpoint": checkpoint,
+        "model": model,
+    }
+
+
 def bench_continuous(slots=8, n_requests=32, sample_len=48,
                      steps_per_sync=4, model="small", draft_k=0,
                      checkpoint=None, draft_checkpoint=None,
@@ -673,6 +775,14 @@ def main():
     )
     ap.add_argument("--model", default="small")
     ap.add_argument(
+        "--trained-row", action="store_true", default=True,
+        help="append a trained-checkpoint real-audio measurement to the "
+        "default bench when one is discoverable (see discover_trained)",
+    )
+    ap.add_argument(
+        "--no-trained-row", dest="trained_row", action="store_false",
+    )
+    ap.add_argument(
         "--cached-features", action="store_true",
         help="train-step bench on precomputed encoder outputs",
     )
@@ -908,24 +1018,56 @@ def main():
                         kv_int8=args.kv_int8, model=args.model,
                         kv_int4=args.kv_int4)
 
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"whisper-{args.model} inference RTF (audio-sec/sec/chip)"
-                    if args.model != "small"
-                    else "whisper-small inference RTF (audio-sec/sec/chip)"
-                ),
-                "value": round(r["rtf"], 2),
-                "unit": "x realtime",
-                "vs_baseline": round(r["rtf"] / 10.0, 3),
-                "mfu": round(r["mfu"], 4) if r["mfu"] is not None else None,
-                "achieved_tflops": round(r["achieved_tflops"], 2),
-                "batch": r["batch"],
-                "note": "random-init weights: RTF/MFU exact, tokens meaningless",
-            }
-        )
-    )
+    # trained-checkpoint real-audio row (EOT live, quality measured):
+    # runs alongside the forced-length headline whenever a trained
+    # checkpoint is discoverable, so the recorded bench is no longer
+    # random-weights-only
+    trained = None
+    note = "random-init weights: RTF/MFU exact, tokens meaningless"
+    if args.trained_row:
+        found = discover_trained()
+        if found:
+            try:
+                ckpt, data, model = found
+                tr = bench_trained(ckpt, data, model)
+                trained = {
+                    "model": tr["model"],
+                    "rtf_30s_windows": round(tr["rtf_30s"], 1),
+                    "heldout_per_pct": round(tr["per"], 2),
+                    "heldout_pfer_pct": round(tr["pfer"], 2),
+                    "batch": tr["batch"],
+                    "checkpoint": tr["checkpoint"],
+                }
+                note = (
+                    "headline: random-init forced-length (RTF/MFU exact); "
+                    "trained: real held-out audio, EOT live, quality "
+                    "measured"
+                )
+                print(
+                    f"# trained row: compile={tr['compile_time']:.0f}s "
+                    f"elapsed={tr['elapsed']:.2f}s ckpt={ckpt}",
+                    file=sys.stderr,
+                )
+            except Exception as e:  # never break the headline bench
+                print(f"# trained row failed: {e}", file=sys.stderr)
+
+    payload = {
+        "metric": (
+            f"whisper-{args.model} inference RTF (audio-sec/sec/chip)"
+            if args.model != "small"
+            else "whisper-small inference RTF (audio-sec/sec/chip)"
+        ),
+        "value": round(r["rtf"], 2),
+        "unit": "x realtime",
+        "vs_baseline": round(r["rtf"] / 10.0, 3),
+        "mfu": round(r["mfu"], 4) if r["mfu"] is not None else None,
+        "achieved_tflops": round(r["achieved_tflops"], 2),
+        "batch": r["batch"],
+        "note": note,
+    }
+    if trained:
+        payload["trained"] = trained
+    print(json.dumps(payload))
     print(
         f"# batch={r['batch']} sample_len={args.sample_len} "
         f"iters={args.iters} elapsed={r['elapsed']:.2f}s "

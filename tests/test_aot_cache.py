@@ -1,0 +1,120 @@
+"""Persistent compiled-executable cache (utils/aot_cache.py)."""
+
+import os
+from functools import partial
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from whisper_ipa_tpu.utils import aot_cache
+from whisper_ipa_tpu.utils.aot_cache import aot_call
+
+
+@partial(jax.jit, static_argnames=("n", "flag"))
+def _toy(params, x, n, y, flag=False):
+    out = x @ params["w"] + y
+    for _ in range(n):
+        out = jnp.tanh(out)
+    return out * (2.0 if flag else 1.0)
+
+
+@pytest.fixture
+def cache_dir(tmp_path):
+    aot_cache.set_cache_dir(str(tmp_path))
+    aot_cache._fast.clear()
+    for k in aot_cache._stats:
+        aot_cache._stats[k] = 0
+    yield str(tmp_path)
+    aot_cache.set_cache_dir(None)
+    aot_cache._fast.clear()
+
+
+class TestAotCall:
+    def test_disabled_passthrough(self):
+        aot_cache.set_cache_dir("")
+        try:
+            params = {"w": jnp.eye(4)}
+            x = jnp.ones((2, 4))
+            y = jnp.zeros((2, 4))
+            out = aot_call(_toy, params, x, 2, y)
+            np.testing.assert_allclose(
+                out, _toy(params, x, 2, y), rtol=1e-6
+            )
+        finally:
+            aot_cache.set_cache_dir(None)
+
+    def test_compile_then_fast_then_disk(self, cache_dir):
+        params = {"w": jnp.eye(4)}
+        x = jnp.ones((2, 4))
+        y = jnp.zeros((2, 4))
+        ref = _toy(params, x, 2, y, flag=True)
+
+        out1 = aot_call(_toy, params, x, 2, y, flag=True)
+        np.testing.assert_allclose(out1, ref, rtol=1e-6)
+        assert aot_cache.stats()["compiles"] == 1
+        files = [f for f in os.listdir(cache_dir) if f.endswith(".jaxexec")]
+        assert len(files) == 1
+
+        out2 = aot_call(_toy, params, x, 2, y, flag=True)
+        np.testing.assert_allclose(out2, ref, rtol=1e-6)
+        assert aot_cache.stats()["fast_hits"] == 1
+
+        # fresh process simulation: drop the in-memory executables
+        aot_cache._fast.clear()
+        out3 = aot_call(_toy, params, x, 2, y, flag=True)
+        np.testing.assert_allclose(out3, ref, rtol=1e-6)
+        st = aot_cache.stats()
+        assert st["disk_hits"] == 1 and st["compiles"] == 1
+
+    def test_mixed_kwargs_and_statics(self, cache_dir):
+        params = {"w": jnp.eye(4)}
+        x = jnp.ones((2, 4))
+        y = jnp.full((2, 4), 0.5)
+        ref = _toy(params, x, 3, y)
+        # same call through different positional/keyword mixes
+        a = aot_call(_toy, params, x, 3, y)
+        b = aot_call(_toy, params, x, y=y, n=3)
+        c = aot_call(_toy, params, x=x, n=3, y=y)
+        for out in (a, b, c):
+            np.testing.assert_allclose(out, ref, rtol=1e-6)
+        # one compile: the signature binding canonicalizes the call
+        assert aot_cache.stats()["compiles"] == 1
+
+    def test_distinct_statics_distinct_executables(self, cache_dir):
+        params = {"w": jnp.eye(4)}
+        x = jnp.ones((2, 4))
+        y = jnp.zeros((2, 4))
+        aot_call(_toy, params, x, 1, y)
+        aot_call(_toy, params, x, 2, y)
+        assert aot_cache.stats()["compiles"] == 2
+
+    def test_decode_through_cache(self, cache_dir):
+        """End-to-end: the greedy decode path runs through aot_call."""
+        from dataclasses import replace
+
+        from whisper_ipa_tpu.config import CONFIGS
+        from whisper_ipa_tpu.decode import DecodingOptions, decode
+        from whisper_ipa_tpu.models import init_params
+        from whisper_ipa_tpu.tokenizer import get_tokenizer
+
+        cfg = replace(CONFIGS["test-tiny"], n_audio_ctx=32, n_text_ctx=32)
+        params = init_params(cfg, seed=0)
+        tok = get_tokenizer(multilingual=True, language="en")
+        rng = np.random.default_rng(0)
+        mel = jnp.asarray(
+            rng.standard_normal((2, 64, cfg.n_mels)).astype(np.float32)
+        )
+        opts = DecodingOptions(
+            language="en", without_timestamps=True, sample_len=4
+        )
+        r1 = decode(params, cfg, mel, opts, tokenizer=tok)
+        assert aot_cache.stats()["compiles"] >= 1
+        n_compiles = aot_cache.stats()["compiles"]
+
+        aot_cache._fast.clear()  # fresh-process simulation
+        r2 = decode(params, cfg, mel, opts, tokenizer=tok)
+        assert [r.tokens for r in r1] == [r.tokens for r in r2]
+        assert aot_cache.stats()["compiles"] == n_compiles  # disk hits only

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import WhisperConfig
+from ..utils.aot_cache import aot_call
 from ..models.whisper import DecoderCache, decode_step, init_cache
 from .decoding import (
     DecodingOptions,
@@ -390,7 +391,8 @@ def beam_decode(
         pool_lens,
         pool_tokens,
         sot_logits,
-    ) = _beam_decode_jit(
+    ) = aot_call(
+        _beam_decode_jit,
         params,
         cfg,
         audio_features,

@@ -23,6 +23,7 @@ import numpy as np
 from ..config import WhisperConfig
 from ..models.whisper import decode_step, encode, init_cache
 from ..tokenizer import WhisperTokenizer, get_tokenizer
+from ..utils.aot_cache import aot_call
 from ..tokenizer.whisper_tokenizer import N_TIMESTAMPS
 
 
@@ -95,8 +96,9 @@ def detect_language(
         tokenizer = get_tokenizer(
             multilingual=cfg.multilingual, num_languages=cfg.num_languages
         )
-    logits = _language_logits_jit(
-        params, cfg, jnp.asarray(audio_features), tokenizer.sot
+    logits = aot_call(
+        _language_logits_jit,
+        params, cfg, jnp.asarray(audio_features), tokenizer.sot,
     )
     lang_tokens = np.asarray(tokenizer.all_language_tokens)
     lang_logits = np.asarray(logits)[:, lang_tokens]
@@ -476,7 +478,9 @@ def decode(
     if audio_input.ndim == 2:
         audio_input = audio_input[None]
     if audio_input.shape[-1] == cfg.n_mels:
-        audio_features = _encode_jit(params, cfg, audio_input, dtype=dtype)
+        audio_features = aot_call(
+            _encode_jit, params, cfg, audio_input, dtype=dtype
+        )
     else:
         audio_features = audio_input
 
@@ -551,7 +555,8 @@ def decode(
         audio_features = jnp.repeat(audio_features, n_candidates, axis=0)
         prefix_tokens = jnp.repeat(prefix_tokens, n_candidates, axis=0)
 
-    tokens_buf, sum_logprobs, sot_logits = _greedy_decode_jit(
+    tokens_buf, sum_logprobs, sot_logits = aot_call(
+        _greedy_decode_jit,
         params,
         cfg,
         audio_features,

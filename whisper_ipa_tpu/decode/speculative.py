@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import WhisperConfig
+from ..utils.aot_cache import aot_call
 from ..models.whisper import (
     decode_step,
     decode_step_multipos,
@@ -430,9 +431,9 @@ def speculative_decode(
     mel = jnp.asarray(mel)
     if mel.ndim == 2:
         mel = mel[None]
-    audio_features = jax.jit(encode, static_argnames=("cfg", "dtype"))(
-        params, cfg, mel, dtype=dtype
-    )
+    from .decoding import _encode_jit
+
+    audio_features = aot_call(_encode_jit, params, cfg, mel, dtype=dtype)
 
     draft_features = None
     if not (ngram or medusa):
@@ -447,8 +448,8 @@ def speculative_decode(
             draft_mel = jnp.asarray(draft_mel)
             if draft_mel.ndim == 2:
                 draft_mel = draft_mel[None]
-        draft_features = jax.jit(encode, static_argnames=("cfg", "dtype"))(
-            draft_params, draft_cfg, draft_mel, dtype=dtype
+        draft_features = aot_call(
+            _encode_jit, draft_params, draft_cfg, draft_mel, dtype=dtype
         )
 
     prefix = initial_tokens(tokenizer, options)
@@ -482,7 +483,8 @@ def speculative_decode(
         else jnp.zeros((cfg.n_vocab,), jnp.float32)
     )
 
-    tokens_buf, sum_logprobs, sot_logits, rounds, emitted = _spec_decode_jit(
+    tokens_buf, sum_logprobs, sot_logits, rounds, emitted = aot_call(
+        _spec_decode_jit,
         params,
         draft_params,
         cfg,

@@ -1,0 +1,205 @@
+"""Persistent compiled-executable cache (serve-start compile skipping).
+
+The XLA persistent compilation cache does not hit under the axon
+remote-compile path (docs/PERF.md), so every serve start pays minutes of
+remote compiles per program. ``jax.experimental.serialize_executable``
+round-trips compiled TPU executables (measured: deserialize ~0 s, run
+correct), so this module caches the COMPILED BINARY keyed by a hash of
+the lowered StableHLO text — an exact key: identical program text means
+an identical executable.
+
+Usage (opt-in, zero behavior change when disabled):
+
+    os.environ["WHISPER_IPA_TPU_AOT_CACHE"] = "~/.cache/whisper_aot"
+    out = aot_call(_greedy_decode_jit, params, cfg, feats, ...)
+
+``aot_call(jitted, *args, **kwargs)`` is a drop-in for
+``jitted(*args, **kwargs)``:
+
+- disabled (env var unset and no ``set_cache_dir``): calls through.
+- enabled: first call per (fn, static values, dynamic avals) binds the
+  signature, lowers (tracing only — no backend compile), hashes the
+  StableHLO, and either deserializes the cached executable or compiles
+  and persists it. Subsequent calls hit an in-memory fast key, so hot
+  loops pay one dict lookup, not a retrace.
+
+The reference has no equivalent (MLX compiles lazily in-process; startup
+cost is not its bottleneck) — this is TPU-serving infrastructure
+(docs/ROADMAP.md "axon remote-compile latency").
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+import tempfile
+import threading
+from typing import Any, Dict, Tuple
+
+import jax
+
+_lock = threading.Lock()
+_fast: Dict[Tuple, Any] = {}  # fast key -> compiled executable
+_stats = {"fast_hits": 0, "disk_hits": 0, "compiles": 0}
+_cache_dir_override: str | None = None
+
+
+def set_cache_dir(path: str | None) -> None:
+    """Programmatic override of WHISPER_IPA_TPU_AOT_CACHE ('' disables)."""
+    global _cache_dir_override
+    _cache_dir_override = path
+
+
+def cache_dir() -> str | None:
+    d = (
+        _cache_dir_override
+        if _cache_dir_override is not None
+        else os.environ.get("WHISPER_IPA_TPU_AOT_CACHE")
+    )
+    return os.path.expanduser(d) if d else None
+
+
+def stats() -> Dict[str, int]:
+    return dict(_stats)
+
+
+def _split_args(jitted, args, kwargs):
+    """Canonicalize a jitted call into (pos_dyn, kw_dyn, kw_static).
+
+    Binds the caller's mixed positional/keyword arguments to the wrapped
+    function's signature (defaults NOT applied — explicitly passing a
+    default would change how jit traces it), then re-emits them in a
+    canonical form: dynamic args stay positional up to the first static
+    or omitted parameter, and everything after goes by keyword. Lowering
+    with exactly this form lets the compiled executable be re-invoked
+    with ``compiled(*pos_dyn, **kw_dyn)`` (statics are baked in).
+    """
+    info = jitted._jit_info
+    sig = info.fun_signature
+    bound = sig.bind(*args, **kwargs)
+    static_idx = set(info.static_argnums)
+    static_names = set(info.static_argnames)
+
+    pos_dyn = []
+    kw_dyn = {}
+    kw_static = {}
+    positional_run = True
+    for i, (name, param) in enumerate(sig.parameters.items()):
+        present = name in bound.arguments
+        is_static = i in static_idx or name in static_names
+        if not present:
+            positional_run = False
+            continue
+        v = bound.arguments[name]
+        if is_static:
+            kw_static[name] = v
+            positional_run = False
+        elif positional_run and param.kind in (
+            param.POSITIONAL_ONLY,
+            param.POSITIONAL_OR_KEYWORD,
+        ):
+            pos_dyn.append(v)
+        else:
+            kw_dyn[name] = v
+    statics_key = tuple(sorted(kw_static.items()))
+    return pos_dyn, kw_dyn, kw_static, statics_key
+
+
+def _aval_sig(tree) -> Tuple:
+    leaves, treedef = jax.tree.flatten(tree)
+    return (
+        str(treedef),
+        tuple(
+            (getattr(x, "shape", None), str(getattr(x, "dtype", type(x))))
+            for x in leaves
+        ),
+    )
+
+
+def aot_call(jitted, *args, **kwargs):
+    """Drop-in for ``jitted(*args, **kwargs)`` with executable caching."""
+    d = cache_dir()
+    if not d:
+        return jitted(*args, **kwargs)
+
+    pos_dyn, kw_dyn, kw_static, statics_key = _split_args(
+        jitted, args, kwargs
+    )
+    fast_key = (
+        id(jitted), statics_key, _aval_sig((pos_dyn, kw_dyn))
+    )
+    with _lock:
+        compiled = _fast.get(fast_key)
+    if compiled is not None:
+        _stats["fast_hits"] += 1
+        return compiled(*pos_dyn, **kw_dyn)
+
+    # lower in the canonical form; the executable is later re-invoked
+    # with the same (positional dynamics, keyword dynamics) split
+    lowered = jitted.lower(*pos_dyn, **kw_dyn, **kw_static)
+    hlo = lowered.as_text()
+    dev = jax.devices()[0]
+    key = hashlib.sha256(
+        (jax.__version__ + dev.device_kind + hlo).encode()
+    ).hexdigest()[:40]
+    path = os.path.join(d, f"{key}.jaxexec")
+
+    compiled = None
+    from_disk = False
+    if os.path.isfile(path):
+        try:
+            from jax.experimental import serialize_executable as se
+
+            with open(path, "rb") as f:
+                payload, in_tree, out_tree, dev_ids = pickle.load(f)
+            # restore onto the SAME devices the executable was built for
+            # (deserialize defaults to ALL local devices, which breaks
+            # single-device programs on multi-device hosts)
+            by_id = {dv.id: dv for dv in jax.devices()}
+            exec_devs = [by_id[i] for i in dev_ids]
+            compiled = se.deserialize_and_load(
+                payload, in_tree, out_tree, execution_devices=exec_devs
+            )
+            _stats["disk_hits"] += 1
+            from_disk = True
+        except Exception:
+            compiled = None  # stale/incompatible: fall through to compile
+
+    def _compile_and_persist():
+        compiled = lowered.compile()
+        _stats["compiles"] += 1
+        try:
+            from jax.experimental import serialize_executable as se
+
+            payload, in_tree, out_tree = se.serialize(compiled)
+            dev_ids = [
+                dv.id
+                for dv in compiled._executable.xla_executable.local_devices()
+            ]
+            os.makedirs(d, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+            with os.fdopen(fd, "wb") as f:
+                pickle.dump((payload, in_tree, out_tree, dev_ids), f)
+            os.replace(tmp, path)  # atomic: concurrent servers race safely
+        except Exception:
+            pass  # not serializable on this backend: still usable in-proc
+        return compiled
+
+    if compiled is None:
+        compiled = _compile_and_persist()
+
+    try:
+        out = compiled(*pos_dyn, **kw_dyn)
+    except Exception:
+        if not from_disk:
+            raise
+        # loaded executable rejected the call (device/layout mismatch
+        # across environments): recompile rather than fail the request
+        _stats["disk_hits"] -= 1
+        compiled = _compile_and_persist()
+        out = compiled(*pos_dyn, **kw_dyn)
+
+    with _lock:
+        _fast[fast_key] = compiled
+    return out

@@ -614,6 +614,9 @@ def bench_continuous(slots=8, n_requests=32, sample_len=48,
     tokens = sum(len(r["tokens"]) for r in results)
     lats = sorted(r["latency_sec"] for r in results)
     queues = sorted(r["queue_sec"] for r in results)
+    ttfts = sorted(
+        r["ttft_sec"] for r in results if r.get("ttft_sec") is not None
+    )
     import jax
 
     st = eng.stats()
@@ -623,6 +626,8 @@ def bench_continuous(slots=8, n_requests=32, sample_len=48,
         "latency_p50": lats[len(lats) // 2],
         "latency_p90": lats[int(len(lats) * 0.9)],
         "queue_p50": queues[len(queues) // 2],
+        "ttft_p50": ttfts[len(ttfts) // 2] if ttfts else None,
+        "ttft_p90": ttfts[int(len(ttfts) * 0.9)] if ttfts else None,
         "elapsed": elapsed,
         "slots": slots,
         "n_requests": n_requests,
@@ -850,6 +855,14 @@ def main():
                     "latency_p50_s": round(r["latency_p50"], 3),
                     "latency_p90_s": round(r["latency_p90"], 3),
                     "queue_p50_s": round(r["queue_p50"], 3),
+                    "ttft_p50_s": (
+                        round(r["ttft_p50"], 3)
+                        if r["ttft_p50"] is not None else None
+                    ),
+                    "ttft_p90_s": (
+                        round(r["ttft_p90"], 3)
+                        if r["ttft_p90"] is not None else None
+                    ),
                     "requests_per_sec": round(r["requests_per_sec"], 2),
                     "sample_len": r["sample_len"],
                     "tokens_per_round_batchwide": (

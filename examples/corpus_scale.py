@@ -173,7 +173,7 @@ def main(argv=None):
         batch_size=args.batch_size,
         learning_rate=args.lr,
         validate_every=max(args.steps // 4, 1),
-        save_every=max(args.steps // 2, 1),
+        save_every=max(args.steps // 8, 1),
         freeze_encoder=args.freeze_encoder,
         warmup_steps=min(200, args.steps // 10),
         lr_decay="cosine",

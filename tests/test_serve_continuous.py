@@ -86,6 +86,9 @@ def test_single_request_matches_plain_greedy(engine, params, tok):
     out = engine.transcribe(audio, timeout=600)
     assert out["tokens"] == reference_tokens(params, audio, tok)
     assert out["latency_sec"] > 0
+    # TTFT: first token visible on host after submission, before the end
+    if out["tokens"]:
+        assert 0 < out["ttft_sec"] <= out["latency_sec"]
 
 
 def test_join_does_not_disturb_running_request(engine, params, tok):

@@ -386,6 +386,7 @@ class _Slot:
     truncated: bool = False
     submitted_at: float = 0.0
     started_at: float = 0.0
+    first_token_at: float = 0.0  # first token visible on host (TTFT)
     on_token: Optional[Callable[[dict], None]] = None
 
     def all_tokens(self) -> List[int]:
@@ -674,6 +675,11 @@ class ContinuousBatcher:
                 "n_windows": len(s.window_tokens),
                 "latency_sec": time.time() - s.submitted_at,
                 "queue_sec": s.started_at - s.submitted_at,
+                "ttft_sec": (
+                    (s.first_token_at - s.submitted_at)
+                    if s.first_token_at
+                    else None  # request produced no tokens (immediate EOT)
+                ),
                 "truncated": s.truncated,
             }
         )
@@ -760,6 +766,8 @@ class ContinuousBatcher:
                         done = True
                         break
                     s.tokens.append(t)
+                    if not s.first_token_at:
+                        s.first_token_at = time.time()
                     self._stats["spec_emitted"] += 1
                     if s.on_token is not None:
                         try:
@@ -849,6 +857,8 @@ class ContinuousBatcher:
                 if t < 0:  # halted on device (budget frozen)
                     break
                 s.tokens.append(int(t))
+                if not s.first_token_at:
+                    s.first_token_at = time.time()
                 if s.on_token is not None:
                     try:
                         s.on_token(

@@ -537,7 +537,7 @@ def bench_trained(checkpoint, data_json, model, batch=32, sample_len=224,
 def bench_continuous(slots=8, n_requests=32, sample_len=48,
                      steps_per_sync=4, model="small", draft_k=0,
                      checkpoint=None, draft_checkpoint=None,
-                     draft="tiny", data_json=None):
+                     draft="tiny", data_json=None, medusa_weights=None):
     """Continuous-batching engine under staggered load on the real chip.
 
     Submits n_requests with small arrival jitter and reports end-to-end
@@ -564,8 +564,12 @@ def bench_continuous(slots=8, n_requests=32, sample_len=48,
         params, _ = load_checkpoint_model(checkpoint, params, full=True)
     else:
         params = init_params(cfg, seed=0)
-    draft_params = draft_cfg = None
-    if draft_checkpoint:
+    draft_params = draft_cfg = medusa_params = None
+    if medusa_weights:
+        from whisper_ipa_tpu.models.medusa import load_medusa
+
+        medusa_params = load_medusa(medusa_weights)
+    elif draft_checkpoint:
         from whisper_ipa_tpu.train.loop import load_or_init_params
 
         draft_cfg = get_config(draft)
@@ -580,7 +584,7 @@ def bench_continuous(slots=8, n_requests=32, sample_len=48,
         params, cfg, slots=slots, max_new_tokens=sample_len,
         steps_per_sync=steps_per_sync, language="en", bf16=True,
         draft_k=draft_k, draft_params=draft_params, draft_cfg=draft_cfg,
-        tokenizer=tokenizer,
+        medusa_params=medusa_params, tokenizer=tokenizer,
     )
     if data_json:
         import json as _json
@@ -841,6 +845,7 @@ def main():
             draft_checkpoint=args.draft_checkpoint,
             draft=args.draft,
             data_json=args.spec_data,
+            medusa_weights=args.medusa_weights,
         )
         print(
             json.dumps(

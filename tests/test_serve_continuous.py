@@ -314,6 +314,48 @@ def test_model_draft_engine_self_draft_accepts_fully(params, tok):
         eng.close()
 
 
+def test_medusa_engine_matches_plain_greedy(params, tok):
+    """In-flight MEDUSA speculation: heads draft in one shot from the
+    frontier hidden state (no draft model). Fresh heads (zero-init
+    residual -> near-base-head proposals) must still yield
+    token-identical output to standalone greedy, including a mid-flight
+    join whose frontier hidden is refreshed by _join_step_hidden."""
+    from whisper_ipa_tpu.models.medusa import init_medusa_params
+
+    medusa_params = init_medusa_params(CFG, n_heads=3, seed=1)
+    eng = ContinuousBatcher(
+        params, CFG, slots=2, max_new_tokens=MAX_NEW,
+        steps_per_sync=2, language="en",
+        medusa_params=medusa_params, tokenizer=tok,
+    )
+    try:
+        assert eng.draft_k == 3  # taken from the head count
+        rng = np.random.default_rng(12)
+        a1 = rng.standard_normal(16000).astype(np.float32) * 0.1
+        a2 = rng.standard_normal(16000).astype(np.float32) * 0.1
+        f1 = eng.submit(a1)
+        time.sleep(0.02)  # a2 joins the running batch
+        f2 = eng.submit(a2)
+        r1 = f1.result(timeout=600)
+        r2 = f2.result(timeout=600)
+        assert r1["tokens"] == reference_tokens(params, a1, tok)
+        assert r2["tokens"] == reference_tokens(params, a2, tok)
+        assert eng.stats()["spec_rounds"] > 0
+    finally:
+        eng.close()
+
+
+def test_medusa_excludes_draft_model(params, tok):
+    from whisper_ipa_tpu.models.medusa import init_medusa_params
+
+    with pytest.raises(ValueError):
+        ContinuousBatcher(
+            params, CFG, slots=2,
+            medusa_params=init_medusa_params(CFG, n_heads=2, seed=0),
+            draft_params=params, draft_cfg=CFG, draft_k=2, tokenizer=tok,
+        )
+
+
 def test_int8_kv_engine_matches_plain_greedy(params, tok):
     """Engine with the int8 cross-KV cache (serving default elsewhere):
     joins/scatter work in the T-minor quantized layout."""

@@ -195,11 +195,8 @@ def main(argv=None):
                 "--continuous is single-chip; use the micro-batch service "
                 "for --dp/--tp"
             )
-        if args.beam_size or medusa_params is not None:
-            raise SystemExit(
-                "--continuous is greedy-only; draft sources it supports "
-                "are --draft-model ngram or a draft MODEL (not medusa)"
-            )
+        if args.beam_size:
+            raise SystemExit("--continuous is greedy-only (no beam)")
         if args.kv_int4:
             raise SystemExit(
                 "--continuous supports int8 cross-KV only (the engine's "
@@ -223,6 +220,7 @@ def main(argv=None):
             draft_k=args.draft_k if args.draft_model else 0,
             draft_params=draft_params,
             draft_cfg=draft_cfg,
+            medusa_params=medusa_params,
         )
     else:
         service = TranscriptionService(

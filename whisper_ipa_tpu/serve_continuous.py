@@ -116,6 +116,35 @@ def _join_step(
 
 
 @partial(
+    jax.jit, static_argnames=("cfg", "dtype_name"),
+    donate_argnames=("cache",),
+)
+def _join_step_hidden(
+    params,
+    cfg: WhisperConfig,
+    cache: DecoderCache,
+    tokens,  # (B, n_prefix)
+    pos,  # (B,)
+    dtype_name="float32",
+):
+    """_join_step that also returns each slot's frontier hidden state.
+
+    Medusa heads draft from the final-LN hidden of the input token at
+    position lens-2 (head k at h_t predicts the token at t+k+2,
+    models/medusa.py). In the join block, position lens-2 is block
+    index n_prefix-2 for joiners (pos=0, lens becomes n_prefix) AND for
+    re-feeders (pos = lens-n_prefix, so block index lens-2-pos), so one
+    slice serves both.
+    """
+    from .models.whisper import decode_step_multipos_hidden
+
+    _, cache, hidden = decode_step_multipos_hidden(
+        params, cfg, tokens, cache, pos, dtype=jnp.dtype(dtype_name)
+    )
+    return cache, hidden[:, tokens.shape[1] - 2]
+
+
+@partial(
     jax.jit,
     static_argnames=("cfg", "n_steps", "n_prefix", "max_new", "dtype_name"),
     donate_argnames=("cache",),
@@ -377,6 +406,107 @@ def _spec_chunk_model(
     return cache, draft_cache, last_tok, lens, finished, emits, vs
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "n_rounds", "draft_k", "n_prefix", "max_new", "dtype_name",
+    ),
+    donate_argnames=("cache",),
+)
+def _spec_chunk_medusa(
+    params,
+    medusa_params,
+    cfg: WhisperConfig,
+    cache: DecoderCache,
+    hidden_frontier,  # (B, d): final-LN hidden of the token at lens-2
+    last_tok,  # (B,)
+    lens,  # (B,)
+    finished,  # (B,) bool
+    suppress_mask,
+    blank_mask,
+    eot: int,
+    n_rounds: int,
+    draft_k: int,
+    n_prefix: int,
+    max_new: int,
+    dtype_name="float32",
+):
+    """n_rounds MEDUSA verification rounds, entirely on device.
+
+    The K trained residual heads (models/medusa.py) propose all K
+    drafts in ONE shot from each slot's frontier hidden state — no
+    draft model, no draft forwards, so a round costs exactly one
+    (K+1)-query target forward (measured ~1x a single greedy step,
+    docs/PERF.md r4) and the engine's per-round cost is acceptance-
+    independent. hidden_frontier is carried across rounds (and across
+    chunks via the engine state; joins refresh it through
+    _join_step_hidden). Emission contract matches _spec_chunk.
+    """
+    from .models.medusa import medusa_propose
+    from .models.whisper import decode_step_multipos_hidden
+
+    dtype = jnp.dtype(dtype_name)
+    K = draft_k
+    idx = jnp.arange(K + 1)[None, :]
+
+    def round_body(carry, _):
+        cache, hidden_frontier, last_tok, lens, finished = carry
+        drafts = medusa_propose(
+            medusa_params, params, hidden_frontier, dtype
+        )  # (B, K)
+        block = jnp.concatenate([last_tok[:, None], drafts], axis=1)
+        logits, cache, block_hidden = decode_step_multipos_hidden(
+            params, cfg, block, cache, lens - 1, dtype=dtype
+        )
+        slots = lens[:, None] + idx
+        lg = logits + suppress_mask
+        lg = jnp.where((slots == n_prefix)[..., None], lg + blank_mask, lg)
+        greedy = jnp.argmax(lg, axis=-1).astype(jnp.int32)  # (B, K+1)
+
+        match = greedy[:, :K] == drafts
+        a = jnp.cumprod(match.astype(jnp.int32), axis=1).sum(axis=1)
+        eot_hit = (greedy == eot) & (idx <= a[:, None])
+        any_eot = eot_hit.any(axis=1)
+        first_eot = jnp.argmax(eot_hit, axis=1)
+        v = jnp.where(any_eot, first_eot + 1, a + 1)
+        budget = max_new - (lens - n_prefix)
+        v = jnp.minimum(v, budget)
+        v = jnp.where(finished, 0, v)
+
+        emit_w = jnp.where(idx < v[:, None], greedy, eot)
+        ate_eot = any_eot & (first_eot < v)
+        last_idx = jnp.where(ate_eot, first_eot - 1, v - 1)
+        last_emit = jnp.take_along_axis(
+            greedy, jnp.maximum(last_idx, 0)[:, None], axis=1
+        )[:, 0]
+        last_tok = jnp.where(last_idx >= 0, last_emit, last_tok)
+        # new lens counts content tokens; the frontier hidden for the
+        # NEXT round is the hidden of the input at (new lens)-2, which
+        # is block index last_idx (= content v - 1)
+        new_hf = jnp.take_along_axis(
+            block_hidden, jnp.maximum(last_idx, 0)[:, None, None], axis=1
+        )[:, 0]
+        hidden_frontier = jnp.where(
+            (last_idx >= 0)[:, None], new_hf, hidden_frontier
+        )
+        lens = lens + v - jnp.where(ate_eot, 1, 0)
+        finished = finished | ate_eot | (lens - n_prefix >= max_new)
+        return (
+            (cache, hidden_frontier, last_tok, lens, finished),
+            (emit_w, v),
+        )
+
+    (cache, hidden_frontier, last_tok, lens, finished), (emits, vs) = (
+        jax.lax.scan(
+            round_body,
+            (cache, hidden_frontier, last_tok, lens, finished),
+            None,
+            length=n_rounds,
+        )
+    )
+    return cache, hidden_frontier, last_tok, lens, finished, emits, vs
+
+
 @dataclass
 class _Slot:
     future: Optional[Future] = None
@@ -419,15 +549,23 @@ class ContinuousBatcher:
         draft_k: int = 0,
         draft_params=None,
         draft_cfg: Optional[WhisperConfig] = None,
+        medusa_params=None,
         tokenizer: Optional[WhisperTokenizer] = None,
     ):
         """draft_k > 0 turns on in-flight speculation: model-free n-gram
         drafts by default, or a persistent DRAFT MODEL when
         draft_params/draft_cfg are given (it keeps its own slot-aligned
         KV caches and drafts K tokens per verification round — the
-        engine's answer to trained-pair speculation; docs/ROADMAP.md)."""
+        engine's answer to trained-pair speculation; docs/ROADMAP.md).
+        medusa_params (models/medusa.py): trained residual heads draft
+        in ONE shot from the frontier hidden state — no draft model and
+        no extra forwards; draft_k is taken from the head count."""
         if (draft_params is None) != (draft_cfg is None):
             raise ValueError("draft_params and draft_cfg go together")
+        if medusa_params is not None and draft_params is not None:
+            raise ValueError("medusa_params excludes a draft model")
+        if medusa_params is not None:
+            draft_k = len(medusa_params["heads"])
         if draft_params is not None and draft_k <= 0:
             raise ValueError("a draft model needs draft_k > 0")
         if draft_cfg is not None and (
@@ -442,6 +580,7 @@ class ContinuousBatcher:
         self.cfg = cfg
         self.draft_params = draft_params
         self.draft_cfg = draft_cfg
+        self.medusa_params = medusa_params
         self.slots = slots
         self.max_new = max_new_tokens
         self.steps_per_sync = steps_per_sync
@@ -496,6 +635,11 @@ class ContinuousBatcher:
         self.last_tok = jnp.full((slots,), self.eot, jnp.int32)
         self.lens = jnp.full((slots,), self.n_prefix, jnp.int32)
         self.finished = jnp.ones((slots,), bool)
+        self.hidden_frontier = None
+        if medusa_params is not None:
+            self.hidden_frontier = jnp.zeros(
+                (slots, cfg.n_text_state), jnp.dtype(self.dtype_name)
+            )
         self._prefix_row = np.asarray(self.prefix, np.int32)
 
         self._slots: List[Optional[_Slot]] = [None] * slots
@@ -623,11 +767,22 @@ class ContinuousBatcher:
             )
             tail = hist[pos[b] : pos[b] + P]
             tok_rows[b, : len(tail)] = tail
-        self.cache = _join_step(
-            self.params, self.cfg, self.cache,
-            jnp.asarray(tok_rows), jnp.asarray(pos),
-            dtype_name=self.dtype_name,
-        )
+        if self.medusa_params is not None:
+            # every row's frontier hidden sits at block index P-2 (see
+            # _join_step_hidden): joiners by construction, re-feeders
+            # because the recomputed hidden of an already-cached token
+            # is identical (deterministic forward)
+            self.cache, self.hidden_frontier = _join_step_hidden(
+                self.params, self.cfg, self.cache,
+                jnp.asarray(tok_rows), jnp.asarray(pos),
+                dtype_name=self.dtype_name,
+            )
+        else:
+            self.cache = _join_step(
+                self.params, self.cfg, self.cache,
+                jnp.asarray(tok_rows), jnp.asarray(pos),
+                dtype_name=self.dtype_name,
+            )
         if self.draft_params is not None:
             # the draft consumes the same prefix so its self-KV tracks
             # the target's slot state from position 0
@@ -692,7 +847,34 @@ class ContinuousBatcher:
         to the plain greedy engine, 1..K+1 tokens per round per slot."""
         K = self.draft_k
         B = self.slots
-        if self.draft_params is not None:
+        if self.medusa_params is not None:
+            (
+                self.cache,
+                self.hidden_frontier,
+                self.last_tok,
+                self.lens,
+                self.finished,
+                emits,
+                vs,
+            ) = _spec_chunk_medusa(
+                self.params,
+                self.medusa_params,
+                self.cfg,
+                self.cache,
+                self.hidden_frontier,
+                self.last_tok,
+                self.lens,
+                self.finished,
+                self.suppress,
+                self.blank,
+                self.eot,
+                self.steps_per_sync,
+                K,
+                self.n_prefix,
+                self.max_new,
+                dtype_name=self.dtype_name,
+            )
+        elif self.draft_params is not None:
             (
                 self.cache,
                 self.draft_cache,

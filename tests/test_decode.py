@@ -146,6 +146,33 @@ class TestBeamDecode:
             b_total = b.avg_logprob * (len(b.tokens) + 1)
             assert b_total >= g_total - 1e-3
 
+    def test_v2_matches_legacy_reorder_loop(
+        self, params, mel, tok, monkeypatch
+    ):
+        """The reorder-free v2 beam loop (ancestry-masked self-attention,
+        shared cross cache) must reproduce the legacy full-reorder loop
+        exactly: same tokens, same scores, with and without timestamp
+        grammar and with int8 cross-KV."""
+        for ts, kv8 in ((True, False), (False, False), (True, True)):
+            options = DecodingOptions(
+                language="en",
+                without_timestamps=ts,
+                sample_len=6,
+                beam_size=3,
+                length_penalty=1.0,
+                patience=1.5,
+                kv_int8=kv8,
+            )
+            monkeypatch.setenv("WHISPER_IPA_TPU_LEGACY_BEAM", "1")
+            legacy = decode(params, CFG, mel, options, tokenizer=tok)
+            monkeypatch.delenv("WHISPER_IPA_TPU_LEGACY_BEAM")
+            v2 = decode(params, CFG, mel, options, tokenizer=tok)
+            assert [r.tokens for r in v2] == [r.tokens for r in legacy]
+            for a, b in zip(v2, legacy):
+                assert a.avg_logprob == pytest.approx(
+                    b.avg_logprob, rel=1e-4, abs=1e-5
+                )
+
 
 class TestLanguageDetection:
     def test_detect_language_shapes(self, params, mel, tok):

@@ -350,6 +350,315 @@ def _beam_decode_jit(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg",
+        "n_prefix",
+        "sample_len",
+        "beam_size",
+        "n_pool",
+        "has_length_penalty",
+        "length_penalty_value",
+        "timestamp_rules",
+        "timestamp_begin",
+        "max_initial_ts_index",
+        "sot_index",
+        "cross_kv_int8",
+        "dtype_name",
+    ),
+)
+def _beam_decode_jit_v2(
+    params,
+    cfg: WhisperConfig,
+    audio_features,  # (B, 1500, d)
+    prefix_tokens,  # (B, n_prefix)
+    suppress_mask,
+    blank_mask,
+    eot: int,
+    n_prefix: int,
+    sample_len: int,
+    beam_size: int,
+    n_pool: int,
+    has_length_penalty: bool,
+    length_penalty_value: float,
+    timestamp_rules: bool = False,
+    timestamp_begin: int = 50364,
+    max_initial_ts_index: int = 50,
+    sot_index: int = 0,
+    cross_kv_int8: bool = False,
+    dtype_name: str = "float32",
+):
+    """Reorder-free beam search (same semantics as _beam_decode_jit).
+
+    Two HBM-traffic changes over the legacy loop (models/whisper.py
+    decode_step_beam has the mechanics):
+      - the self-KV cache is never physically reordered — an ancestry
+        table + additive select-mask routes each beam to its history
+        rows inside the softmax (the per-step one-hot reorder einsum
+        was a full cache copy, the dominant per-step HBM term);
+      - the beam-invariant cross-KV cache stays at batch B instead of
+        being repeated K-fold, and streams ONCE per step with the K
+        beam queries on the query-sequence axis.
+    Also threads bf16 compute (``dtype_name``), which the legacy jit
+    never did. Output contract matches _beam_decode_jit exactly.
+    """
+    from ..models.whisper import decode_step_beam
+
+    dtype = jnp.dtype(dtype_name)
+    B = audio_features.shape[0]
+    K = beam_size
+    C = K + 1  # candidates per beam: at most one can be EOT
+    max_len = n_prefix + sample_len
+    lp_arg = length_penalty_value if has_length_penalty else None
+    neg_inf = jnp.float32(-jnp.inf)
+    V = cfg.n_vocab
+    vocab_idx = jnp.arange(V)
+
+    def ts_filter(logits, step, prev_tok, prev2_tok, last_ts):
+        if not timestamp_rules:
+            return logits
+        return apply_timestamp_rules(
+            logits,
+            vocab_idx,
+            step,
+            prev_tok,
+            prev2_tok,
+            last_ts,
+            eot=eot,
+            timestamp_begin=timestamp_begin,
+            max_initial_ts_index=max_initial_ts_index,
+        )
+
+    # prefix pass at batch B; then K-fold ONLY the self cache (the
+    # prefix K/V is identical across beams, so every physical row holds
+    # a valid copy and anc[b, j, p] = j is consistent from the start)
+    cache = init_cache(
+        params, cfg, audio_features, max_len=max_len, dtype=dtype,
+        cross_kv_int8=cross_kv_int8,
+    )
+    prefix_logits, cache = decode_step(
+        params, cfg, prefix_tokens, cache, 0, dtype=dtype
+    )
+    cache = cache._replace(
+        self_k=jnp.repeat(cache.self_k, K, axis=1),
+        self_v=jnp.repeat(cache.self_v, K, axis=1),
+    )
+    anc = jnp.tile(
+        jnp.arange(K, dtype=jnp.int32)[None, :, None], (B, 1, max_len)
+    )
+    sot_logits = prefix_logits[:, sot_index]
+
+    logits0 = prefix_logits[:, -1] + suppress_mask + blank_mask  # (B, V)
+    logits0 = ts_filter(
+        logits0,
+        jnp.array(0, jnp.int32),
+        prefix_tokens[:, -1].astype(jnp.int32),
+        (
+            prefix_tokens[:, -2] if n_prefix >= 2 else prefix_tokens[:, -1]
+        ).astype(jnp.int32),
+        jnp.full((B,), timestamp_begin - 1, jnp.int32),
+    )
+    logprobs0 = jax.nn.log_softmax(logits0, axis=-1)
+    top_lp, top_tok = jax.lax.top_k(logprobs0, K)  # (B, K)
+
+    prev_tok = top_tok.astype(jnp.int32)
+    prev2_tok = jnp.tile(prefix_tokens[:, -1:].astype(jnp.int32), (1, K))
+    last_ts = jnp.where(
+        prev_tok >= timestamp_begin, prev_tok, timestamp_begin - 1
+    )
+
+    tokens_buf = jnp.full((B, K, max_len), eot, jnp.int32)
+    tokens_buf = jax.lax.dynamic_update_slice(
+        tokens_buf,
+        jnp.tile(prefix_tokens[:, None, :], (1, K, 1)).astype(jnp.int32),
+        (0, 0, 0),
+    )
+    tokens_buf = jax.lax.dynamic_update_slice(
+        tokens_buf, top_tok[:, :, None].astype(jnp.int32), (0, 0, n_prefix)
+    )
+    sum_logprobs = top_lp
+    lengths = jnp.ones((B, K), jnp.int32)
+
+    pool_scores = jnp.full((B, n_pool), neg_inf)
+    pool_sums = jnp.zeros((B, n_pool), jnp.float32)
+    pool_lens = jnp.zeros((B, n_pool), jnp.int32)
+    pool_tokens = jnp.full((B, n_pool, max_len), eot, jnp.int32)
+
+    logits, cache = decode_step_beam(
+        params, cfg, top_tok.astype(jnp.int32), cache, n_prefix, anc,
+        dtype=dtype,
+    )  # (B, K, V)
+
+    def merge_pool(pool_sc, pool_sm, pool_ln, pool_tk, new_sc, new_sm,
+                   new_ln, new_tk):
+        all_sc = jnp.concatenate([pool_sc, new_sc], axis=1)
+        all_sm = jnp.concatenate([pool_sm, new_sm], axis=1)
+        all_ln = jnp.concatenate([pool_ln, new_ln], axis=1)
+        all_tk = jnp.concatenate([pool_tk, new_tk], axis=1)
+        best_sc, best_idx = jax.lax.top_k(all_sc, n_pool)
+        onehot = jax.nn.one_hot(
+            best_idx, all_sc.shape[1], dtype=jnp.float32
+        )
+        sm = jnp.einsum("bpj,bj->bp", onehot, all_sm)
+        ln = jnp.einsum("bpj,bj->bp", onehot, all_ln.astype(jnp.float32))
+        tk = jnp.einsum("bpj,bjl->bpl", onehot, all_tk.astype(jnp.float32))
+        return best_sc, sm, ln.astype(jnp.int32), tk.astype(jnp.int32)
+
+    def body(state):
+        (
+            step,
+            tokens_buf,
+            cache,
+            anc,
+            logits,
+            sum_logprobs,
+            lengths,
+            pool_scores,
+            pool_sums,
+            pool_lens,
+            pool_tokens,
+            prev_tok,
+            prev2_tok,
+            last_ts,
+        ) = state
+
+        filtered = ts_filter(
+            logits + suppress_mask, step + 1, prev_tok, prev2_tok, last_ts
+        )
+        lp = jax.nn.log_softmax(filtered, axis=-1)  # (B,K,V)
+        cand_lp, cand_tok = jax.lax.top_k(lp, C)
+        cand_scores = sum_logprobs[:, :, None] + cand_lp
+        flat_scores = cand_scores.reshape(B, K * C)
+        flat_tok = cand_tok.reshape(B, K * C)
+        is_eot = flat_tok == eot
+
+        # ---- finished candidates -> pool
+        fin_scores_raw = jnp.where(is_eot, flat_scores, neg_inf)
+        fin_top, fin_idx = jax.lax.top_k(fin_scores_raw, K)
+        parent = fin_idx // C
+        parent_onehot = jax.nn.one_hot(parent, K, dtype=jnp.float32)
+        fin_lens = jnp.einsum(
+            "bkj,bj->bk", parent_onehot, lengths.astype(jnp.float32)
+        ).astype(jnp.int32)
+        fin_tokens = jnp.einsum(
+            "bkj,bjl->bkl", parent_onehot, tokens_buf.astype(jnp.float32)
+        ).astype(jnp.int32)
+        fin_pen = fin_top / _gnmt_penalty(fin_lens, lp_arg)
+        fin_pen = jnp.where(fin_top == neg_inf, neg_inf, fin_pen)
+        pool_scores, pool_sums, pool_lens, pool_tokens = merge_pool(
+            pool_scores, pool_sums, pool_lens, pool_tokens,
+            fin_pen, fin_top, fin_lens, fin_tokens,
+        )
+
+        # ---- unfinished candidates -> new active beams
+        unf_scores = jnp.where(is_eot, neg_inf, flat_scores)
+        new_sums, unf_idx = jax.lax.top_k(unf_scores, K)
+        new_tok = jnp.take_along_axis(flat_tok, unf_idx, axis=1).astype(
+            jnp.int32
+        )
+        beam_idx = unf_idx // C
+        onehot = jax.nn.one_hot(beam_idx, K, dtype=jnp.float32)  # (B,Kn,Ko)
+
+        tokens_buf = jnp.einsum(
+            "bjk,bkl->bjl", onehot, tokens_buf.astype(jnp.float32)
+        ).astype(jnp.int32)
+        lengths = jnp.einsum(
+            "bjk,bk->bj", onehot, lengths.astype(jnp.float32)
+        ).astype(jnp.int32)
+
+        # the CACHE stays put; only the tiny ancestry table reorders.
+        # New beam j inherits parent's row map for p < pos and will
+        # write its own K/V at physical row j at pos.
+        pos = n_prefix + step + 1
+        anc = jnp.einsum(
+            "bjk,bkp->bjp", onehot, anc.astype(jnp.float32)
+        ).astype(jnp.int32)
+        anc = jax.lax.dynamic_update_slice(
+            anc,
+            jnp.tile(jnp.arange(K, dtype=jnp.int32)[None, :, None], (B, 1, 1)),
+            (0, 0, pos),
+        )
+
+        prev2_tok = jnp.einsum(
+            "bjk,bk->bj", onehot, prev_tok.astype(jnp.float32)
+        ).astype(jnp.int32)
+        last_ts = jnp.einsum(
+            "bjk,bk->bj", onehot, last_ts.astype(jnp.float32)
+        ).astype(jnp.int32)
+        prev_tok = new_tok
+        last_ts = jnp.where(new_tok >= timestamp_begin, new_tok, last_ts)
+
+        tokens_buf = jax.lax.dynamic_update_slice(
+            tokens_buf, new_tok[:, :, None], (0, 0, pos)
+        )
+        lengths = lengths + 1
+        sum_logprobs = new_sums
+
+        new_logits, cache = decode_step_beam(
+            params, cfg, new_tok, cache, pos, anc, dtype=dtype
+        )
+        return (
+            step + 1,
+            tokens_buf,
+            cache,
+            anc,
+            new_logits,
+            sum_logprobs,
+            lengths,
+            pool_scores,
+            pool_sums,
+            pool_lens,
+            pool_tokens,
+            prev_tok,
+            prev2_tok,
+            last_ts,
+        )
+
+    def cond(state):
+        step = state[0]
+        pool_scores = state[7]
+        enough = jnp.all(
+            jnp.sum(pool_scores > neg_inf, axis=1) >= n_pool
+        )
+        return (step < sample_len - 1) & ~enough
+
+    state = (
+        jnp.array(0, jnp.int32),
+        tokens_buf,
+        cache,
+        anc,
+        logits,
+        sum_logprobs,
+        lengths,
+        pool_scores,
+        pool_sums,
+        pool_lens,
+        pool_tokens,
+        prev_tok,
+        prev2_tok,
+        last_ts,
+    )
+    out = jax.lax.while_loop(cond, body, state)
+    tokens_buf = out[1]
+    sum_logprobs = out[5]
+    lengths = out[6]
+    pool_scores = out[7]
+    pool_sums = out[8]
+    pool_lens = out[9]
+    pool_tokens = out[10]
+    return (
+        tokens_buf,
+        sum_logprobs,
+        lengths,
+        pool_scores,
+        pool_sums,
+        pool_lens,
+        pool_tokens,
+        sot_logits,
+    )
+
+
 def beam_decode(
     params,
     cfg: WhisperConfig,
@@ -382,6 +691,16 @@ def beam_decode(
         if options.suppress_blank
         else jnp.zeros_like(suppress_mask)
     )
+    import os as _os
+
+    # reorder-free v2 loop is the default; the legacy full-reorder loop
+    # stays for A/B parity and perf regression checks
+    legacy = _os.environ.get("WHISPER_IPA_TPU_LEGACY_BEAM") == "1"
+    extra = (
+        {}
+        if legacy
+        else {"dtype_name": "bfloat16" if options.fp16 else "float32"}
+    )
     (
         tokens_buf,
         sum_logprobs,
@@ -392,7 +711,7 @@ def beam_decode(
         pool_tokens,
         sot_logits,
     ) = aot_call(
-        _beam_decode_jit,
+        _beam_decode_jit if legacy else _beam_decode_jit_v2,
         params,
         cfg,
         audio_features,
@@ -411,6 +730,7 @@ def beam_decode(
         max_initial_ts_index=max_initial_ts_index,
         sot_index=sot_index,
         cross_kv_int8=options.kv_int8,
+        **extra,
     )
 
     no_speech_probs = np.asarray(

@@ -454,6 +454,59 @@ def multi_head_attention_two_part(
     return _merge_heads(out)
 
 
+def multi_head_attention_beam_cache(
+    q, k_cache, v_cache, k_new, v_new, n_head: int, sel_mask
+):
+    """Beam self-attention over UNREORDERED per-row K/V caches.
+
+    Classic TPU beam search reorders the whole self-KV cache every step
+    (a one-hot einsum = a full cache copy — the dominant HBM term once
+    the context grows). This formulation never moves the cache: each
+    physical row k keeps the K/V its beam slot wrote, an ancestry table
+    records which row holds beam j's history at each position, and
+    attention computes logits against ALL rows then lets an additive
+    select-mask (0 where anc[b,j,p]==k and p is live, -inf elsewhere)
+    pick exactly one row per (beam, position) inside the softmax. Bytes
+    read: live rows once (same as reordered attention); bytes written:
+    none. The K-fold extra logit FLOPs are decode-shaped matvecs — MXU
+    change, not an HBM one.
+
+    q/k_new/v_new: (B, J, d) — one query (and one new self K/V) per
+    beam; k_cache/v_cache: (B, K, n_ctx, d) physical rows (J == K);
+    sel_mask: additive (B, J, K, n_ctx). The new token attends itself
+    (causally last), so its logit needs no mask.
+    """
+    B, J, d = q.shape
+    n_ctx = k_cache.shape[2]
+    d_head = d // n_head
+    scale = d_head ** -0.25
+
+    def split(x):  # (B, X, d) -> (B, X, H, Dh)
+        return x.reshape(x.shape[:-1] + (n_head, d_head))
+
+    qh = split(q) * scale  # (B, J, H, Dh)
+    kc = split(k_cache.reshape(B, -1, d)).reshape(
+        B, k_cache.shape[1], n_ctx, n_head, d_head
+    ) * scale  # (B, K, P, H, Dh)
+    kn = split(k_new) * scale  # (B, J, H, Dh)
+
+    lc = jnp.einsum("bjhd,bkphd->bhjkp", qh, kc).astype(jnp.float32)
+    lc = lc + sel_mask[:, None]  # (B, H, J, K, P)
+    ln = jnp.einsum("bjhd,bjhd->bhj", qh, kn).astype(jnp.float32)
+
+    flat = jnp.concatenate(
+        [lc.reshape(B, n_head, J, -1), ln[..., None]], axis=-1
+    )
+    w = jax.nn.softmax(flat, axis=-1).astype(v_cache.dtype)
+    wc = w[..., :-1].reshape(lc.shape)
+    vc = split(v_cache.reshape(B, -1, d)).reshape(
+        B, v_cache.shape[1], n_ctx, n_head, d_head
+    )
+    out = jnp.einsum("bhjkp,bkphd->bjhd", wc, vc)
+    out = out + w[..., -1][..., None].transpose(0, 2, 1, 3) * split(v_new)
+    return out.reshape(B, J, d)
+
+
 def attention_block(x, p, n_head: int, mask=None, kv=None):
     """Self- or cross-attention through a Whisper attention param group.
 

@@ -600,6 +600,120 @@ def decode_step(
     return step_logits, new_cache
 
 
+def decode_step_beam(
+    params: Params,
+    cfg: WhisperConfig,
+    tokens,  # (B, J) int32 — one new token per beam
+    cache: DecoderCache,
+    pos,  # scalar: the position these tokens occupy
+    anc,  # (B, J, n_ctx) int32 — physical row holding beam j's KV at p
+    dtype=jnp.float32,
+) -> Tuple[jax.Array, DecoderCache]:
+    """One beam decode step over an UNREORDERED self-KV cache.
+
+    Differences from decode_step (see multi_head_attention_beam_cache
+    for the why):
+      - self-attention selects each beam's history rows through the
+        ancestry table instead of requiring the cache to be physically
+        reordered every step (the reorder was a full cache copy/step);
+      - the cross K/V cache is stored at batch B — NOT repeated per
+        beam — and read ONCE per step with the J beam queries batched
+        as the query-sequence axis (a J-fold HBM saving on the decode
+        loop's dominant stream).
+
+    cache.self_k/self_v: (L, B*J, n_ctx, d); cache.cross_*: batch B.
+    Writes land at physical row j (anc[b, j, pos] must equal j).
+    """
+    dec = params["decoder"]
+    B, J = tokens.shape
+    n_ctx = cache.self_k.shape[2]
+
+    x = dec["token_embedding"][tokens.reshape(B * J)].astype(dtype)
+    x = (x + dec["positional_embedding"][pos].astype(dtype)).reshape(
+        B * J, 1, -1
+    )
+
+    # additive select-mask, shared across layers: row anc[b,j,p] at
+    # position p < pos is beam j's history; everything else is -inf
+    key_idx = jnp.arange(n_ctx)[None, None, :]
+    sel_mask = jnp.where(
+        (anc[..., None, :] == jnp.arange(J)[None, None, :, None])
+        & (key_idx[..., None, :] < pos),
+        0.0,
+        -jnp.inf,
+    ).astype(jnp.float32)  # (B, J, K=J, n_ctx)
+
+    from .layers import (
+        multi_head_attention_beam_cache,
+        multi_head_attention_int8kv,
+        multi_head_attention,
+    )
+
+    stacked = _stack_blocks(dec["blocks"])
+
+    def body(x, inp):
+        block, k_cache, v_cache, xk, xv, k_scale, v_scale = inp
+        xn = layer_norm(x, block["attn_ln"])
+        q = linear(xn, block["attn"]["query"])
+        k_new = linear(xn, block["attn"]["key"])
+        v_new = linear(xn, block["attn"]["value"])
+
+        h = multi_head_attention_beam_cache(
+            q.reshape(B, J, -1),
+            k_cache.reshape(B, J, n_ctx, -1),
+            v_cache.reshape(B, J, n_ctx, -1),
+            k_new.reshape(B, J, -1),
+            v_new.reshape(B, J, -1),
+            cfg.n_text_head,
+            sel_mask,
+        ).reshape(B * J, 1, -1)
+        x = x + linear(h, block["attn"]["out"])
+
+        xn = layer_norm(x, block["cross_attn_ln"])
+        qc = linear(xn, block["cross_attn"]["query"])
+        # beam-invariant cross cache at batch B: the J beam queries ride
+        # the query-sequence axis, so K/V stream once, not J times
+        qc_b = qc.reshape(B, J, -1)
+        if k_scale is not None:
+            hc = multi_head_attention_int8kv(
+                qc_b, xk, k_scale, xv, v_scale, cfg.n_text_head
+            )
+        else:
+            hc = multi_head_attention(qc_b, xk, xv, cfg.n_text_head)
+        x = x + linear(hc.reshape(B * J, 1, -1), block["cross_attn"]["out"])
+
+        x = x + mlp_block(layer_norm(x, block["mlp_ln"]), block)
+        return x, (k_new, v_new)
+
+    x, (k_news, v_news) = jax.lax.scan(
+        body,
+        x,
+        (
+            stacked,
+            cache.self_k,
+            cache.self_v,
+            cache.cross_k,
+            cache.cross_v,
+            cache.cross_k_scale,
+            cache.cross_v_scale,
+        ),
+    )
+
+    new_self_k = jax.lax.dynamic_update_slice(
+        cache.self_k, k_news, (0, 0, pos, 0)
+    )
+    new_self_v = jax.lax.dynamic_update_slice(
+        cache.self_v, v_news, (0, 0, pos, 0)
+    )
+
+    x = layer_norm(x, dec["ln"])
+    step_logits = jnp.matmul(
+        x.astype(jnp.float32), dec["token_embedding"].T.astype(jnp.float32)
+    )
+    new_cache = cache._replace(self_k=new_self_k, self_v=new_self_v)
+    return step_logits.reshape(B, J, -1), new_cache
+
+
 def decode_step_multipos(
     params: Params,
     cfg: WhisperConfig,

@@ -78,6 +78,8 @@ def main(argv=None):
     p.add_argument("--model", default="small")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--sample-len", type=int, default=32)
+    p.add_argument("--beam", type=int, default=0,
+                   help="profile beam search at this width (0 = greedy)")
     p.add_argument("--train", action="store_true",
                    help="profile one train step instead of decode")
     p.add_argument("--cached-features", action="store_true",
@@ -157,6 +159,8 @@ def main(argv=None):
             sample_len=args.sample_len,
             suppress_tokens=[-1, tokenizer.eot],
             fp16=True, kv_int8=True,
+            beam_size=args.beam or None,
+            length_penalty=1.0 if args.beam else None,
         )
         t0 = time.time()
         decode(params, cfg, mel, options, tokenizer=tokenizer)  # compile

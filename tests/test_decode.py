@@ -146,6 +146,17 @@ class TestBeamDecode:
             b_total = b.avg_logprob * (len(b.tokens) + 1)
             assert b_total >= g_total - 1e-3
 
+    def test_beam_int4_cross_kv_runs(self, params, mel, tok):
+        """int4 cross-KV beam (v2-only): nibble-packed shared cache."""
+        options = DecodingOptions(
+            language="en", without_timestamps=True, sample_len=4,
+            beam_size=3, length_penalty=1.0, kv_int4=True,
+        )
+        results = decode(params, CFG, mel, options, tokenizer=tok)
+        assert len(results) == 2
+        for r in results:
+            assert np.isfinite(r.avg_logprob)
+
     def test_v2_matches_legacy_reorder_loop(
         self, params, mel, tok, monkeypatch
     ):

@@ -123,6 +123,35 @@ class TestTensorParallelInference:
         # TP-sharded execution must produce the same tokens
         assert [r.tokens for r in tp] == [r.tokens for r in plain]
 
+    def test_tp_sharded_beam_decode(self):
+        """Beam search (reorder-free v2 path: ancestry-masked attention,
+        shared cross cache) under TP sharding must match the replicated
+        run exactly — the new einsums have no other multi-chip oracle."""
+        from dataclasses import replace
+
+        from whisper_ipa_tpu.config import CONFIGS
+        from whisper_ipa_tpu.decode import DecodingOptions, decode
+        from whisper_ipa_tpu.models import init_params
+        from whisper_ipa_tpu.tokenizer import get_tokenizer
+
+        cfg = replace(CONFIGS["test-tiny"], n_audio_ctx=32, n_text_ctx=32)
+        params = init_params(cfg, seed=0)
+        mesh = make_mesh(model=2)
+        sharded = shard_params(mesh, params, tensor_parallel=True)
+
+        tok = get_tokenizer(multilingual=True, language="en")
+        rng = np.random.default_rng(0)
+        mel = jnp.asarray(
+            rng.standard_normal((2, 64, cfg.n_mels)).astype(np.float32)
+        )
+        opts = DecodingOptions(
+            language="en", without_timestamps=True, sample_len=4,
+            beam_size=3, length_penalty=1.0,
+        )
+        plain = decode(params, cfg, mel, opts, tokenizer=tok)
+        tp = decode(sharded, cfg, mel, opts, tokenizer=tok)
+        assert [r.tokens for r in tp] == [r.tokens for r in plain]
+
     def test_tp_train_step_matches_unsharded(self):
         """TP TRAIN-STEP numeric oracle (round-3 verdict gap): loss AND
         the updated params through the Megatron column/row backward +

@@ -365,6 +365,7 @@ def _beam_decode_jit(
         "max_initial_ts_index",
         "sot_index",
         "cross_kv_int8",
+        "cross_kv_int4",
         "dtype_name",
     ),
 )
@@ -387,6 +388,7 @@ def _beam_decode_jit_v2(
     max_initial_ts_index: int = 50,
     sot_index: int = 0,
     cross_kv_int8: bool = False,
+    cross_kv_int4: bool = False,
     dtype_name: str = "float32",
 ):
     """Reorder-free beam search (same semantics as _beam_decode_jit).
@@ -435,7 +437,7 @@ def _beam_decode_jit_v2(
     # a valid copy and anc[b, j, p] = j is consistent from the start)
     cache = init_cache(
         params, cfg, audio_features, max_len=max_len, dtype=dtype,
-        cross_kv_int8=cross_kv_int8,
+        cross_kv_int8=cross_kv_int8, cross_kv_int4=cross_kv_int4,
     )
     prefix_logits, cache = decode_step(
         params, cfg, prefix_tokens, cache, 0, dtype=dtype
@@ -699,8 +701,16 @@ def beam_decode(
     extra = (
         {}
         if legacy
-        else {"dtype_name": "bfloat16" if options.fp16 else "float32"}
+        else {
+            "dtype_name": "bfloat16" if options.fp16 else "float32",
+            "cross_kv_int4": options.kv_int4,
+        }
     )
+    if legacy and options.kv_int4:
+        raise ValueError(
+            "int4 cross-KV beam search needs the v2 loop (unset "
+            "WHISPER_IPA_TPU_LEGACY_BEAM)"
+        )
     (
         tokens_buf,
         sum_logprobs,

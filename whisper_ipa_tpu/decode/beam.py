@@ -13,7 +13,13 @@ TPU formulation notes:
     candidates without sorting the vocab axis (V=51865) per step
   - every beam/pool reorder is a one-hot einsum, not a gather — >3-D XLA
     gathers compile pathologically slowly on TPU
-  - the KV cache is reordered in-graph each step (batch*beam layout)
+  - DEFAULT (v2, r4): the self-KV cache is never reordered — an
+    ancestry table + additive select-mask routes each beam to its
+    history rows inside the softmax, and the beam-invariant cross cache
+    stays at batch B, streaming once per step instead of K times
+    (models/whisper.py decode_step_beam). The legacy loop (full one-hot
+    cache reorder per step, K-fold cross copies) is kept under
+    WHISPER_IPA_TPU_LEGACY_BEAM=1 for A/B parity and regression tests.
 """
 
 from __future__ import annotations

@@ -329,7 +329,7 @@ def _bench_ngram(cfg, batch, draft_k, sample_len, iters):
 def bench_spec_measured(checkpoint, data_json, model="tiny",
                         medusa_weights=None, draft_checkpoint=None,
                         draft="tiny", batch=16, sample_len=32, iters=3,
-                        mel_cache_dir=None, draft_k=4):
+                        mel_cache_dir=None, draft_k=4, tree=False):
     """MEASURED speculative acceptance on trained models + real audio.
 
     Unlike bench_speculative (random weights -> projected speedups),
@@ -403,11 +403,21 @@ def bench_spec_measured(checkpoint, data_json, model="tiny",
     t_base, c1 = timed(
         lambda: decode(params, cfg, mel, options, tokenizer=tokenizer)
     )
-    spec = lambda **kw: speculative_decode(
-        params, cfg, draft_params, draft_cfg, mel, options,
-        draft_k=draft_k, tokenizer=tokenizer,
-        medusa_params=medusa_params, **kw
-    )
+    if tree:
+        if medusa_params is None:
+            raise ValueError("--medusa-tree needs --medusa-weights")
+        from whisper_ipa_tpu.decode.medusa_tree import medusa_tree_decode
+
+        spec = lambda **kw: medusa_tree_decode(
+            params, cfg, medusa_params, mel, options,
+            tokenizer=tokenizer, **kw
+        )
+    else:
+        spec = lambda **kw: speculative_decode(
+            params, cfg, draft_params, draft_cfg, mel, options,
+            draft_k=draft_k, tokenizer=tokenizer,
+            medusa_params=medusa_params, **kw
+        )
     t_spec, c2 = timed(spec)
     results_spec, stats = spec(return_stats=True)
     results_base = decode(params, cfg, mel, options, tokenizer=tokenizer)
@@ -427,7 +437,10 @@ def bench_spec_measured(checkpoint, data_json, model="tiny",
         "compiles": [c1, c2],
         "batch": batch,
         "draft_k": draft_k,
-        "source": "medusa" if medusa_params else f"{draft}-draft",
+        "source": (
+            "medusa-tree" if tree
+            else "medusa" if medusa_params else f"{draft}-draft"
+        ),
         "device": jax.devices()[0].device_kind,
     }
 
@@ -763,6 +776,11 @@ def main():
                     help="trained base checkpoint for --medusa/--measured")
     ap.add_argument("--medusa-weights", default=None)
     ap.add_argument(
+        "--medusa-tree", action="store_true",
+        help="tree-structured medusa verification (decode/medusa_tree.py)"
+        " for the --medusa measurement",
+    )
+    ap.add_argument(
         "--draft-checkpoint", default=None,
         help="trained draft-model checkpoint: MEASURED model-draft "
         "speculation (with --checkpoint and --spec-data)",
@@ -909,6 +927,7 @@ def main():
             iters=max(args.iters, 3),
             mel_cache_dir=args.mel_cache_dir,
             draft_k=args.draft_k,
+            tree=args.medusa_tree,
         )
         print(
             json.dumps(

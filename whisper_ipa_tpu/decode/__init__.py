@@ -9,6 +9,7 @@ from .decoding import (
     initial_tokens,
     sequence_score,
 )
+from .medusa_tree import medusa_tree_decode
 from .speculative import SpeculativeStats, speculative_decode
 from .transcribe import chunk_audio, transcribe
 from .word_timestamps import phone_timestamps, token_alignment
@@ -25,6 +26,7 @@ __all__ = [
     "initial_tokens",
     "sequence_score",
     "SpeculativeStats",
+    "medusa_tree_decode",
     "speculative_decode",
     "transcribe",
     "phone_timestamps",

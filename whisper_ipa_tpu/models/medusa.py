@@ -77,6 +77,28 @@ def medusa_propose(
     return jnp.stack(drafts, axis=1)  # (B, K)
 
 
+def medusa_propose_topk(
+    medusa_params: Dict,
+    params: Dict,
+    hidden,  # (B, d) final-LN hidden at each element's frontier
+    top_c: int,
+    dtype=jnp.float32,
+):
+    """Top-C proposals per head: (B, K, C) int32, candidates sorted by
+    head probability. Tree-structured verification draws each node's
+    token from here (decode/medusa_tree.py)."""
+    import jax
+
+    emb = params["decoder"]["token_embedding"]
+    drafts = []
+    for head in medusa_params["heads"]:
+        hh = _head_hidden(hidden.astype(dtype), head, dtype)
+        logits = hh.astype(jnp.float32) @ emb.T.astype(jnp.float32)
+        _, tok = jax.lax.top_k(logits, top_c)
+        drafts.append(tok.astype(jnp.int32))
+    return jnp.stack(drafts, axis=1)  # (B, K, C)
+
+
 def valid_target_mask(tokens, eot: int):
     """(B, T) bool: positions that are valid training targets.
 

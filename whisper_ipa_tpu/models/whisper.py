@@ -714,6 +714,119 @@ def decode_step_beam(
     return step_logits.reshape(B, J, -1), new_cache
 
 
+def decode_step_block(
+    params: Params,
+    cfg: WhisperConfig,
+    tokens,  # (B, S) int32
+    cache: DecoderCache,
+    pos,  # (B, S) int32 — each token's position (may repeat across S!)
+    frontier,  # (B,) int32 — cache rows < frontier are frozen-valid
+    mask_new,  # additive (B, S, S) or (S, S): in-block attention policy
+    write_len: int,  # write K/V for block entries [0, write_len) only
+    dtype=jnp.float32,
+) -> Tuple[jax.Array, DecoderCache, jax.Array]:
+    """Fully general block decode step: per-TOKEN positions, an explicit
+    in-block mask, and a partial KV write.
+
+    decode_step/_multipos assume the block is one causal run of
+    consecutive positions, all written to the cache. Tree-structured
+    speculative verification breaks all three assumptions: sibling
+    draft nodes SHARE a position (so they must not all be written), a
+    node may attend only its own ancestors (so causality is a tree, not
+    a chain), and the re-fed accepted tokens occupy positions behind
+    the frontier. This variant takes the policy from the caller:
+
+      - ``pos[b, s]``: position of token s (positional embedding + the
+        cache causality bound),
+      - ``mask_new``: additive in-block mask (the tree),
+      - ``write_len``: only entries [0, write_len) land in the cache, at
+        positions ``pos[b, 0] + arange(write_len)`` (they must be
+        consecutive; read-only entries — draft nodes — follow them).
+
+    Returns (logits (B, S, V), cache, hidden (B, S, d)).
+    """
+    dec = params["decoder"]
+    B, S = tokens.shape
+    n_ctx = cache.self_k.shape[2]
+
+    x = dec["token_embedding"][tokens].astype(dtype)
+    x = x + dec["positional_embedding"][pos].astype(dtype)
+
+    key_idx = jnp.arange(n_ctx)[None, None, :]
+    mask_cache = jnp.where(
+        (key_idx < frontier[:, None, None]) & (key_idx <= pos[:, :, None]),
+        0.0,
+        -jnp.inf,
+    ).astype(jnp.float32)[:, None, :, :]  # (B, 1, S, n_ctx)
+    if mask_new.ndim == 3:
+        mask_new = mask_new[:, None]  # (B, 1, S, S)
+
+    from .layers import (
+        multi_head_attention,
+        multi_head_attention_int8kv,
+        multi_head_attention_two_part,
+    )
+
+    stacked = _stack_blocks(dec["blocks"])
+
+    def body(x, inp):
+        block, k_cache, v_cache, xk, xv, k_scale, v_scale = inp
+        xn = layer_norm(x, block["attn_ln"])
+        q = linear(xn, block["attn"]["query"])
+        k_new = linear(xn, block["attn"]["key"])
+        v_new = linear(xn, block["attn"]["value"])
+
+        h = multi_head_attention_two_part(
+            q, k_cache, v_cache, k_new, v_new,
+            cfg.n_text_head, mask_cache, mask_new,
+        )
+        x = x + linear(h, block["attn"]["out"])
+
+        xn = layer_norm(x, block["cross_attn_ln"])
+        qc = linear(xn, block["cross_attn"]["query"])
+        if k_scale is not None:
+            h = multi_head_attention_int8kv(
+                qc, xk, k_scale, xv, v_scale, cfg.n_text_head
+            )
+        else:
+            h = multi_head_attention(qc, xk, xv, cfg.n_text_head)
+        x = x + linear(h, block["cross_attn"]["out"])
+
+        x = x + mlp_block(layer_norm(x, block["mlp_ln"]), block)
+        return x, (k_new[:, :write_len], v_new[:, :write_len])
+
+    x, (k_news, v_news) = jax.lax.scan(
+        body,
+        x,
+        (
+            stacked,
+            cache.self_k,
+            cache.self_v,
+            cache.cross_k,
+            cache.cross_v,
+            cache.cross_k_scale,
+            cache.cross_v_scale,
+        ),
+    )
+
+    write = jax.vmap(
+        lambda buf, new, p: jax.lax.dynamic_update_slice(
+            buf, new, (0, p, 0)
+        ),
+        in_axes=(1, 1, 0),
+        out_axes=1,
+    )
+    new_self_k = write(cache.self_k, k_news, pos[:, 0])
+    new_self_v = write(cache.self_v, v_news, pos[:, 0])
+
+    x = layer_norm(x, dec["ln"])
+    step_logits = jnp.matmul(
+        x.astype(jnp.float32), dec["token_embedding"].T.astype(jnp.float32)
+    )
+    new_cache = cache._replace(self_k=new_self_k, self_v=new_self_v)
+    return step_logits, new_cache, x
+
+
 def decode_step_multipos(
     params: Params,
     cfg: WhisperConfig,

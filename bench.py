@@ -362,7 +362,9 @@ def bench_spec_measured(checkpoint, data_json, model="tiny",
 
     medusa_params = None
     draft_params = draft_cfg = None
-    if medusa_weights:
+    if draft == "ngram" and not (medusa_weights or draft_checkpoint):
+        pass  # model-free prompt-lookup drafts: nothing to load
+    elif medusa_weights:
         from whisper_ipa_tpu.models.medusa import load_medusa
 
         medusa_params = load_medusa(medusa_weights)
@@ -375,8 +377,8 @@ def bench_spec_measured(checkpoint, data_json, model="tiny",
         )
     else:
         raise ValueError(
-            "bench_spec_measured needs --medusa-weights or "
-            "--draft-checkpoint"
+            "bench_spec_measured needs --medusa-weights, "
+            "--draft-checkpoint, or --draft ngram"
         )
 
     ds = create_data_loader(
@@ -909,7 +911,9 @@ def main():
         )
         return
 
-    if args.medusa or args.draft_checkpoint:
+    if args.medusa or args.draft_checkpoint or (
+        args.checkpoint and args.draft == "ngram"
+    ):
         if not (args.checkpoint and args.spec_data):
             ap.error("--medusa/--draft-checkpoint need --checkpoint "
                      "and --spec-data")

@@ -552,7 +552,8 @@ def bench_trained(checkpoint, data_json, model, batch=32, sample_len=224,
 def bench_continuous(slots=8, n_requests=32, sample_len=48,
                      steps_per_sync=4, model="small", draft_k=0,
                      checkpoint=None, draft_checkpoint=None,
-                     draft="tiny", data_json=None, medusa_weights=None):
+                     draft="tiny", data_json=None, medusa_weights=None,
+                     medusa_tree=False):
     """Continuous-batching engine under staggered load on the real chip.
 
     Submits n_requests with small arrival jitter and reports end-to-end
@@ -595,11 +596,16 @@ def bench_continuous(slots=8, n_requests=32, sample_len=48,
     tokenizer = get_tokenizer(
         multilingual=True, num_languages=cfg.num_languages, language="en"
     )
+    tree = None
+    if medusa_tree and medusa_params is not None:
+        from whisper_ipa_tpu.decode.medusa_tree import DEFAULT_TREE
+
+        tree = DEFAULT_TREE
     eng = ContinuousBatcher(
         params, cfg, slots=slots, max_new_tokens=sample_len,
         steps_per_sync=steps_per_sync, language="en", bf16=True,
         draft_k=draft_k, draft_params=draft_params, draft_cfg=draft_cfg,
-        medusa_params=medusa_params, tokenizer=tokenizer,
+        medusa_params=medusa_params, medusa_tree=tree, tokenizer=tokenizer,
     )
     if data_json:
         import json as _json
@@ -866,6 +872,7 @@ def main():
             draft=args.draft,
             data_json=args.spec_data,
             medusa_weights=args.medusa_weights,
+            medusa_tree=args.medusa_tree,
         )
         print(
             json.dumps(

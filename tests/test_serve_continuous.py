@@ -345,6 +345,35 @@ def test_medusa_engine_matches_plain_greedy(params, tok):
         eng.close()
 
 
+def test_medusa_tree_engine_matches_plain_greedy(params, tok):
+    """In-flight TREE-medusa: per-round re-feed + tree verification per
+    slot. Output must be token-identical to standalone greedy, including
+    a mid-flight join."""
+    from whisper_ipa_tpu.models.medusa import init_medusa_params
+
+    medusa_params = init_medusa_params(CFG, n_heads=2, seed=2)
+    tree = ((-1, 0), (-1, 1), (0, 0))  # 3 nodes, depth 2
+    eng = ContinuousBatcher(
+        params, CFG, slots=2, max_new_tokens=MAX_NEW,
+        steps_per_sync=2, language="en",
+        medusa_params=medusa_params, medusa_tree=tree, tokenizer=tok,
+    )
+    try:
+        rng = np.random.default_rng(13)
+        a1 = rng.standard_normal(16000).astype(np.float32) * 0.1
+        a2 = rng.standard_normal(16000).astype(np.float32) * 0.1
+        f1 = eng.submit(a1)
+        time.sleep(0.02)
+        f2 = eng.submit(a2)
+        r1 = f1.result(timeout=600)
+        r2 = f2.result(timeout=600)
+        assert r1["tokens"] == reference_tokens(params, a1, tok)
+        assert r2["tokens"] == reference_tokens(params, a2, tok)
+        assert eng.stats()["spec_rounds"] > 0
+    finally:
+        eng.close()
+
+
 def test_medusa_excludes_draft_model(params, tok):
     from whisper_ipa_tpu.models.medusa import init_medusa_params
 

@@ -120,6 +120,11 @@ def main(argv=None):
         "greedy decoding",
     )
     p.add_argument(
+        "--medusa-tree", action="store_true",
+        help="tree-structured medusa verification "
+        "(decode/medusa_tree.DEFAULT_TREE)",
+    )
+    p.add_argument(
         "--medusa-weights", default=None,
         help="safetensors file of Medusa heads (models/medusa.py) for "
         "--draft-model medusa",
@@ -221,6 +226,14 @@ def main(argv=None):
             draft_params=draft_params,
             draft_cfg=draft_cfg,
             medusa_params=medusa_params,
+            medusa_tree=(
+                __import__(
+                    "whisper_ipa_tpu.decode.medusa_tree",
+                    fromlist=["DEFAULT_TREE"],
+                ).DEFAULT_TREE
+                if (args.medusa_tree and medusa_params is not None)
+                else None
+            ),
         )
     else:
         service = TranscriptionService(

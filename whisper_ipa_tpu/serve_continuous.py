@@ -507,6 +507,192 @@ def _spec_chunk_medusa(
     return cache, hidden_frontier, last_tok, lens, finished, emits, vs
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "n_rounds", "n_prefix", "max_new", "dtype_name", "tree",
+    ),
+    donate_argnames=("cache",),
+)
+def _spec_chunk_medusa_tree(
+    params,
+    medusa_params,
+    cfg: WhisperConfig,
+    cache: DecoderCache,
+    tokens_buf,  # (B, buf_len): prefix + emitted content, EOT-padded
+    hidden_frontier,  # (B, d)
+    last_tok,  # (B,)
+    lens,  # (B,)
+    finished,  # (B,) bool
+    suppress_mask,
+    blank_mask,
+    eot: int,
+    n_rounds: int,
+    n_prefix: int,
+    max_new: int,
+    dtype_name="float32",
+    tree=None,
+):
+    """n_rounds TREE-medusa verification rounds, entirely on device.
+
+    The in-flight variant of decode/medusa_tree.py: each round re-feeds
+    the last R = K+2 tokens per slot (identical-KV rewrites keep every
+    slot's cache valid below lens — the same mechanism joins use), then
+    verifies N tree nodes (top-C per head) in the SAME forward and
+    accepts along the running greedy token. Per-slot positions ride
+    decode_step_block's per-token position vectors. Emission contract
+    matches _spec_chunk: emits (n_rounds, B, K+1), counts v
+    (n_rounds, B), engine lens counts content tokens (EOT excluded).
+    """
+    from .decode.medusa_tree import _tree_tables
+    from .models.medusa import medusa_propose_topk
+    from .models.whisper import decode_step_block
+
+    dtype = jnp.dtype(dtype_name)
+    depth_np, parent_np, cand_np, anc_np, max_c, K = _tree_tables(tree)
+    N = len(tree)
+    R = K + 2
+    B = tokens_buf.shape[0]
+    depth = jnp.asarray(depth_np)
+    parent = jnp.asarray(parent_np)
+    cand = jnp.asarray(cand_np)
+    anc = jnp.asarray(anc_np)
+    node_sl = jnp.arange(N)
+    idxs = jnp.arange(K + 1)[None, :]
+    write_row = jax.vmap(
+        lambda buf, new, p: jax.lax.dynamic_update_slice_in_dim(
+            buf, new, p, axis=0
+        )
+    )
+
+    def round_body(carry, _):
+        (
+            cache, tokens_buf, hidden_frontier, last_tok, lens, finished,
+        ) = carry
+
+        topk = medusa_propose_topk(
+            medusa_params, params, hidden_frontier, max_c, dtype
+        )  # (B, K, C)
+        node_tok = topk[:, depth - 1, :][:, node_sl, cand]  # (B, N)
+
+        start = jnp.maximum(lens - R, 0)
+        refeed_pos = start[:, None] + jnp.arange(R)[None, :]
+        refeed_tok = jnp.take_along_axis(tokens_buf, refeed_pos, axis=1)
+        node_pos = lens[:, None] + (depth - 1)[None, :]
+        block_tok = jnp.concatenate([refeed_tok, node_tok], axis=1)
+        block_pos = jnp.concatenate([refeed_pos, node_pos], axis=1)
+
+        real = refeed_pos < lens[:, None]
+        m_rr = (
+            real[:, None, :]
+            & (refeed_pos[:, None, :] <= refeed_pos[:, :, None])
+        )
+        m_nr = jnp.broadcast_to(real[:, None, :], (B, N, R))
+        m_rn = jnp.zeros((B, R, N), bool)
+        m_nn = jnp.broadcast_to(anc[None], (B, N, N))
+        mask_new = jnp.where(
+            jnp.concatenate(
+                [
+                    jnp.concatenate([m_rr, m_rn], axis=2),
+                    jnp.concatenate([m_nr, m_nn], axis=2),
+                ],
+                axis=1,
+            ),
+            0.0,
+            -jnp.inf,
+        ).astype(jnp.float32)
+
+        logits, cache, hidden = decode_step_block(
+            params, cfg, block_tok, cache, block_pos, start, mask_new,
+            write_len=R, dtype=dtype,
+        )
+
+        lg = logits + suppress_mask
+        lg = jnp.where(
+            (block_pos + 1 == n_prefix)[..., None], lg + blank_mask, lg
+        )
+        greedy_all = jnp.argmax(lg, axis=-1).astype(jnp.int32)  # (B, S)
+
+        root_idx = lens - 1 - start
+        take = lambda arr, idx: jnp.take_along_axis(
+            arr, idx[:, None], axis=1
+        )[:, 0]
+        g = take(greedy_all, root_idx)
+        emits_l = [g]
+        cur_node = jnp.full((B,), -1, jnp.int32)
+        alive = jnp.ones((B,), bool)
+        m = jnp.zeros((B,), jnp.int32)
+        sel_idx = [root_idx]
+        for d in range(1, K + 1):
+            cand_mask = (
+                (depth[None, :] == d)
+                & (parent[None, :] == cur_node[:, None])
+                & (node_tok == g[:, None])
+            )
+            found = cand_mask.any(axis=1)
+            idx = jnp.argmax(cand_mask, axis=1).astype(jnp.int32)
+            alive = alive & found
+            m = m + alive
+            cur_node = jnp.where(alive, idx, cur_node)
+            blk = R + idx
+            g = jnp.where(alive, take(greedy_all, blk), g)
+            emits_l.append(g)
+            sel_idx.append(jnp.where(alive, blk, sel_idx[-1]))
+        emit = jnp.stack(emits_l, axis=1)  # (B, K+1)
+
+        eot_hit = (emit == eot) & (idxs <= m[:, None])
+        any_eot = eot_hit.any(axis=1)
+        first_eot = jnp.argmax(eot_hit, axis=1)
+        v = jnp.where(any_eot, first_eot + 1, m + 1)
+        budget = max_new - (lens - n_prefix)
+        v = jnp.minimum(v, budget)
+        v = jnp.where(finished, 0, v)
+
+        emit_w = jnp.where(idxs < v[:, None], emit, eot)
+        tokens_buf = write_row(tokens_buf, emit_w, lens)
+        ate_eot = any_eot & (first_eot < v)
+        last_idx = jnp.where(ate_eot, first_eot - 1, v - 1)
+        last_emit = jnp.take_along_axis(
+            emit, jnp.maximum(last_idx, 0)[:, None], axis=1
+        )[:, 0]
+        last_tok = jnp.where(last_idx >= 0, last_emit, last_tok)
+
+        # frontier hidden for the NEXT round's drafts: hidden of the
+        # input at (new content lens) - 2 = emitted index last_idx - 1
+        # back in the chain; sel_idx[i] holds the block index whose
+        # logits produced emit[i], i.e. the input at position lens-1+i,
+        # so the input at new_lens-2 = lens + v' - 2 is sel_idx[v'-1]
+        sel = jnp.stack(sel_idx, axis=1)  # (B, K+1)
+        vc = jnp.maximum(v - jnp.where(ate_eot, 1, 0), 0)  # content count
+        pick = jnp.take_along_axis(
+            sel, jnp.maximum(vc - 1, 0)[:, None], axis=1
+        )[:, 0]
+        new_hf = jnp.take_along_axis(
+            hidden, pick[:, None, None], axis=1
+        )[:, 0]
+        hidden_frontier = jnp.where(
+            (vc >= 1)[:, None], new_hf, hidden_frontier
+        )
+
+        lens = lens + vc
+        finished = finished | ate_eot | (lens - n_prefix >= max_new)
+        return (
+            (cache, tokens_buf, hidden_frontier, last_tok, lens, finished),
+            (emit_w, v),
+        )
+
+    (cache, tokens_buf, hidden_frontier, last_tok, lens, finished), (
+        emits,
+        vs,
+    ) = jax.lax.scan(
+        round_body,
+        (cache, tokens_buf, hidden_frontier, last_tok, lens, finished),
+        None,
+        length=n_rounds,
+    )
+    return cache, hidden_frontier, last_tok, lens, finished, emits, vs
+
+
 @dataclass
 class _Slot:
     future: Optional[Future] = None
@@ -550,6 +736,7 @@ class ContinuousBatcher:
         draft_params=None,
         draft_cfg: Optional[WhisperConfig] = None,
         medusa_params=None,
+        medusa_tree=None,
         tokenizer: Optional[WhisperTokenizer] = None,
     ):
         """draft_k > 0 turns on in-flight speculation: model-free n-gram
@@ -559,13 +746,28 @@ class ContinuousBatcher:
         engine's answer to trained-pair speculation; docs/ROADMAP.md).
         medusa_params (models/medusa.py): trained residual heads draft
         in ONE shot from the frontier hidden state — no draft model and
-        no extra forwards; draft_k is taken from the head count."""
+        no extra forwards; draft_k is taken from the head count.
+        medusa_tree: a static (parent, cand) tree template
+        (decode/medusa_tree.py) — verify top-C candidates per head as a
+        TREE in the same forward (higher tokens/round, same exact-greedy
+        output)."""
         if (draft_params is None) != (draft_cfg is None):
             raise ValueError("draft_params and draft_cfg go together")
         if medusa_params is not None and draft_params is not None:
             raise ValueError("medusa_params excludes a draft model")
+        if medusa_tree is not None and medusa_params is None:
+            raise ValueError("medusa_tree needs medusa_params")
         if medusa_params is not None:
             draft_k = len(medusa_params["heads"])
+            if medusa_tree is not None:
+                from .decode.medusa_tree import _tree_tables
+
+                _, _, _, _, _, tree_k = _tree_tables(medusa_tree)
+                if tree_k > draft_k:
+                    raise ValueError(
+                        f"tree depth {tree_k} exceeds {draft_k} heads"
+                    )
+                draft_k = max(draft_k, tree_k + 2)  # refeed headroom
         if draft_params is not None and draft_k <= 0:
             raise ValueError("a draft model needs draft_k > 0")
         if draft_cfg is not None and (
@@ -581,6 +783,7 @@ class ContinuousBatcher:
         self.draft_params = draft_params
         self.draft_cfg = draft_cfg
         self.medusa_params = medusa_params
+        self.medusa_tree = tuple(medusa_tree) if medusa_tree else None
         self.slots = slots
         self.max_new = max_new_tokens
         self.steps_per_sync = steps_per_sync
@@ -847,7 +1050,42 @@ class ContinuousBatcher:
         to the plain greedy engine, 1..K+1 tokens per round per slot."""
         K = self.draft_k
         B = self.slots
-        if self.medusa_params is not None:
+        if self.medusa_params is not None and self.medusa_tree is not None:
+            buf_len = self._cache_len
+            tokens_buf = np.full((B, buf_len), self.eot, np.int32)
+            for b in range(B):
+                hist = list(self.prefix) + (
+                    self._slots[b].tokens if self._slots[b] else []
+                )
+                tokens_buf[b, : len(hist)] = hist[:buf_len]
+            (
+                self.cache,
+                self.hidden_frontier,
+                self.last_tok,
+                self.lens,
+                self.finished,
+                emits,
+                vs,
+            ) = _spec_chunk_medusa_tree(
+                self.params,
+                self.medusa_params,
+                self.cfg,
+                self.cache,
+                jnp.asarray(tokens_buf),
+                self.hidden_frontier,
+                self.last_tok,
+                self.lens,
+                self.finished,
+                self.suppress,
+                self.blank,
+                self.eot,
+                self.steps_per_sync,
+                self.n_prefix,
+                self.max_new,
+                dtype_name=self.dtype_name,
+                tree=self.medusa_tree,
+            )
+        elif self.medusa_params is not None:
             (
                 self.cache,
                 self.hidden_frontier,

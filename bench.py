@@ -422,6 +422,7 @@ def bench_spec_measured(checkpoint, data_json, model="tiny",
         )
     t_spec, c2 = timed(spec)
     results_spec, stats = spec(return_stats=True)
+    draft_k = stats.draft_k  # tree runs: the tree depth, not head count
     results_base = decode(params, cfg, mel, options, tokenizer=tokenizer)
     # exactness check: speculation must not change the greedy output
     match = sum(
@@ -484,10 +485,15 @@ def discover_trained():
         cfg_path = os.path.join(os.path.dirname(ckpt), "training_config.json")
         model = "small"
         if os.path.isfile(cfg_path):
-            with open(cfg_path) as f:
-                model = json.load(f)["training_args"].get(
-                    "model_name", "small"
-                )
+            try:
+                with open(cfg_path) as f:
+                    model = json.load(f)["training_args"].get(
+                        "model_name", "small"
+                    )
+            except Exception as e:  # malformed/legacy config: keep looking
+                print(f"# discover_trained: bad {cfg_path}: {e}",
+                      file=sys.stderr)
+                continue
         return ckpt, data, model
     return None
 

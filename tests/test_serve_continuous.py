@@ -349,14 +349,17 @@ def test_medusa_tree_engine_matches_plain_greedy(params, tok):
     """In-flight TREE-medusa: per-round re-feed + tree verification per
     slot. Output must be token-identical to standalone greedy, including
     a mid-flight join."""
+    from whisper_ipa_tpu.decode.medusa_tree import DEFAULT_TREE
     from whisper_ipa_tpu.models.medusa import init_medusa_params
 
-    medusa_params = init_medusa_params(CFG, n_heads=2, seed=2)
-    tree = ((-1, 0), (-1, 1), (0, 0))  # 3 nodes, depth 2
+    # DEFAULT_TREE depth 4 > n_prefix-2: exercises the widened tree-mode
+    # join (_join_step_tree, W = K+2 = 6 > n_prefix = 4)
+    medusa_params = init_medusa_params(CFG, n_heads=4, seed=2)
     eng = ContinuousBatcher(
         params, CFG, slots=2, max_new_tokens=MAX_NEW,
         steps_per_sync=2, language="en",
-        medusa_params=medusa_params, medusa_tree=tree, tokenizer=tok,
+        medusa_params=medusa_params, medusa_tree=DEFAULT_TREE,
+        tokenizer=tok,
     )
     try:
         rng = np.random.default_rng(13)

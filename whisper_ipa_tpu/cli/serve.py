@@ -192,7 +192,15 @@ def main(argv=None):
 
         mesh = make_mesh(data=args.dp, model=args.tp)
 
+    if args.medusa_tree and not (
+        args.continuous and args.draft_model == "medusa"
+    ):
+        raise SystemExit(
+            "--medusa-tree requires --continuous --draft-model medusa "
+            "(the micro-batch service has no tree verification path)"
+        )
     if args.continuous:
+        from ..decode.medusa_tree import DEFAULT_TREE
         from ..serve_continuous import ContinuousBatcher
 
         if mesh is not None:
@@ -227,10 +235,7 @@ def main(argv=None):
             draft_cfg=draft_cfg,
             medusa_params=medusa_params,
             medusa_tree=(
-                __import__(
-                    "whisper_ipa_tpu.decode.medusa_tree",
-                    fromlist=["DEFAULT_TREE"],
-                ).DEFAULT_TREE
+                DEFAULT_TREE
                 if (args.medusa_tree and medusa_params is not None)
                 else None
             ),

@@ -44,7 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import WhisperConfig
-from ..models.whisper import decode_step, decode_step_block, encode, init_cache
+from ..models.whisper import decode_step_block, init_cache
 from ..tokenizer import WhisperTokenizer, get_tokenizer
 from ..utils.aot_cache import aot_call
 from .decoding import (
@@ -87,6 +87,130 @@ def _tree_tables(tree):
     max_c = int(cand.max()) + 1
     max_d = int(depth.max())
     return depth, parent, cand, anc, max_c, max_d
+
+
+def tree_round(
+    params,
+    medusa_params,
+    cfg: WhisperConfig,
+    cache,
+    tokens_buf,  # (B, buf_len): context tokens, EOT-padded past lens
+    hidden_frontier,  # (B, d): hidden of the input at lens-2
+    lens,  # (B,)
+    suppress_mask,
+    blank_mask,
+    n_prefix: int,
+    tree,
+    dtype,
+):
+    """One tree verification forward + greedy acceptance walk.
+
+    The shared core of the standalone loop (_tree_decode_jit) and the
+    in-flight engine chunk (serve_continuous._spec_chunk_medusa_tree) —
+    block assembly, masks, and the walk live HERE so the two callers
+    cannot drift. Returns (cache, emit (B, K+1) greedy-path tokens,
+    emit_lp (B, K+1) their logprobs, sel (B, K+1) block index whose
+    hidden follows each emit, m (B,) matched node count, hidden
+    (B, S, d) block hidden states).
+    """
+    from ..models.medusa import medusa_propose_topk
+
+    depth_np, parent_np, cand_np, anc_np, max_c, K = _tree_tables(tree)
+    N = len(tree)
+    R = K + 2  # re-feed width: covers the K+1 max accepts + the root
+    B = tokens_buf.shape[0]
+    depth = jnp.asarray(depth_np)
+    parent = jnp.asarray(parent_np)
+    cand = jnp.asarray(cand_np)
+    anc = jnp.asarray(anc_np)
+    node_sl = jnp.arange(N)
+
+    # ---- draft the tree from the frontier hidden
+    topk = medusa_propose_topk(
+        medusa_params, params, hidden_frontier, max_c, dtype
+    )  # (B, K, C)
+    node_tok = topk[:, depth - 1, :][
+        :, node_sl, cand
+    ]  # (B, N): candidate cand[n] of head depth[n]-1
+
+    # ---- assemble the block: R re-fed tokens + N tree nodes
+    start = jnp.maximum(lens - R, 0)  # (B,)
+    refeed_pos = start[:, None] + jnp.arange(R)[None, :]  # (B, R)
+    refeed_tok = jnp.take_along_axis(tokens_buf, refeed_pos, axis=1)
+    node_pos = lens[:, None] + (depth - 1)[None, :]  # (B, N)
+    block_tok = jnp.concatenate([refeed_tok, node_tok], axis=1)
+    block_pos = jnp.concatenate([refeed_pos, node_pos], axis=1)
+
+    # ---- in-block mask (additive): re-feed is causal over REAL entries
+    # (pos < lens); tree nodes attend real re-feed + their own ancestors
+    real = refeed_pos < lens[:, None]  # (B, R)
+    m_rr = (
+        real[:, None, :]
+        & (refeed_pos[:, None, :] <= refeed_pos[:, :, None])
+    )  # (B, R, R)
+    m_nr = jnp.broadcast_to(real[:, None, :], (B, N, R))
+    m_rn = jnp.zeros((B, R, N), bool)
+    m_nn = jnp.broadcast_to(anc[None], (B, N, N))
+    mask_new = jnp.where(
+        jnp.concatenate(
+            [
+                jnp.concatenate([m_rr, m_rn], axis=2),
+                jnp.concatenate([m_nr, m_nn], axis=2),
+            ],
+            axis=1,
+        ),
+        0.0,
+        -jnp.inf,
+    ).astype(jnp.float32)
+
+    logits, cache, hidden = decode_step_block(
+        params, cfg, block_tok, cache, block_pos, start, mask_new,
+        write_len=R, dtype=dtype,
+    )  # logits (B, S, V)
+
+    # ---- greedy choice at every entry (suppress + first-token blank)
+    lg = logits + suppress_mask
+    lg = jnp.where(
+        (block_pos + 1 == n_prefix)[..., None], lg + blank_mask, lg
+    )
+    greedy_all = jnp.argmax(lg, axis=-1).astype(jnp.int32)  # (B, S)
+    lse = jax.nn.logsumexp(lg, axis=-1)
+    lp_all = jnp.max(lg, axis=-1) - lse  # logprob of the greedy token
+
+    # ---- walk the tree: accept nodes matching the running greedy
+    root_idx = lens - 1 - start  # (B,) block index of input at lens-1
+    take = lambda arr, idx: jnp.take_along_axis(
+        arr, idx[:, None], axis=1
+    )[:, 0]
+    g = take(greedy_all, root_idx)  # g0: true greedy at position lens
+    lp = take(lp_all, root_idx)
+    emits = [g]
+    lps = [lp]
+    cur_node = jnp.full((B,), -1, jnp.int32)
+    alive = jnp.ones((B,), bool)
+    m = jnp.zeros((B,), jnp.int32)  # matched node count
+    sel_idx = [root_idx]  # block idx whose hidden follows each emit
+    for d in range(1, K + 1):
+        cand_mask = (
+            (depth[None, :] == d)
+            & (parent[None, :] == cur_node[:, None])
+            & (node_tok == g[:, None])
+        )  # (B, N) — at most one True (top-k candidates are distinct)
+        found = cand_mask.any(axis=1)
+        idx = jnp.argmax(cand_mask, axis=1).astype(jnp.int32)
+        alive = alive & found
+        m = m + alive
+        cur_node = jnp.where(alive, idx, cur_node)
+        blk = R + idx
+        g = jnp.where(alive, take(greedy_all, blk), g)
+        lp = jnp.where(alive, take(lp_all, blk), lp)
+        emits.append(g)
+        lps.append(lp)
+        sel_idx.append(jnp.where(alive, blk, sel_idx[-1]))
+    emit = jnp.stack(emits, axis=1)  # (B, K+1) greedy path tokens
+    emit_lp = jnp.stack(lps, axis=1)
+    sel = jnp.stack(sel_idx, axis=1)  # (B, K+1)
+    return cache, emit, emit_lp, sel, m, hidden
 
 
 @partial(
@@ -168,95 +292,11 @@ def _tree_decode_jit(
             hidden_frontier,
         ) = state
 
-        # ---- draft the tree from the frontier hidden
-        topk = medusa_propose_topk(
-            medusa_params, params, hidden_frontier, max_c, dtype
-        )  # (B, K, C)
-        node_tok = topk[:, depth - 1, :][
-            :, node_sl, cand
-        ]  # (B, N): candidate cand[n] of head depth[n]-1
-
-        # ---- assemble the block: R re-fed tokens + N tree nodes
-        start = jnp.maximum(lens - R, 0)  # (B,)
-        refeed_pos = start[:, None] + jnp.arange(R)[None, :]  # (B, R)
-        refeed_tok = jnp.take_along_axis(tokens_buf, refeed_pos, axis=1)
-        node_pos = lens[:, None] + (depth - 1)[None, :]  # (B, N)
-        block_tok = jnp.concatenate([refeed_tok, node_tok], axis=1)
-        block_pos = jnp.concatenate([refeed_pos, node_pos], axis=1)
-
-        # ---- in-block mask (additive): re-feed is causal over REAL
-        # entries (pos < lens); tree nodes attend real re-feed + their
-        # own ancestors
-        real = refeed_pos < lens[:, None]  # (B, R)
-        m_rr = (
-            real[:, None, :]
-            & (refeed_pos[:, None, :] <= refeed_pos[:, :, None])
-        )  # (B, R, R)
-        m_nr = jnp.broadcast_to(real[:, None, :], (B, N, R))
-        m_rn = jnp.zeros((B, R, N), bool)
-        m_nn = jnp.broadcast_to(anc[None], (B, N, N))
-        mask_new = jnp.where(
-            jnp.concatenate(
-                [
-                    jnp.concatenate([m_rr, m_rn], axis=2),
-                    jnp.concatenate([m_nr, m_nn], axis=2),
-                ],
-                axis=1,
-            ),
-            0.0,
-            -jnp.inf,
-        ).astype(jnp.float32)
-
-        logits, cache, hidden = decode_step_block(
-            params, cfg, block_tok, cache, block_pos, start, mask_new,
-            write_len=R, dtype=dtype,
-        )  # logits (B, S, V)
-
-        # ---- greedy choice at every entry (suppress + first-token blank)
-        lg = logits + suppress_mask
-        lg = jnp.where(
-            (block_pos + 1 == n_prefix)[..., None], lg + blank_mask, lg
+        cache, emit, emit_lp, sel, m, hidden = tree_round(
+            params, medusa_params, cfg, cache, tokens_buf,
+            hidden_frontier, lens, suppress_mask, blank_mask,
+            n_prefix, tree, dtype,
         )
-        greedy_all = jnp.argmax(lg, axis=-1).astype(jnp.int32)  # (B, S)
-        # logprob of the greedy token at each entry (for avg_logprob)
-        lse = jax.nn.logsumexp(lg, axis=-1)  # (B, S)
-        top_lg = jnp.max(lg, axis=-1)
-        lp_all = top_lg - lse  # (B, S)
-
-        # ---- walk the tree: accept nodes matching the running greedy
-        root_idx = lens - 1 - start  # (B,) block index of input at lens-1
-        take = lambda arr, idx: jnp.take_along_axis(
-            arr, idx[:, None], axis=1
-        )[:, 0]
-        g = take(greedy_all, root_idx)  # g0: true greedy at position lens
-        lp = take(lp_all, root_idx)
-        emits = [g]
-        lps = [lp]
-        cur_node = jnp.full((B,), -1, jnp.int32)
-        alive = jnp.ones((B,), bool)
-        m = jnp.zeros((B,), jnp.int32)  # matched node count
-        sel_idx = [root_idx]  # block idx whose hidden follows each emit
-        for d in range(1, K + 1):
-            cand_mask = (
-                (depth[None, :] == d)
-                & (parent[None, :] == cur_node[:, None])
-                & (node_tok == g[:, None])
-            )  # (B, N) — at most one True (top-k candidates are distinct)
-            found = cand_mask.any(axis=1)
-            idx = jnp.argmax(cand_mask, axis=1).astype(jnp.int32)  # node id
-            alive = alive & found
-            m = m + alive
-            cur_node = jnp.where(alive, idx, cur_node)
-            blk = R + idx
-            g_next = take(greedy_all, blk)
-            lp_next = take(lp_all, blk)
-            g = jnp.where(alive, g_next, g)
-            lp = jnp.where(alive, lp_next, lp)
-            emits.append(g)
-            lps.append(lp)
-            sel_idx.append(jnp.where(alive, blk, sel_idx[-1]))
-        emit = jnp.stack(emits, axis=1)  # (B, K+1) greedy path tokens
-        emit_lp = jnp.stack(lps, axis=1)
         idxs = jnp.arange(K + 1)[None, :]
 
         # ---- EOT / budget (identical contract to chain speculation)
@@ -285,9 +325,8 @@ def _tree_decode_jit(
         emitted_total = emitted_total + v.sum()
 
         # hidden of the input at (new lens) - 2 feeds the next drafts:
-        # v >= 2 -> accepted node at depth v-1 (sel_idx[v-1]);
-        # v == 1 -> the old root input (sel_idx[0])
-        sel = jnp.stack(sel_idx, axis=1)  # (B, K+1)
+        # v >= 2 -> accepted node at depth v-1 (sel[:, v-1]);
+        # v == 1 -> the old root input (sel[:, 0])
         pick = jnp.take_along_axis(
             sel, jnp.maximum(v - 1, 0)[:, None], axis=1
         )[:, 0]

@@ -145,6 +145,52 @@ def _join_step_hidden(
 
 
 @partial(
+    jax.jit, static_argnames=("cfg", "dtype_name"),
+    donate_argnames=("cache",),
+)
+def _join_step_tree(
+    params,
+    cfg: WhisperConfig,
+    cache: DecoderCache,
+    tokens,  # (B, W): each slot's last W tokens, EOT-padded past lens
+    start,  # (B,): max(lens - W, 0)
+    lens_eff,  # (B,): prefix + content token count per slot
+    dtype_name="float32",
+):
+    """Join step for TREE-medusa mode (width W >= tree_K + 2).
+
+    The chain-medusa join re-feeds n_prefix tokens — enough there
+    because chain rounds write every accepted token's KV via the
+    multipos step. A TREE round accepts up to K+1 tokens whose KV was
+    NEVER written (tree nodes are read-only), so a join between chunks
+    must re-feed at least K+2 rows; an n_prefix-wide join could read
+    stale cache rows below its window and recompute a wrong frontier
+    hidden (and wrong re-written KV). W = max(n_prefix, K+2) heals
+    every unwritten row; garbage entries past each slot's lens are
+    masked (same policy as the tree round's re-feed). Returns the
+    cache and the per-slot hidden of the input at lens-2 (the Medusa
+    draft frontier).
+    """
+    from .models.whisper import decode_step_block
+
+    B, W = tokens.shape
+    pos = start[:, None] + jnp.arange(W)[None, :]  # (B, W)
+    real = pos < lens_eff[:, None]
+    mask_new = jnp.where(
+        real[:, None, :] & (pos[:, None, :] <= pos[:, :, None]),
+        0.0,
+        -jnp.inf,
+    ).astype(jnp.float32)  # (B, W, W)
+    _, cache, hidden = decode_step_block(
+        params, cfg, tokens, cache, pos, start, mask_new,
+        write_len=W, dtype=jnp.dtype(dtype_name),
+    )
+    idx = lens_eff - 2 - start  # block index of the input at lens-2
+    hf = jnp.take_along_axis(hidden, idx[:, None, None], axis=1)[:, 0]
+    return cache, hf
+
+
+@partial(
     jax.jit,
     static_argnames=("cfg", "n_steps", "n_prefix", "max_new", "dtype_name"),
     donate_argnames=("cache",),
@@ -544,20 +590,11 @@ def _spec_chunk_medusa_tree(
     matches _spec_chunk: emits (n_rounds, B, K+1), counts v
     (n_rounds, B), engine lens counts content tokens (EOT excluded).
     """
-    from .decode.medusa_tree import _tree_tables
-    from .models.medusa import medusa_propose_topk
-    from .models.whisper import decode_step_block
+    from .decode.medusa_tree import _tree_tables, tree_round
 
     dtype = jnp.dtype(dtype_name)
-    depth_np, parent_np, cand_np, anc_np, max_c, K = _tree_tables(tree)
-    N = len(tree)
-    R = K + 2
+    _, _, _, _, _, K = _tree_tables(tree)
     B = tokens_buf.shape[0]
-    depth = jnp.asarray(depth_np)
-    parent = jnp.asarray(parent_np)
-    cand = jnp.asarray(cand_np)
-    anc = jnp.asarray(anc_np)
-    node_sl = jnp.arange(N)
     idxs = jnp.arange(K + 1)[None, :]
     write_row = jax.vmap(
         lambda buf, new, p: jax.lax.dynamic_update_slice_in_dim(
@@ -570,75 +607,11 @@ def _spec_chunk_medusa_tree(
             cache, tokens_buf, hidden_frontier, last_tok, lens, finished,
         ) = carry
 
-        topk = medusa_propose_topk(
-            medusa_params, params, hidden_frontier, max_c, dtype
-        )  # (B, K, C)
-        node_tok = topk[:, depth - 1, :][:, node_sl, cand]  # (B, N)
-
-        start = jnp.maximum(lens - R, 0)
-        refeed_pos = start[:, None] + jnp.arange(R)[None, :]
-        refeed_tok = jnp.take_along_axis(tokens_buf, refeed_pos, axis=1)
-        node_pos = lens[:, None] + (depth - 1)[None, :]
-        block_tok = jnp.concatenate([refeed_tok, node_tok], axis=1)
-        block_pos = jnp.concatenate([refeed_pos, node_pos], axis=1)
-
-        real = refeed_pos < lens[:, None]
-        m_rr = (
-            real[:, None, :]
-            & (refeed_pos[:, None, :] <= refeed_pos[:, :, None])
+        cache, emit, _, sel, m, hidden = tree_round(
+            params, medusa_params, cfg, cache, tokens_buf,
+            hidden_frontier, lens, suppress_mask, blank_mask,
+            n_prefix, tree, dtype,
         )
-        m_nr = jnp.broadcast_to(real[:, None, :], (B, N, R))
-        m_rn = jnp.zeros((B, R, N), bool)
-        m_nn = jnp.broadcast_to(anc[None], (B, N, N))
-        mask_new = jnp.where(
-            jnp.concatenate(
-                [
-                    jnp.concatenate([m_rr, m_rn], axis=2),
-                    jnp.concatenate([m_nr, m_nn], axis=2),
-                ],
-                axis=1,
-            ),
-            0.0,
-            -jnp.inf,
-        ).astype(jnp.float32)
-
-        logits, cache, hidden = decode_step_block(
-            params, cfg, block_tok, cache, block_pos, start, mask_new,
-            write_len=R, dtype=dtype,
-        )
-
-        lg = logits + suppress_mask
-        lg = jnp.where(
-            (block_pos + 1 == n_prefix)[..., None], lg + blank_mask, lg
-        )
-        greedy_all = jnp.argmax(lg, axis=-1).astype(jnp.int32)  # (B, S)
-
-        root_idx = lens - 1 - start
-        take = lambda arr, idx: jnp.take_along_axis(
-            arr, idx[:, None], axis=1
-        )[:, 0]
-        g = take(greedy_all, root_idx)
-        emits_l = [g]
-        cur_node = jnp.full((B,), -1, jnp.int32)
-        alive = jnp.ones((B,), bool)
-        m = jnp.zeros((B,), jnp.int32)
-        sel_idx = [root_idx]
-        for d in range(1, K + 1):
-            cand_mask = (
-                (depth[None, :] == d)
-                & (parent[None, :] == cur_node[:, None])
-                & (node_tok == g[:, None])
-            )
-            found = cand_mask.any(axis=1)
-            idx = jnp.argmax(cand_mask, axis=1).astype(jnp.int32)
-            alive = alive & found
-            m = m + alive
-            cur_node = jnp.where(alive, idx, cur_node)
-            blk = R + idx
-            g = jnp.where(alive, take(greedy_all, blk), g)
-            emits_l.append(g)
-            sel_idx.append(jnp.where(alive, blk, sel_idx[-1]))
-        emit = jnp.stack(emits_l, axis=1)  # (B, K+1)
 
         eot_hit = (emit == eot) & (idxs <= m[:, None])
         any_eot = eot_hit.any(axis=1)
@@ -658,11 +631,10 @@ def _spec_chunk_medusa_tree(
         last_tok = jnp.where(last_idx >= 0, last_emit, last_tok)
 
         # frontier hidden for the NEXT round's drafts: hidden of the
-        # input at (new content lens) - 2 = emitted index last_idx - 1
-        # back in the chain; sel_idx[i] holds the block index whose
-        # logits produced emit[i], i.e. the input at position lens-1+i,
-        # so the input at new_lens-2 = lens + v' - 2 is sel_idx[v'-1]
-        sel = jnp.stack(sel_idx, axis=1)  # (B, K+1)
+        # input at (new content lens) - 2; sel[:, i] holds the block
+        # index whose logits produced emit[i] (the input at position
+        # lens-1+i), so the input at new_lens-2 = lens + vc - 2 is
+        # sel[:, vc-1]
         vc = jnp.maximum(v - jnp.where(ate_eot, 1, 0), 0)  # content count
         pick = jnp.take_along_axis(
             sel, jnp.maximum(vc - 1, 0)[:, None], axis=1
@@ -768,6 +740,7 @@ class ContinuousBatcher:
                         f"tree depth {tree_k} exceeds {draft_k} heads"
                     )
                 draft_k = max(draft_k, tree_k + 2)  # refeed headroom
+                self._tree_join_width = None  # set after n_prefix below
         if draft_params is not None and draft_k <= 0:
             raise ValueError("a draft model needs draft_k > 0")
         if draft_cfg is not None and (
@@ -843,6 +816,11 @@ class ContinuousBatcher:
             self.hidden_frontier = jnp.zeros(
                 (slots, cfg.n_text_state), jnp.dtype(self.dtype_name)
             )
+        if self.medusa_tree is not None:
+            from .decode.medusa_tree import _tree_tables
+
+            _, _, _, _, _, tree_k = _tree_tables(self.medusa_tree)
+            self._tree_join_width = max(self.n_prefix, tree_k + 2)
         self._prefix_row = np.asarray(self.prefix, np.int32)
 
         self._slots: List[Optional[_Slot]] = [None] * slots
@@ -970,11 +948,34 @@ class ContinuousBatcher:
             )
             tail = hist[pos[b] : pos[b] + P]
             tok_rows[b, : len(tail)] = tail
-        if self.medusa_params is not None:
+        if self.medusa_params is not None and self.medusa_tree is not None:
+            # tree rounds leave up to K+1 accepted tokens with unwritten
+            # KV (nodes are read-only), so the tree-mode join re-feeds
+            # W = max(P, K+2) tokens with garbage masking — see
+            # _join_step_tree
+            W = self._tree_join_width
+            rows = np.full((B, W), self.eot, np.int32)
+            starts = np.zeros(B, np.int32)
+            lens_eff = np.zeros(B, np.int32)
+            for b in range(B):
+                hist = list(self.prefix) + (
+                    self._slots[b].tokens if self._slots[b] else []
+                )
+                lens_eff[b] = len(hist)
+                starts[b] = max(len(hist) - W, 0)
+                seg = hist[starts[b] : starts[b] + W]
+                rows[b, : len(seg)] = seg
+            self.cache, self.hidden_frontier = _join_step_tree(
+                self.params, self.cfg, self.cache,
+                jnp.asarray(rows), jnp.asarray(starts),
+                jnp.asarray(lens_eff), dtype_name=self.dtype_name,
+            )
+        elif self.medusa_params is not None:
             # every row's frontier hidden sits at block index P-2 (see
             # _join_step_hidden): joiners by construction, re-feeders
-            # because the recomputed hidden of an already-cached token
-            # is identical (deterministic forward)
+            # because chain rounds write every accepted token's KV, so
+            # the recomputed hidden of an already-cached token is
+            # identical (deterministic forward)
             self.cache, self.hidden_frontier = _join_step_hidden(
                 self.params, self.cfg, self.cache,
                 jnp.asarray(tok_rows), jnp.asarray(pos),

@@ -163,7 +163,14 @@ def aot_call(jitted, *args, **kwargs):
             )
             _stats["disk_hits"] += 1
             from_disk = True
-        except Exception:
+        except Exception as e:
+            import sys
+
+            print(
+                f"aot_cache: stored executable {path} failed to load "
+                f"({type(e).__name__}: {e}); recompiling",
+                file=sys.stderr,
+            )
             compiled = None  # stale/incompatible: fall through to compile
 
     def _compile_and_persist():
@@ -182,8 +189,17 @@ def aot_call(jitted, *args, **kwargs):
             with os.fdopen(fd, "wb") as f:
                 pickle.dump((payload, in_tree, out_tree, dev_ids), f)
             os.replace(tmp, path)  # atomic: concurrent servers race safely
-        except Exception:
-            pass  # not serializable on this backend: still usable in-proc
+        except Exception as e:
+            import sys
+
+            # not serializable on this backend: still usable in-process,
+            # but say so once — otherwise every serve start silently
+            # recompiles and the cache looks broken for no visible reason
+            print(
+                f"aot_cache: could not persist executable "
+                f"({type(e).__name__}: {e}); in-process cache only",
+                file=sys.stderr,
+            )
         return compiled
 
     if compiled is None:
@@ -191,11 +207,21 @@ def aot_call(jitted, *args, **kwargs):
 
     try:
         out = compiled(*pos_dyn, **kw_dyn)
-    except Exception:
+    except Exception as e:
         if not from_disk:
             raise
         # loaded executable rejected the call (device/layout mismatch
-        # across environments): recompile rather than fail the request
+        # across environments): recompile rather than fail the request.
+        # A GENUINE runtime failure (e.g. OOM) will re-raise from the
+        # recompiled run below — the log line keeps the cached binary
+        # from silently eating the first error.
+        import sys
+
+        print(
+            f"aot_cache: cached executable call failed "
+            f"({type(e).__name__}: {e}); recompiling and retrying",
+            file=sys.stderr,
+        )
         _stats["disk_hits"] -= 1
         compiled = _compile_and_persist()
         out = compiled(*pos_dyn, **kw_dyn)

@@ -50,6 +50,26 @@ def _gnmt_penalty(length, length_penalty):
     return ((5.0 + length.astype(jnp.float32)) / 6.0) ** length_penalty
 
 
+def _merge_pool(n_pool, pool_sc, pool_sm, pool_ln, pool_tk,
+                new_sc, new_sm, new_ln, new_tk):
+    """Keep the best n_pool of (pool + new) by penalized score.
+
+    Shared by the legacy and v2 loops — every reorder is a one-hot
+    einsum, not a gather (>3-D XLA gathers compile pathologically
+    slowly on TPU).
+    """
+    all_sc = jnp.concatenate([pool_sc, new_sc], axis=1)  # (B, P+K)
+    all_sm = jnp.concatenate([pool_sm, new_sm], axis=1)
+    all_ln = jnp.concatenate([pool_ln, new_ln], axis=1)
+    all_tk = jnp.concatenate([pool_tk, new_tk], axis=1)
+    best_sc, best_idx = jax.lax.top_k(all_sc, n_pool)  # (B, n_pool)
+    onehot = jax.nn.one_hot(best_idx, all_sc.shape[1], dtype=jnp.float32)
+    sm = jnp.einsum("bpj,bj->bp", onehot, all_sm)
+    ln = jnp.einsum("bpj,bj->bp", onehot, all_ln.astype(jnp.float32))
+    tk = jnp.einsum("bpj,bjl->bpl", onehot, all_tk.astype(jnp.float32))
+    return best_sc, sm, ln.astype(jnp.int32), tk.astype(jnp.int32)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -168,27 +188,6 @@ def _beam_decode_jit(
     logits, cache = decode_step(params, cfg, flat_tok, cache, n_prefix)
     logits = logits[:, 0].reshape(B, K, V)
 
-    def merge_pool(pool_sc, pool_sm, pool_ln, pool_tk, new_sc, new_sm,
-                   new_ln, new_tk):
-        """Keep the best n_pool of (pool + new) by penalized score."""
-        all_sc = jnp.concatenate([pool_sc, new_sc], axis=1)  # (B, P+K)
-        all_sm = jnp.concatenate([pool_sm, new_sm], axis=1)
-        all_ln = jnp.concatenate([pool_ln, new_ln], axis=1)
-        all_tk = jnp.concatenate([pool_tk, new_tk], axis=1)
-        best_sc, best_idx = jax.lax.top_k(all_sc, n_pool)  # (B, n_pool)
-        onehot = jax.nn.one_hot(
-            best_idx, all_sc.shape[1], dtype=jnp.float32
-        )  # (B, n_pool, P+K)
-        sm = jnp.einsum("bpj,bj->bp", onehot, all_sm)
-        ln = jnp.einsum("bpj,bj->bp", onehot, all_ln.astype(jnp.float32))
-        tk = jnp.einsum("bpj,bjl->bpl", onehot, all_tk.astype(jnp.float32))
-        return (
-            best_sc,
-            sm,
-            ln.astype(jnp.int32),
-            tk.astype(jnp.int32),
-        )
-
     def body(state):
         (
             step,
@@ -232,8 +231,8 @@ def _beam_decode_jit(
         ).astype(jnp.int32)
         fin_pen = fin_top / _gnmt_penalty(fin_lens, lp_arg)
         fin_pen = jnp.where(fin_top == neg_inf, neg_inf, fin_pen)
-        pool_scores, pool_sums, pool_lens, pool_tokens = merge_pool(
-            pool_scores, pool_sums, pool_lens, pool_tokens,
+        pool_scores, pool_sums, pool_lens, pool_tokens = _merge_pool(
+            n_pool, pool_scores, pool_sums, pool_lens, pool_tokens,
             fin_pen, fin_top, fin_lens, fin_tokens,
         )
 
@@ -498,21 +497,6 @@ def _beam_decode_jit_v2(
         dtype=dtype,
     )  # (B, K, V)
 
-    def merge_pool(pool_sc, pool_sm, pool_ln, pool_tk, new_sc, new_sm,
-                   new_ln, new_tk):
-        all_sc = jnp.concatenate([pool_sc, new_sc], axis=1)
-        all_sm = jnp.concatenate([pool_sm, new_sm], axis=1)
-        all_ln = jnp.concatenate([pool_ln, new_ln], axis=1)
-        all_tk = jnp.concatenate([pool_tk, new_tk], axis=1)
-        best_sc, best_idx = jax.lax.top_k(all_sc, n_pool)
-        onehot = jax.nn.one_hot(
-            best_idx, all_sc.shape[1], dtype=jnp.float32
-        )
-        sm = jnp.einsum("bpj,bj->bp", onehot, all_sm)
-        ln = jnp.einsum("bpj,bj->bp", onehot, all_ln.astype(jnp.float32))
-        tk = jnp.einsum("bpj,bjl->bpl", onehot, all_tk.astype(jnp.float32))
-        return best_sc, sm, ln.astype(jnp.int32), tk.astype(jnp.int32)
-
     def body(state):
         (
             step,
@@ -554,8 +538,8 @@ def _beam_decode_jit_v2(
         ).astype(jnp.int32)
         fin_pen = fin_top / _gnmt_penalty(fin_lens, lp_arg)
         fin_pen = jnp.where(fin_top == neg_inf, neg_inf, fin_pen)
-        pool_scores, pool_sums, pool_lens, pool_tokens = merge_pool(
-            pool_scores, pool_sums, pool_lens, pool_tokens,
+        pool_scores, pool_sums, pool_lens, pool_tokens = _merge_pool(
+            n_pool, pool_scores, pool_sums, pool_lens, pool_tokens,
             fin_pen, fin_top, fin_lens, fin_tokens,
         )
 

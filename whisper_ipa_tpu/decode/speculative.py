@@ -76,13 +76,14 @@ class SpeculativeStats:
 
 def _ngram_drafts(tokens_buf, lens, K: int):
     """Model-free drafts: continue the latest previous occurrence of the
-    current bigram (prompt-lookup decoding).
+    current TRIGRAM, falling back to the bigram (prompt-lookup decoding
+    with longest-suffix-first backoff).
 
-    For each element, find the largest j with buf[j] == buf[len-2] and
-    buf[j+1] == buf[len-1] (j + 1 < len - 1), and propose
-    buf[j+2 : j+2+K]. Falls back to repeating the last token when the
-    bigram has not occurred before — verification still guarantees exact
-    greedy output either way.
+    A trigram match pins the continuation to a more specific context,
+    so when one exists its continuation is accepted more often; the
+    bigram keeps the original recall. Falls back to repeating the last
+    token when neither n-gram has occurred before — verification still
+    guarantees exact greedy output either way.
     """
     B, L = tokens_buf.shape
     idx = jnp.arange(L)
@@ -92,12 +93,30 @@ def _ngram_drafts(tokens_buf, lens, K: int):
     last2 = jnp.take_along_axis(
         tokens_buf, jnp.maximum(lens - 2, 0)[:, None], axis=1
     )
-    match = (tokens_buf[:, :-1] == last2) & (tokens_buf[:, 1:] == last1)
-    valid = idx[None, :-1] + 1 < (lens - 1)[:, None]
-    score = jnp.where(match & valid, idx[None, :-1], -1)
-    j = jnp.max(score, axis=1)  # (B,), -1 = no earlier occurrence
-    found = j >= 0
-    starts = jnp.where(found, j + 2, 0)
+    last3 = jnp.take_along_axis(
+        tokens_buf, jnp.maximum(lens - 3, 0)[:, None], axis=1
+    )
+
+    match2 = (tokens_buf[:, :-1] == last2) & (tokens_buf[:, 1:] == last1)
+    valid2 = idx[None, :-1] + 1 < (lens - 1)[:, None]
+    score2 = jnp.where(match2 & valid2, idx[None, :-1], -1)
+    j2 = jnp.max(score2, axis=1)  # (B,), -1 = no earlier occurrence
+
+    # trigram: buf[j..j+2] == (last3, last2, last1), continuation j+3;
+    # only meaningful when a full trigram of history exists (lens >= 3
+    # past the prefix start is guaranteed by the SOT prefix length)
+    match3 = (
+        (tokens_buf[:, :-2] == last3)
+        & (tokens_buf[:, 1:-1] == last2)
+        & (tokens_buf[:, 2:] == last1)
+    )
+    valid3 = idx[None, :-2] + 2 < (lens - 1)[:, None]
+    score3 = jnp.where(match3 & valid3, idx[None, :-2], -1)
+    j3 = jnp.max(score3, axis=1)
+
+    use3 = j3 >= 0
+    found = use3 | (j2 >= 0)
+    starts = jnp.where(use3, j3 + 3, jnp.where(j2 >= 0, j2 + 2, 0))
     gather_idx = jnp.minimum(
         starts[:, None] + jnp.arange(K)[None, :], L - 1
     )

@@ -91,6 +91,48 @@ class TestAotCall:
         aot_call(_toy, params, x, 2, y)
         assert aot_cache.stats()["compiles"] == 2
 
+    def test_engine_through_cache(self, cache_dir):
+        """The continuous engine's jit programs route through aot_call:
+        a fresh-process simulation must decode identically from disk
+        hits alone."""
+        from dataclasses import replace
+
+        from whisper_ipa_tpu.config import CONFIGS
+        from whisper_ipa_tpu.models import init_params
+        from whisper_ipa_tpu.serve_continuous import ContinuousBatcher
+        from whisper_ipa_tpu.tokenizer import get_tokenizer
+
+        cfg = replace(
+            CONFIGS["test-tiny"],
+            n_audio_state=32, n_audio_head=2, n_audio_layer=1,
+            n_text_state=32, n_text_head=2, n_text_layer=1, n_text_ctx=24,
+        )
+        params = init_params(cfg, seed=0)
+        tok = get_tokenizer(multilingual=True, language="en")
+        audio = (
+            np.random.default_rng(0).standard_normal(16000)
+            .astype(np.float32) * 0.1
+        )
+
+        def run():
+            eng = ContinuousBatcher(
+                params, cfg, slots=2, max_new_tokens=6,
+                steps_per_sync=2, language="en", tokenizer=tok,
+            )
+            try:
+                return eng.transcribe(audio, timeout=600)["tokens"]
+            finally:
+                eng.close()
+
+        t1 = run()
+        n_compiles = aot_cache.stats()["compiles"]
+        assert n_compiles >= 3  # encode, cross-kv, scatter, join, chunk
+
+        aot_cache._fast.clear()  # fresh-process simulation
+        t2 = run()
+        assert t2 == t1
+        assert aot_cache.stats()["compiles"] == n_compiles  # disk only
+
     def test_decode_through_cache(self, cache_dir):
         """End-to-end: the greedy decode path runs through aot_call."""
         from dataclasses import replace

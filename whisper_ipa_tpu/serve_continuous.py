@@ -60,6 +60,7 @@ from .models.whisper import (
     init_cache,
 )
 from .tokenizer import WhisperTokenizer, get_tokenizer
+from .utils.aot_cache import aot_call
 
 
 @partial(jax.jit, static_argnames=("cfg", "dtype_name"))
@@ -903,26 +904,32 @@ class ContinuousBatcher:
                     break
             i = free.pop(0)
             mel = log_mel_spectrogram(audio, n_mels=self.cfg.n_mels)
-            feats = _encode_one(
+            feats = aot_call(
+                _encode_one,
                 self.params, self.cfg, jnp.asarray(mel)[None],
                 dtype_name=self.dtype_name,
             )
-            one = _cross_kv_one(
+            one = aot_call(
+                _cross_kv_one,
                 self.params, self.cfg, feats,
                 dtype_name=self.dtype_name, cross_kv_int8=self.kv_int8,
             )
-            self.cache = _scatter_slot(self.cache, one, i)
+            self.cache = aot_call(
+                _scatter_slot,self.cache, one, i)
             if self.draft_params is not None:
-                dfeats = _encode_one(
+                dfeats = aot_call(
+                _encode_one,
                     self.draft_params, self.draft_cfg,
                     jnp.asarray(mel)[None], dtype_name=self.dtype_name,
                 )
-                done_ = _cross_kv_one(
+                done_ = aot_call(
+                _cross_kv_one,
                     self.draft_params, self.draft_cfg, dfeats,
                     dtype_name=self.dtype_name,
                     cross_kv_int8=self.kv_int8,
                 )
-                self.draft_cache = _scatter_slot(
+                self.draft_cache = aot_call(
+                _scatter_slot,
                     self.draft_cache, done_, i
                 )
             if not slot_state.started_at:
@@ -965,7 +972,8 @@ class ContinuousBatcher:
                 starts[b] = max(len(hist) - W, 0)
                 seg = hist[starts[b] : starts[b] + W]
                 rows[b, : len(seg)] = seg
-            self.cache, self.hidden_frontier = _join_step_tree(
+            self.cache, self.hidden_frontier = aot_call(
+                _join_step_tree,
                 self.params, self.cfg, self.cache,
                 jnp.asarray(rows), jnp.asarray(starts),
                 jnp.asarray(lens_eff), dtype_name=self.dtype_name,
@@ -976,13 +984,15 @@ class ContinuousBatcher:
             # because chain rounds write every accepted token's KV, so
             # the recomputed hidden of an already-cached token is
             # identical (deterministic forward)
-            self.cache, self.hidden_frontier = _join_step_hidden(
+            self.cache, self.hidden_frontier = aot_call(
+                _join_step_hidden,
                 self.params, self.cfg, self.cache,
                 jnp.asarray(tok_rows), jnp.asarray(pos),
                 dtype_name=self.dtype_name,
             )
         else:
-            self.cache = _join_step(
+            self.cache = aot_call(
+                _join_step,
                 self.params, self.cfg, self.cache,
                 jnp.asarray(tok_rows), jnp.asarray(pos),
                 dtype_name=self.dtype_name,
@@ -990,7 +1000,8 @@ class ContinuousBatcher:
         if self.draft_params is not None:
             # the draft consumes the same prefix so its self-KV tracks
             # the target's slot state from position 0
-            self.draft_cache = _join_step(
+            self.draft_cache = aot_call(
+                _join_step,
                 self.draft_params, self.draft_cfg, self.draft_cache,
                 jnp.asarray(tok_rows), jnp.asarray(pos),
                 dtype_name=self.dtype_name,
@@ -1067,7 +1078,8 @@ class ContinuousBatcher:
                 self.finished,
                 emits,
                 vs,
-            ) = _spec_chunk_medusa_tree(
+            ) = aot_call(
+                _spec_chunk_medusa_tree,
                 self.params,
                 self.medusa_params,
                 self.cfg,
@@ -1095,7 +1107,8 @@ class ContinuousBatcher:
                 self.finished,
                 emits,
                 vs,
-            ) = _spec_chunk_medusa(
+            ) = aot_call(
+                _spec_chunk_medusa,
                 self.params,
                 self.medusa_params,
                 self.cfg,
@@ -1122,7 +1135,8 @@ class ContinuousBatcher:
                 self.finished,
                 emits,
                 vs,
-            ) = _spec_chunk_model(
+            ) = aot_call(
+                _spec_chunk_model,
                 self.params,
                 self.draft_params,
                 self.cfg,
@@ -1156,7 +1170,8 @@ class ContinuousBatcher:
                 self.finished,
                 emits,
                 vs,
-            ) = _spec_chunk(
+            ) = aot_call(
+                _spec_chunk,
                 self.params,
                 self.cfg,
                 self.cache,
@@ -1250,7 +1265,8 @@ class ContinuousBatcher:
             self.lens,
             self.finished,
             toks,
-        ) = _decode_chunk(
+        ) = aot_call(
+                _decode_chunk,
             self.params,
             self.cfg,
             self.cache,

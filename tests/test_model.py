@@ -115,6 +115,50 @@ class TestKVCache:
             np.asarray(l5[:, 0]), np.asarray(full[:, 5]), atol=2e-2
         )
 
+    def test_block_step_matches_multipos(self, params, mel):
+        """decode_step_block with a causal mask, consecutive per-token
+        positions, and a full write reduces exactly to
+        decode_step_multipos (the tree-verification primitive's oracle)."""
+        from whisper_ipa_tpu.models.whisper import (
+            decode_step_block,
+            decode_step_multipos_hidden,
+        )
+
+        feats = encode(params, CFG, mel)
+        cache0 = init_cache(params, CFG, feats, max_len=16)
+        prefix = jnp.array(
+            [[50258, 50259, 50359, 50363], [50258, 50259, 50359, 50363]]
+        )
+        _, cache0 = decode_step(params, CFG, prefix, cache0, 0)
+
+        B, S = 2, 3
+        tokens = jnp.array([[100, 200, 300], [400, 500, 600]])
+        pos_vec = jnp.array([4, 4], jnp.int32)
+
+        l_ref, cache_ref, h_ref = decode_step_multipos_hidden(
+            params, CFG, tokens, cache0, pos_vec
+        )
+
+        pos_tok = pos_vec[:, None] + jnp.arange(S)[None, :]
+        blk = jnp.arange(S)
+        causal = jnp.where(
+            blk[None, :] <= blk[:, None], 0.0, -jnp.inf
+        ).astype(jnp.float32)
+        l_blk, cache_blk, h_blk = decode_step_block(
+            params, CFG, tokens, cache0, pos_tok, pos_vec, causal,
+            write_len=S,
+        )
+        np.testing.assert_allclose(
+            np.asarray(l_blk), np.asarray(l_ref), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(h_blk), np.asarray(h_ref), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(cache_blk.self_k), np.asarray(cache_ref.self_k),
+            atol=1e-4,
+        )
+
     def test_jit_decode_step(self, params, mel):
         feats = encode(params, CFG, mel[:1])
         cache = init_cache(params, CFG, feats, max_len=8)

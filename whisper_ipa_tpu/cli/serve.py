@@ -192,15 +192,11 @@ def main(argv=None):
 
         mesh = make_mesh(data=args.dp, model=args.tp)
 
-    if args.medusa_tree and not (
-        args.continuous and args.draft_model == "medusa"
-    ):
-        raise SystemExit(
-            "--medusa-tree requires --continuous --draft-model medusa "
-            "(the micro-batch service has no tree verification path)"
-        )
-    if args.continuous:
+    if args.medusa_tree and args.draft_model != "medusa":
+        raise SystemExit("--medusa-tree requires --draft-model medusa")
+    if args.medusa_tree:
         from ..decode.medusa_tree import DEFAULT_TREE
+    if args.continuous:
         from ..serve_continuous import ContinuousBatcher
 
         if mesh is not None:
@@ -253,6 +249,7 @@ def main(argv=None):
             draft_cfg=draft_cfg,
             draft_k=args.draft_k,
             medusa_params=medusa_params,
+            medusa_tree=DEFAULT_TREE if args.medusa_tree else None,
             mesh=mesh,
             tensor_parallel=args.tp > 1,
             kv_int4=args.kv_int4,

@@ -62,6 +62,7 @@ class TranscriptionService:
         draft_cfg: Optional[WhisperConfig] = None,
         draft_k: int = 4,
         medusa_params=None,
+        medusa_tree=None,
         mesh=None,
         tensor_parallel: bool = False,
         tokenizer: Optional[WhisperTokenizer] = None,
@@ -80,6 +81,9 @@ class TranscriptionService:
         self.draft_cfg = draft_cfg
         self.draft_k = draft_k
         self.medusa_params = medusa_params
+        if medusa_tree is not None and medusa_params is None:
+            raise ValueError("medusa_tree needs medusa_params")
+        self.medusa_tree = tuple(medusa_tree) if medusa_tree else None
         self.mesh = mesh
         if mesh is not None:
             n_data = mesh.shape.get("data", 1)
@@ -227,7 +231,21 @@ class TranscriptionService:
                         from .parallel.mesh import shard_batch
 
                         mels = shard_batch(self.mesh, mels)
-                    if self.medusa_params is not None:
+                    if self.medusa_params is not None and (
+                        self.medusa_tree is not None
+                    ):
+                        from .decode import medusa_tree_decode
+
+                        results = medusa_tree_decode(
+                            self.params,
+                            self.cfg,
+                            self.medusa_params,
+                            mels,
+                            self.options,
+                            tree=self.medusa_tree,
+                            tokenizer=self.tokenizer,
+                        )
+                    elif self.medusa_params is not None:
                         from .decode import speculative_decode
 
                         results = speculative_decode(

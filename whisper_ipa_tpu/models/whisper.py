@@ -493,6 +493,80 @@ def init_cache(
     )
 
 
+def _run_decoder_layers(dec, cfg: WhisperConfig, x, cache, self_attn,
+                        cross_attn):
+    """Scan the decoder layers with pluggable attention policies.
+
+    The four decode-step variants (fixed-position, per-element multipos,
+    general block, beam) differ ONLY in how self-attention masks/selects
+    the cache and how the cross queries are batched; the layer wiring —
+    pre-LN, q/k/v projections, residuals, MLP, and the append-only scan
+    that stacks just the small per-step K/V projections (never the full
+    cache; see decode_step's original note) — lives once, here.
+
+    self_attn(q, k_cache, v_cache, k_new, v_new) and
+    cross_attn(qc, xk, xv, k_scale, v_scale) operate on one layer's
+    slices and return the merged-head attention output shaped like x.
+    Returns (x, (k_news, v_news)) with k/v_news stacked over layers.
+    """
+    stacked = _stack_blocks(dec["blocks"])
+
+    def body(x, inp):
+        block, k_cache, v_cache, xk, xv, k_scale, v_scale = inp
+        xn = layer_norm(x, block["attn_ln"])
+        q = linear(xn, block["attn"]["query"])
+        k_new = linear(xn, block["attn"]["key"])
+        v_new = linear(xn, block["attn"]["value"])
+
+        h = self_attn(q, k_cache, v_cache, k_new, v_new)
+        x = x + linear(h, block["attn"]["out"])
+
+        xn = layer_norm(x, block["cross_attn_ln"])
+        qc = linear(xn, block["cross_attn"]["query"])
+        h = cross_attn(qc, xk, xv, k_scale, v_scale)
+        x = x + linear(h, block["cross_attn"]["out"])
+
+        x = x + mlp_block(layer_norm(x, block["mlp_ln"]), block)
+        return x, (k_new, v_new)
+
+    return jax.lax.scan(
+        body,
+        x,
+        (
+            stacked,
+            cache.self_k,
+            cache.self_v,
+            cache.cross_k,
+            cache.cross_v,
+            cache.cross_k_scale,
+            cache.cross_v_scale,
+        ),
+    )
+
+
+def _cross_attn_default(cfg: WhisperConfig):
+    """Standard cross-attention policy: int8/int4 T-minor cache when
+    scales are present, full-precision otherwise."""
+    from .layers import multi_head_attention, multi_head_attention_int8kv
+
+    def cross_attn(qc, xk, xv, k_scale, v_scale):
+        if k_scale is not None:
+            return multi_head_attention_int8kv(
+                qc, xk, k_scale, xv, v_scale, cfg.n_text_head
+            )
+        return multi_head_attention(qc, xk, xv, cfg.n_text_head)
+
+    return cross_attn
+
+
+def _final_logits(dec, x):
+    """Final LN + tied-embedding logits head (float32)."""
+    x = layer_norm(x, dec["ln"])
+    return jnp.matmul(
+        x.astype(jnp.float32), dec["token_embedding"].T.astype(jnp.float32)
+    ), x
+
+
 def decode_step(
     params: Params,
     cfg: WhisperConfig,
@@ -536,52 +610,16 @@ def decode_step(
         blk[None, :] <= blk[:, None], 0.0, -jnp.inf
     ).astype(jnp.float32)  # (S, S)
 
-    from .layers import (
-        multi_head_attention,
-        multi_head_attention_int8kv,
-        multi_head_attention_two_part,
-    )
+    from .layers import multi_head_attention_two_part
 
-    stacked = _stack_blocks(dec["blocks"])
-
-    def body(x, inp):
-        block, k_cache, v_cache, xk, xv, k_scale, v_scale = inp
-        xn = layer_norm(x, block["attn_ln"])
-        q = linear(xn, block["attn"]["query"])
-        k_new = linear(xn, block["attn"]["key"])
-        v_new = linear(xn, block["attn"]["value"])
-
-        h = multi_head_attention_two_part(
+    def self_attn(q, k_cache, v_cache, k_new, v_new):
+        return multi_head_attention_two_part(
             q, k_cache, v_cache, k_new, v_new,
             cfg.n_text_head, mask_cache, mask_new,
         )
-        x = x + linear(h, block["attn"]["out"])
 
-        xn = layer_norm(x, block["cross_attn_ln"])
-        qc = linear(xn, block["cross_attn"]["query"])
-        if k_scale is not None:
-            h = multi_head_attention_int8kv(
-                qc, xk, k_scale, xv, v_scale, cfg.n_text_head
-            )
-        else:
-            h = multi_head_attention(qc, xk, xv, cfg.n_text_head)
-        x = x + linear(h, block["cross_attn"]["out"])
-
-        x = x + mlp_block(layer_norm(x, block["mlp_ln"]), block)
-        return x, (k_new, v_new)
-
-    x, (k_news, v_news) = jax.lax.scan(
-        body,
-        x,
-        (
-            stacked,
-            cache.self_k,
-            cache.self_v,
-            cache.cross_k,
-            cache.cross_v,
-            cache.cross_k_scale,
-            cache.cross_v_scale,
-        ),
+    x, (k_news, v_news) = _run_decoder_layers(
+        dec, cfg, x, cache, self_attn, _cross_attn_default(cfg)
     )
 
     # one in-place write of the (L, B, S, d) projections per step
@@ -592,10 +630,7 @@ def decode_step(
         cache.self_v, v_news, (0, 0, pos, 0)
     )
 
-    x = layer_norm(x, dec["ln"])
-    step_logits = jnp.matmul(
-        x.astype(jnp.float32), dec["token_embedding"].T.astype(jnp.float32)
-    )
+    step_logits, _ = _final_logits(dec, x)
     new_cache = cache._replace(self_k=new_self_k, self_v=new_self_v)
     return step_logits, new_cache
 
@@ -644,21 +679,13 @@ def decode_step_beam(
     ).astype(jnp.float32)  # (B, J, K=J, n_ctx)
 
     from .layers import (
+        multi_head_attention,
         multi_head_attention_beam_cache,
         multi_head_attention_int8kv,
-        multi_head_attention,
     )
 
-    stacked = _stack_blocks(dec["blocks"])
-
-    def body(x, inp):
-        block, k_cache, v_cache, xk, xv, k_scale, v_scale = inp
-        xn = layer_norm(x, block["attn_ln"])
-        q = linear(xn, block["attn"]["query"])
-        k_new = linear(xn, block["attn"]["key"])
-        v_new = linear(xn, block["attn"]["value"])
-
-        h = multi_head_attention_beam_cache(
+    def self_attn(q, k_cache, v_cache, k_new, v_new):
+        return multi_head_attention_beam_cache(
             q.reshape(B, J, -1),
             k_cache.reshape(B, J, n_ctx, -1),
             v_cache.reshape(B, J, n_ctx, -1),
@@ -667,10 +694,8 @@ def decode_step_beam(
             cfg.n_text_head,
             sel_mask,
         ).reshape(B * J, 1, -1)
-        x = x + linear(h, block["attn"]["out"])
 
-        xn = layer_norm(x, block["cross_attn_ln"])
-        qc = linear(xn, block["cross_attn"]["query"])
+    def cross_attn(qc, xk, xv, k_scale, v_scale):
         # beam-invariant cross cache at batch B: the J beam queries ride
         # the query-sequence axis, so K/V stream once, not J times
         qc_b = qc.reshape(B, J, -1)
@@ -680,23 +705,10 @@ def decode_step_beam(
             )
         else:
             hc = multi_head_attention(qc_b, xk, xv, cfg.n_text_head)
-        x = x + linear(hc.reshape(B * J, 1, -1), block["cross_attn"]["out"])
+        return hc.reshape(B * J, 1, -1)
 
-        x = x + mlp_block(layer_norm(x, block["mlp_ln"]), block)
-        return x, (k_new, v_new)
-
-    x, (k_news, v_news) = jax.lax.scan(
-        body,
-        x,
-        (
-            stacked,
-            cache.self_k,
-            cache.self_v,
-            cache.cross_k,
-            cache.cross_v,
-            cache.cross_k_scale,
-            cache.cross_v_scale,
-        ),
+    x, (k_news, v_news) = _run_decoder_layers(
+        dec, cfg, x, cache, self_attn, cross_attn
     )
 
     new_self_k = jax.lax.dynamic_update_slice(
@@ -706,10 +718,7 @@ def decode_step_beam(
         cache.self_v, v_news, (0, 0, pos, 0)
     )
 
-    x = layer_norm(x, dec["ln"])
-    step_logits = jnp.matmul(
-        x.astype(jnp.float32), dec["token_embedding"].T.astype(jnp.float32)
-    )
+    step_logits, _ = _final_logits(dec, x)
     new_cache = cache._replace(self_k=new_self_k, self_v=new_self_v)
     return step_logits.reshape(B, J, -1), new_cache
 
@@ -761,53 +770,22 @@ def decode_step_block(
     if mask_new.ndim == 3:
         mask_new = mask_new[:, None]  # (B, 1, S, S)
 
-    from .layers import (
-        multi_head_attention,
-        multi_head_attention_int8kv,
-        multi_head_attention_two_part,
-    )
+    from .layers import multi_head_attention_two_part
 
-    stacked = _stack_blocks(dec["blocks"])
-
-    def body(x, inp):
-        block, k_cache, v_cache, xk, xv, k_scale, v_scale = inp
-        xn = layer_norm(x, block["attn_ln"])
-        q = linear(xn, block["attn"]["query"])
-        k_new = linear(xn, block["attn"]["key"])
-        v_new = linear(xn, block["attn"]["value"])
-
+    def self_attn(q, k_cache, v_cache, k_new, v_new):
         h = multi_head_attention_two_part(
             q, k_cache, v_cache, k_new, v_new,
             cfg.n_text_head, mask_cache, mask_new,
         )
-        x = x + linear(h, block["attn"]["out"])
+        return h
 
-        xn = layer_norm(x, block["cross_attn_ln"])
-        qc = linear(xn, block["cross_attn"]["query"])
-        if k_scale is not None:
-            h = multi_head_attention_int8kv(
-                qc, xk, k_scale, xv, v_scale, cfg.n_text_head
-            )
-        else:
-            h = multi_head_attention(qc, xk, xv, cfg.n_text_head)
-        x = x + linear(h, block["cross_attn"]["out"])
-
-        x = x + mlp_block(layer_norm(x, block["mlp_ln"]), block)
-        return x, (k_new[:, :write_len], v_new[:, :write_len])
-
-    x, (k_news, v_news) = jax.lax.scan(
-        body,
-        x,
-        (
-            stacked,
-            cache.self_k,
-            cache.self_v,
-            cache.cross_k,
-            cache.cross_v,
-            cache.cross_k_scale,
-            cache.cross_v_scale,
-        ),
+    x, (k_news, v_news) = _run_decoder_layers(
+        dec, cfg, x, cache, self_attn, _cross_attn_default(cfg)
     )
+    # only the writable prefix of the block lands in the cache; draft
+    # nodes (entries past write_len) are read-only
+    k_news = k_news[:, :, :write_len]
+    v_news = v_news[:, :, :write_len]
 
     write = jax.vmap(
         lambda buf, new, p: jax.lax.dynamic_update_slice(
@@ -819,10 +797,7 @@ def decode_step_block(
     new_self_k = write(cache.self_k, k_news, pos[:, 0])
     new_self_v = write(cache.self_v, v_news, pos[:, 0])
 
-    x = layer_norm(x, dec["ln"])
-    step_logits = jnp.matmul(
-        x.astype(jnp.float32), dec["token_embedding"].T.astype(jnp.float32)
-    )
+    step_logits, x = _final_logits(dec, x)
     new_cache = cache._replace(self_k=new_self_k, self_v=new_self_v)
     return step_logits, new_cache, x
 
@@ -883,52 +858,16 @@ def decode_step_multipos_hidden(
         blk[None, :] <= blk[:, None], 0.0, -jnp.inf
     ).astype(jnp.float32)  # (S, S)
 
-    from .layers import (
-        multi_head_attention,
-        multi_head_attention_int8kv,
-        multi_head_attention_two_part,
-    )
+    from .layers import multi_head_attention_two_part
 
-    stacked = _stack_blocks(dec["blocks"])
-
-    def body(x, inp):
-        block, k_cache, v_cache, xk, xv, k_scale, v_scale = inp
-        xn = layer_norm(x, block["attn_ln"])
-        q = linear(xn, block["attn"]["query"])
-        k_new = linear(xn, block["attn"]["key"])
-        v_new = linear(xn, block["attn"]["value"])
-
-        h = multi_head_attention_two_part(
+    def self_attn(q, k_cache, v_cache, k_new, v_new):
+        return multi_head_attention_two_part(
             q, k_cache, v_cache, k_new, v_new,
             cfg.n_text_head, mask_cache, mask_new,
         )
-        x = x + linear(h, block["attn"]["out"])
 
-        xn = layer_norm(x, block["cross_attn_ln"])
-        qc = linear(xn, block["cross_attn"]["query"])
-        if k_scale is not None:
-            h = multi_head_attention_int8kv(
-                qc, xk, k_scale, xv, v_scale, cfg.n_text_head
-            )
-        else:
-            h = multi_head_attention(qc, xk, xv, cfg.n_text_head)
-        x = x + linear(h, block["cross_attn"]["out"])
-
-        x = x + mlp_block(layer_norm(x, block["mlp_ln"]), block)
-        return x, (k_new, v_new)
-
-    x, (k_news, v_news) = jax.lax.scan(
-        body,
-        x,
-        (
-            stacked,
-            cache.self_k,
-            cache.self_v,
-            cache.cross_k,
-            cache.cross_v,
-            cache.cross_k_scale,
-            cache.cross_v_scale,
-        ),
+    x, (k_news, v_news) = _run_decoder_layers(
+        dec, cfg, x, cache, self_attn, _cross_attn_default(cfg)
     )
 
     # one per-element in-place landing of the (L, B, S, d) projections
@@ -942,10 +881,7 @@ def decode_step_multipos_hidden(
     new_self_k = write(cache.self_k, k_news, pos)
     new_self_v = write(cache.self_v, v_news, pos)
 
-    x = layer_norm(x, dec["ln"])
-    step_logits = jnp.matmul(
-        x.astype(jnp.float32), dec["token_embedding"].T.astype(jnp.float32)
-    )
+    step_logits, x = _final_logits(dec, x)
     new_cache = cache._replace(self_k=new_self_k, self_v=new_self_v)
     return step_logits, new_cache, x
 

@@ -852,6 +852,39 @@ def main():
 
     import os
 
+    # the axon tunnel can wedge in a way that blocks jax.devices()
+    # FOREVER (connect-retry loop, no timeout — observed r4); probe in a
+    # subprocess first so a dead tunnel yields an honest line instead of
+    # hanging the recorded bench run
+    import subprocess
+
+    reachable = True
+    if os.environ.get("WHISPER_IPA_TPU_SKIP_PROBE") != "1":
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=180, env=dict(os.environ),
+            )
+            reachable = probe.returncode == 0
+        except subprocess.TimeoutExpired:
+            reachable = False
+    if not reachable:
+        print(
+            json.dumps(
+                {
+                    "metric": "whisper-small inference RTF "
+                    "(audio-sec/sec/chip)",
+                    "value": None,
+                    "unit": "x realtime",
+                    "vs_baseline": None,
+                    "note": "DEVICE UNREACHABLE: the accelerator backend "
+                    "failed to initialize within 180s (axon tunnel down); "
+                    "no measurement possible",
+                }
+            )
+        )
+        sys.exit(2)
+
     import jax
 
     # persistent compilation cache: later runs skip the long XLA compiles

@@ -408,11 +408,16 @@ def bench_spec_measured(checkpoint, data_json, model="tiny",
     if tree:
         if medusa_params is None:
             raise ValueError("--medusa-tree needs --medusa-weights")
-        from whisper_ipa_tpu.decode.medusa_tree import medusa_tree_decode
+        from whisper_ipa_tpu.decode.medusa_tree import (
+            medusa_tree_decode,
+            tree_for_heads,
+        )
 
+        chosen = tree_for_heads(medusa_weights)
+        print(f"# tree: {chosen}", file=sys.stderr)
         spec = lambda **kw: medusa_tree_decode(
             params, cfg, medusa_params, mel, options,
-            tokenizer=tokenizer, **kw
+            tree=chosen, tokenizer=tokenizer, **kw
         )
     else:
         spec = lambda **kw: speculative_decode(
@@ -604,9 +609,9 @@ def bench_continuous(slots=8, n_requests=32, sample_len=48,
     )
     tree = None
     if medusa_tree and medusa_params is not None:
-        from whisper_ipa_tpu.decode.medusa_tree import DEFAULT_TREE
+        from whisper_ipa_tpu.decode.medusa_tree import tree_for_heads
 
-        tree = DEFAULT_TREE
+        tree = tree_for_heads(medusa_weights)
     eng = ContinuousBatcher(
         params, cfg, slots=slots, max_new_tokens=sample_len,
         steps_per_sync=steps_per_sync, language="en", bf16=True,

@@ -58,6 +58,54 @@ class TestTreeTables:
             _tree_tables(((0, 0), (-1, 0)))
 
 
+class TestOptimizeTree:
+    def test_picks_highest_probability_paths(self):
+        from whisper_ipa_tpu.decode.medusa_tree import optimize_tree
+
+        # head 0 strong with two good candidates; head 1 weaker;
+        # head 2 weak — the 5-node optimum: both depth-1 candidates,
+        # their best children, and the best depth-3 path
+        probs = [[0.8, 0.5, 0.01], [0.6, 0.1, 0.01], [0.3, 0.01, 0.01]]
+        tree = optimize_tree(probs, 5)
+        assert len(tree) == 5
+        depth, parent, cand, anc, max_c, K = _tree_tables(tree)
+        # path probs: (0,)=0.8, (1,)=0.5, (0,0)=0.48, (1,0)=0.30,
+        # (0,1)=0.08, (0,0,0)=0.144 -> top5 includes (0,0,0) over (0,1)
+        paths = set()
+        for i in range(len(tree)):
+            path = []
+            j = i
+            while j >= 0:
+                path.append(int(cand[j]))
+                j = int(parent[j])
+            paths.add(tuple(reversed(path)))
+        assert paths == {(0,), (1,), (0, 0), (1, 0), (0, 0, 0)}
+
+    def test_prefix_closure(self):
+        from whisper_ipa_tpu.decode.medusa_tree import optimize_tree
+
+        rng = np.random.default_rng(0)
+        probs = rng.uniform(0.05, 0.9, size=(4, 3))
+        tree = optimize_tree(probs, 10)
+        # every parent index precedes its child (required by the tables)
+        _tree_tables(tree)  # raises if not
+
+    def test_tree_for_heads_sidecar(self, tmp_path):
+        import json
+
+        from whisper_ipa_tpu.decode.medusa_tree import tree_for_heads
+
+        weights = str(tmp_path / "heads.safetensors")
+        assert tree_for_heads(weights) == DEFAULT_TREE  # no sidecar
+        with open(weights + ".accuracy.json", "w") as f:
+            json.dump(
+                {"head_topk_accuracy": [[0.9, 0.2], [0.5, 0.1]]}, f
+            )
+        tree = tree_for_heads(weights, n_nodes=4)
+        assert len(tree) == 4
+        assert tree[0] == (-1, 0)  # best path first
+
+
 class TestTreeParity:
     def _greedy(self, params, mel, tok, opts):
         return [

@@ -195,7 +195,13 @@ def main(argv=None):
     if args.medusa_tree and args.draft_model != "medusa":
         raise SystemExit("--medusa-tree requires --draft-model medusa")
     if args.medusa_tree:
-        from ..decode.medusa_tree import DEFAULT_TREE
+        from ..decode.medusa_tree import DEFAULT_TREE, tree_for_heads
+
+        chosen_tree = (
+            tree_for_heads(args.medusa_weights)
+            if args.medusa_weights
+            else DEFAULT_TREE
+        )
     if args.continuous:
         from ..serve_continuous import ContinuousBatcher
 
@@ -231,7 +237,7 @@ def main(argv=None):
             draft_cfg=draft_cfg,
             medusa_params=medusa_params,
             medusa_tree=(
-                DEFAULT_TREE
+                chosen_tree
                 if (args.medusa_tree and medusa_params is not None)
                 else None
             ),
@@ -249,7 +255,7 @@ def main(argv=None):
             draft_cfg=draft_cfg,
             draft_k=args.draft_k,
             medusa_params=medusa_params,
-            medusa_tree=DEFAULT_TREE if args.medusa_tree else None,
+            medusa_tree=chosen_tree if args.medusa_tree else None,
             mesh=mesh,
             tensor_parallel=args.tp > 1,
             kv_int4=args.kv_int4,

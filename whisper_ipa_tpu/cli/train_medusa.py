@@ -119,6 +119,54 @@ def main(argv=None):
     save_medusa(args.output, medusa)
     print(f"saved {args.n_heads} heads -> {args.output}")
 
+    # measure per-head top-C hit rates on held-back batches and write the
+    # sidecar that decode.medusa_tree.tree_for_heads optimizes the
+    # verification tree from (expected-acceptance-maximal static tree)
+    import json as _json
+
+    from ..models.medusa import medusa_propose_topk, valid_target_mask
+
+    top_c = 4
+    hits = np.zeros((args.n_heads, top_c))
+    totals = np.zeros(args.n_heads)
+    eval_rng = np.random.default_rng(args.seed + 1)
+    for _ in range(4):
+        idx = eval_rng.choice(len(dataset), args.batch_size, replace=True)
+        batch = dataset.get_batch(idx)
+        mel = jnp.asarray(batch["mel_features"])
+        tokens = jnp.asarray(batch["tokens"])
+        hidden = hidden_fn(params, mel, tokens)  # (B, T, d)
+        B, T = tokens.shape
+        # head k conditioned on h_t proposes the token at t+k+2; count
+        # matches against the actual tokens, masked past the first EOT
+        topk = jax.vmap(
+            lambda h: medusa_propose_topk(
+                medusa, params, h, top_c, jnp.bfloat16
+            ),
+            in_axes=1, out_axes=1,
+        )(hidden)  # (B, T, K, C)
+        valid = np.asarray(valid_target_mask(tokens, eot))  # (B, T)
+        topk_np = np.asarray(topk)
+        tok_np = np.asarray(tokens)
+        for k in range(args.n_heads):
+            tgt_pos = np.arange(T) + k + 2
+            ok = tgt_pos < T
+            tgt = tok_np[:, np.minimum(tgt_pos, T - 1)]  # (B, T)
+            mask = valid[:, np.minimum(tgt_pos, T - 1)] & ok[None, :]
+            match = topk_np[:, :, k, :] == tgt[:, :, None]  # (B, T, C)
+            for c in range(top_c):
+                hits[k, c] += float((match[:, :, c] & mask).sum())
+            totals[k] += float(mask.sum())
+    probs = (hits / np.maximum(totals, 1.0)[:, None]).tolist()
+    sidecar = args.output + ".accuracy.json"
+    with open(sidecar, "w") as f:
+        _json.dump({"head_topk_accuracy": probs, "top_c": top_c}, f)
+    print(
+        "head top-1 accuracy: "
+        + ", ".join(f"{p[0]:.3f}" for p in probs)
+        + f" -> {sidecar}"
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -68,6 +68,58 @@ DEFAULT_TREE: Tuple[Tuple[int, int], ...] = (
 )
 
 
+def optimize_tree(cand_probs, n_nodes: int) -> Tuple[Tuple[int, int], ...]:
+    """Choose the expected-acceptance-maximizing static tree.
+
+    cand_probs[k][c]: measured probability that head k's c-th candidate
+    equals the greedy token at its position (cli/train_medusa writes
+    these as <heads>.accuracy.json after training). The expected number
+    of ACCEPTED nodes per round is the sum over nodes of their path
+    probability (product of candidate probs along the path), so the
+    optimal n_nodes-node tree is exactly the n_nodes highest-probability
+    paths — which are closed under prefixes (a path's probability never
+    exceeds its parent's), making greedy best-first expansion optimal.
+
+    Returns a (parent, cand) template for medusa_tree_decode.
+    """
+    import heapq
+
+    cand_probs = np.asarray(cand_probs, np.float64)
+    K, C = cand_probs.shape
+    # heap entries: (-path_prob, depth, parent_node_index, cand_index)
+    heap = [
+        (-cand_probs[0, c], 1, -1, c) for c in range(C)
+    ]
+    heapq.heapify(heap)
+    tree: List[Tuple[int, int]] = []
+    while heap and len(tree) < n_nodes:
+        neg_p, d, parent, c = heapq.heappop(heap)
+        node_id = len(tree)
+        tree.append((parent, c))
+        if d < K:
+            for cc in range(C):
+                child_p = -neg_p * cand_probs[d, cc]
+                if child_p > 0:
+                    heapq.heappush(heap, (-child_p, d + 1, node_id, cc))
+    return tuple(tree)
+
+
+def tree_for_heads(
+    medusa_weights_path: str, n_nodes: int = 12
+) -> Tuple[Tuple[int, int], ...]:
+    """The serving-side tree choice: measured-accuracy-optimized when the
+    sidecar written by cli/train_medusa exists, DEFAULT_TREE otherwise."""
+    import json
+    import os
+
+    sidecar = medusa_weights_path + ".accuracy.json"
+    if os.path.isfile(sidecar):
+        with open(sidecar) as f:
+            probs = json.load(f)["head_topk_accuracy"]
+        return optimize_tree(probs, n_nodes)
+    return DEFAULT_TREE
+
+
 def _tree_tables(tree):
     """Static per-node tables + the ancestor mask (host-side)."""
     n = len(tree)

@@ -151,9 +151,22 @@ def main(argv=None):
             rng.standard_normal((args.batch, N_SAMPLES)).astype(np.float32)
             * 0.1
         )
-        mel = jax.jit(
-            lambda a: log_mel_spectrogram_pallas(a, n_mels=cfg.n_mels)
-        )(audio)
+        if jax.devices()[0].platform == "cpu":
+            # Pallas kernels are TPU-only; keep the CLI smokeable on CPU
+            from ..audio import log_mel_spectrogram
+
+            mel = jnp.asarray(
+                np.stack(
+                    [
+                        log_mel_spectrogram(np.asarray(a), n_mels=cfg.n_mels)
+                        for a in audio
+                    ]
+                )
+            )
+        else:
+            mel = jax.jit(
+                lambda a: log_mel_spectrogram_pallas(a, n_mels=cfg.n_mels)
+            )(audio)
         options = DecodingOptions(
             language="en", without_timestamps=True,
             sample_len=args.sample_len,

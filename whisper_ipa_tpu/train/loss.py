@@ -87,3 +87,60 @@ def compute_loss(
         remat=remat, bf16_head=bf16_head,
     )
     return masked_cross_entropy(logits, target_tokens, mask)
+
+
+def compute_distill_loss(
+    student_params,
+    teacher_params,
+    student_cfg: WhisperConfig,
+    teacher_cfg: WhisperConfig,
+    mel,
+    tokens,
+    eot: int,
+    *,
+    alpha: float = 0.5,
+    temperature: float = 2.0,
+    dtype=jnp.float32,
+):
+    """Draft distillation: CE to the data + KL to the TEACHER's logits.
+
+    The round-3 model-draft result (docs/PERF.md) showed WHY this
+    exists: a draft trained independently on the same data accepted
+    only 1.06 tokens/round against the target — both models were wrong
+    in their own ways. Speculative acceptance measures draft-TARGET
+    agreement, so the draft must be trained toward the target's own
+    distribution, not just the data: loss = (1-alpha) * CE(student,
+    data) + alpha * T^2 * KL(teacher_T || student_T) over the same
+    first-EOT-kept mask (Hinton et al. 2015 scaling).
+
+    The teacher runs under stop_gradient (frozen); models may differ in
+    size but must share the tokenizer and mel shape.
+    """
+    if student_cfg.n_vocab != teacher_cfg.n_vocab:
+        raise ValueError("student and teacher must share the vocabulary")
+
+    decoder_input = tokens[:, :-1]
+    target_tokens = tokens[:, 1:]
+    mask = eot_loss_mask(target_tokens, eot)
+
+    s_feats = encode(student_params, student_cfg, mel, dtype=dtype)
+    s_logits = decoder_logits(
+        student_params, student_cfg, decoder_input, s_feats, dtype=dtype
+    )
+
+    t_feats = encode(teacher_params, teacher_cfg, mel, dtype=dtype)
+    t_logits = decoder_logits(
+        teacher_params, teacher_cfg, decoder_input, t_feats, dtype=dtype
+    )
+    t_logits = jax.lax.stop_gradient(t_logits)
+
+    ce = masked_cross_entropy(s_logits, target_tokens, mask)
+
+    T = temperature
+    t_lp = jax.nn.log_softmax(t_logits / T, axis=-1)
+    s_lp = jax.nn.log_softmax(s_logits / T, axis=-1)
+    kl_tok = (jnp.exp(t_lp) * (t_lp - s_lp)).sum(-1)  # (B, T)
+    num_valid = jnp.maximum(mask.sum(), 1)
+    kl = (kl_tok * mask.astype(kl_tok.dtype)).sum() / num_valid
+
+    return (1.0 - alpha) * ce + alpha * (T * T) * kl

@@ -273,3 +273,24 @@ class TestNgramDraft:
         d = np.asarray(_ngram_drafts(buf, lens, 3))
         assert d[0].tolist() == [7, 8, 9]
         assert d[1].tolist() == [3, 3, 3]
+
+    def test_ngram_trigram_beats_bigram(self):
+        """The more specific trigram context wins over the (more recent)
+        bigram match; rows without a trigram fall back to the bigram."""
+        from whisper_ipa_tpu.decode.speculative import _ngram_drafts
+
+        buf = jnp.asarray(
+            [
+                # suffix (1,5,6): trigram at j=0 continues with 7 even
+                # though the LATEST bigram (5,6) at j=5 continues with 8
+                [1, 5, 6, 7, 2, 5, 6, 8, 1, 5, 6, 0],
+                # suffix (9,5,6): no trigram -> bigram (5,6) at j=1
+                # continues with 4
+                [3, 5, 6, 4, 2, 2, 2, 2, 9, 5, 6, 0],
+            ],
+            jnp.int32,
+        )
+        lens = jnp.asarray([11, 11], jnp.int32)
+        d = np.asarray(_ngram_drafts(buf, lens, 2))
+        assert d[0].tolist() == [7, 2]
+        assert d[1].tolist() == [4, 2]

@@ -248,6 +248,32 @@ class TestSpeculativeService:
             spec.close()
         assert out["text"] == ref["text"]
 
+    def test_medusa_tree_service_matches_plain(self):
+        from whisper_ipa_tpu.models.medusa import init_medusa_params
+
+        params = init_params(CFG, seed=0)
+        heads = init_medusa_params(CFG, n_heads=2, seed=3)
+        audio = np.random.default_rng(1).standard_normal(16000).astype(
+            np.float32
+        ) * 0.1
+        plain = TranscriptionService(
+            params, CFG, batch_size=2, language="en", bf16=False
+        )
+        try:
+            ref = plain.transcribe(audio, timeout=600)
+        finally:
+            plain.close()
+        tree = TranscriptionService(
+            params, CFG, batch_size=2, language="en", bf16=False,
+            medusa_params=heads,
+            medusa_tree=((-1, 0), (-1, 1), (0, 0)),
+        )
+        try:
+            out = tree.transcribe(audio, timeout=600)
+        finally:
+            tree.close()
+        assert out["text"] == ref["text"]
+
     def test_draft_excludes_beam(self):
         params = init_params(CFG, seed=0)
         with pytest.raises(ValueError):

@@ -112,6 +112,16 @@ def main(argv=None):
         "--freeze-encoder", action="store_true",
         help="decoder-only fine-tune (random frozen encoder: ablation)",
     )
+    p.add_argument(
+        "--save-every", type=int, default=None,
+        help="checkpoint interval (default: min(steps//8, 250) — a wedged "
+        "tunnel should cost minutes of progress, not the whole run)",
+    )
+    p.add_argument(
+        "--steps-per-call", type=int, default=8,
+        help="optimizer steps per device dispatch (train_chunk); host "
+        "dispatch+transfer dominates the tunnel-bound step time",
+    )
     args = p.parse_args(argv)
 
     data_root = os.path.join(args.out, "data")
@@ -173,7 +183,8 @@ def main(argv=None):
         batch_size=args.batch_size,
         learning_rate=args.lr,
         validate_every=max(args.steps // 4, 1),
-        save_every=max(args.steps // 8, 1),
+        save_every=args.save_every or max(min(args.steps // 8, 250), 1),
+        steps_per_call=args.steps_per_call,
         freeze_encoder=args.freeze_encoder,
         warmup_steps=min(200, args.steps // 10),
         lr_decay="cosine",

@@ -401,3 +401,67 @@ class TestEncoderFeatureCache:
         )
         # float16 disk round-trip: small tolerance
         assert float(loss_mel) == pytest.approx(float(loss_feat), abs=2e-3)
+
+
+class TestStepsPerCall:
+    def test_train_steps_per_call_matches_sequential(
+        self, dataset_json, tmp_path
+    ):
+        """train(steps_per_call=4) == train(steps_per_call=1): identical
+        final loss + params, checkpoints land on the same boundaries."""
+        from dataclasses import replace
+
+        import whisper_ipa_tpu.config as config_mod
+        from whisper_ipa_tpu.models import flatten_params
+        from whisper_ipa_tpu.train.checkpoints import load_safetensors_flat
+        from whisper_ipa_tpu.train.loop import train
+
+        config_mod.CONFIGS["test-micro"] = replace(
+            config_mod.CONFIGS["test-tiny"], name="test-micro"
+        )
+        outs = {}
+        for spc in (1, 4):
+            out = str(tmp_path / f"run_spc{spc}")
+            summary = train(
+                model_name="test-micro",
+                train_data_path=dataset_json,
+                test_data_path=dataset_json,
+                output_dir=out,
+                num_steps=6,
+                batch_size=2,
+                learning_rate=1e-4,
+                validate_every=0,
+                save_every=3,
+                data_parallel=False,
+                final_validate=False,
+                seed=11,
+                steps_per_call=spc,
+            )
+            assert os.path.isdir(os.path.join(out, "checkpoint-3"))
+            assert os.path.isdir(os.path.join(out, "checkpoint-6"))
+            outs[spc] = (summary, out)
+
+        s1, o1 = outs[1]
+        s4, o4 = outs[4]
+        assert s1["final_loss"] == pytest.approx(s4["final_loss"], rel=1e-5)
+        a = load_safetensors_flat(
+            os.path.join(o1, "checkpoint-6", "model.safetensors")
+        )
+        b = load_safetensors_flat(
+            os.path.join(o4, "checkpoint-6", "model.safetensors")
+        )
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_allclose(
+                a[k], b[k], atol=1e-6,
+                err_msg=f"{k} diverged between steps_per_call=1 and 4",
+            )
+        # the CSV still logs the same steps (multiples of 10 or <=5)
+        def logged(out):
+            with open(os.path.join(out, "training_log.csv")) as f:
+                return [
+                    int(r.split(",")[0])
+                    for r in f.read().strip().splitlines()[1:]
+                ]
+
+        assert logged(o1) == logged(o4)

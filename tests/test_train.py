@@ -268,3 +268,140 @@ class TestMemoryOptions:
         p2["encoder"] = enc
         feats = encode(p2, CFG, mel, dtype=jnp.bfloat16)
         assert np.isfinite(np.asarray(feats, np.float32)).all()
+
+
+class TestTrainChunk:
+    """train_chunk: C optimizer steps per dispatch == C train_step calls."""
+
+    def _batches(self, n, widths=None):
+        rng = np.random.default_rng(7)
+        out = []
+        for i in range(n):
+            mel = rng.standard_normal((2, N_MEL_FRAMES, CFG.n_mels)).astype(
+                np.float32
+            )
+            w = widths[i] if widths else 8
+            tokens = np.full((2, w), EOT, np.int64)
+            tokens[:, :4] = [50258, 50259, 50359, 50363]
+            tokens[0, 4] = 100 + i
+            tokens[1, 4 : min(6, w)] = 200 + i
+            out.append((mel, tokens))
+        return out
+
+    def test_matches_sequential_steps(self, batch):
+        from whisper_ipa_tpu.train import train_chunk
+
+        batches = self._batches(3)
+        p1 = init_params(CFG, seed=0)
+        p2 = init_params(CFG, seed=0)
+
+        state_a, tx = create_train_state(p1, learning_rate=1e-3)
+        seq_losses = []
+        for mel, tokens in batches:
+            state_a, loss = train_step(
+                state_a, jnp.asarray(mel), jnp.asarray(tokens), CFG, tx, EOT
+            )
+            seq_losses.append(float(loss))
+
+        state_b, tx2 = create_train_state(p2, learning_rate=1e-3)
+        mels = jnp.asarray(np.stack([m for m, _ in batches]))
+        toks = jnp.asarray(np.stack([t for _, t in batches]))
+        state_b, losses = train_chunk(state_b, mels, toks, CFG, tx2, EOT)
+
+        assert int(state_b.step) == int(state_a.step) == 3
+        np.testing.assert_allclose(
+            np.asarray(losses), np.asarray(seq_losses), rtol=1e-6
+        )
+        a = flatten_params(state_a.params)
+        b = flatten_params(state_b.params)
+        for k in a:
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]), atol=1e-7,
+                err_msg=f"param {k} diverged between chunked and sequential",
+            )
+
+    def test_trailing_eot_pad_is_loss_exact(self, batch):
+        """Chunk-wide EOT right-pad must not change any step's loss."""
+        from whisper_ipa_tpu.train import train_chunk
+
+        batches = self._batches(2, widths=[8, 12])
+        p1 = init_params(CFG, seed=0)
+        p2 = init_params(CFG, seed=0)
+
+        state_a, tx = create_train_state(p1, learning_rate=1e-3)
+        seq_losses = []
+        for mel, tokens in batches:
+            state_a, loss = train_step(
+                state_a, jnp.asarray(mel), jnp.asarray(tokens), CFG, tx, EOT
+            )
+            seq_losses.append(float(loss))
+
+        # pad batch 0's tokens from 8 -> 12 with EOT (what the loop does)
+        padded = np.full((2, 12), EOT, np.int64)
+        padded[:, :8] = batches[0][1]
+        mels = jnp.asarray(np.stack([batches[0][0], batches[1][0]]))
+        toks = jnp.asarray(np.stack([padded, batches[1][1]]))
+        state_b, tx2 = create_train_state(p2, learning_rate=1e-3)
+        state_b, losses = train_chunk(state_b, mels, toks, CFG, tx2, EOT)
+
+        np.testing.assert_allclose(
+            np.asarray(losses), np.asarray(seq_losses), rtol=1e-6
+        )
+
+    def test_sharded_chunk_matches(self, batch):
+        """(C, B, ...) chunk sharded over the 8-device 'data' axis."""
+        from whisper_ipa_tpu.parallel.mesh import shard_chunk
+        from whisper_ipa_tpu.train import train_chunk
+
+        mesh = make_mesh()
+        rng = np.random.default_rng(3)
+        mels = rng.standard_normal(
+            (2, 8, N_MEL_FRAMES, CFG.n_mels)
+        ).astype(np.float32)
+        toks = np.full((2, 8, 8), EOT, np.int64)
+        toks[..., :4] = [50258, 50259, 50359, 50363]
+        toks[..., 4] = 99
+
+        p1 = init_params(CFG, seed=0)
+        p2 = init_params(CFG, seed=0)
+        state_a, tx = create_train_state(p1, learning_rate=1e-3)
+        state_a, losses_ref = train_chunk(
+            state_a, jnp.asarray(mels), jnp.asarray(toks), CFG, tx, EOT
+        )
+
+        mel_s, tok_s = shard_chunk(mesh, mels, toks)
+        state_b, tx2 = create_train_state(p2, learning_rate=1e-3)
+        state_b, losses_s = train_chunk(state_b, mel_s, tok_s, CFG, tx2, EOT)
+
+        np.testing.assert_allclose(
+            np.asarray(losses_s), np.asarray(losses_ref), rtol=1e-5
+        )
+
+    def test_chunk_len_boundaries(self):
+        """The loop's chunk sizing: power-of-two, never crossing a
+        validation/checkpoint boundary (mirrors _chunk_len in train())."""
+
+        def chunk_len(step, num_steps, validate_every, save_every, spc):
+            dist = num_steps - step
+            for period in (validate_every, save_every):
+                if period:
+                    dist = min(dist, period - step % period)
+            n = max(1, min(spc, dist))
+            while n & (n - 1):
+                n &= n - 1
+            return n
+
+        # boundary at 10 (validate): from step 7 only 2 steps (pow2 of 3)
+        assert chunk_len(7, 100, 10, 50, 8) == 2
+        assert chunk_len(8, 100, 10, 50, 8) == 2
+        assert chunk_len(10, 100, 10, 50, 8) == 8
+        # end of run caps the chunk
+        assert chunk_len(98, 100, 0, 0, 8) == 2
+        # walk a full schedule: every boundary must be hit exactly
+        step, hits = 0, []
+        while step < 40:
+            n = chunk_len(step, 40, 10, 8, 8)
+            step += n
+            if step % 10 == 0:
+                hits.append(step)
+        assert hits == [10, 20, 30, 40]

@@ -57,6 +57,21 @@ def shard_batch(mesh: Optional[Mesh], *arrays):
     return out if len(out) > 1 else out[0]
 
 
+def shard_chunk(mesh: Optional[Mesh], *arrays):
+    """Place (C, B, ...) multi-step chunks with axis 1 (batch) sharded
+    over 'data' — the chunk axis C is a time axis (lax.scan steps in
+    train_chunk), never sharded."""
+    if mesh is None:
+        return arrays if len(arrays) > 1 else arrays[0]
+    out = tuple(
+        jax.device_put(
+            a, NamedSharding(mesh, P(None, "data", *([None] * (a.ndim - 2))))
+        )
+        for a in arrays
+    )
+    return out if len(out) > 1 else out[0]
+
+
 def replicate(mesh: Optional[Mesh], tree):
     """Fully replicate a pytree over the mesh."""
     if mesh is None:

@@ -18,7 +18,7 @@ from .optimizer import (
     decoder_only_mask,
     make_optimizer,
 )
-from .step import TrainState, create_train_state, train_step
+from .step import TrainState, create_train_state, train_chunk, train_step
 
 __all__ = [
     "TrainState",
@@ -39,6 +39,7 @@ __all__ = [
     "save_checkpoint",
     "save_training_config",
     "train",
+    "train_chunk",
     "train_step",
     "validate",
 ]

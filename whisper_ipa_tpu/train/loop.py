@@ -22,7 +22,7 @@ from ..decode import DecodingOptions, decode
 from ..metrics import evaluate_batch
 from ..models import init_params, load_safetensors_flat, params_from_flat
 from ..models.whisper import count_parameters
-from ..parallel.mesh import make_mesh, shard_batch
+from ..parallel.mesh import make_mesh, shard_batch, shard_chunk
 from .checkpoints import (
     check_vocab_provenance,
     latest_checkpoint,
@@ -36,7 +36,7 @@ from .logger import (
     get_hardware_info,
     save_training_config,
 )
-from .step import create_train_state, train_step
+from .step import create_train_state, train_chunk, train_step
 
 
 def validate(
@@ -138,6 +138,7 @@ def train(
     cache_encoder: bool = False,
     freeze_encoder: bool = True,
     bf16_head: bool = False,
+    steps_per_call: int = 1,
 ) -> Dict:
     """Main training entry point (reference-compatible surface + resume).
 
@@ -394,69 +395,165 @@ def train(
     )
     if multi:
         from ..parallel.distributed import global_batch_from_local
+    if steps_per_call > 1 and multi:
+        # chunking stacks LOCAL batches; the global-batch assembly is
+        # per-call host work and has not been chunk-adapted — fall back
+        print("steps_per_call > 1 is single-host only; using 1")
+        steps_per_call = 1
+
+    def _chunk_len(step: int) -> int:
+        """Steps to run in the next dispatch: never crosses a host-work
+        boundary (validation, checkpoint, profiler window, end of run)
+        and is a power of two so jit compiles O(log C) programs, not one
+        per residue."""
+        dist = num_steps - step
+        for period in (validate_every, save_every):
+            if period:
+                dist = min(dist, period - step % period)
+        if profile_dir:
+            # the profiler traces steps start+10..start+15 one dispatch
+            # at a time: chunks must not straddle the window edges
+            for trig in (start_step + 10, start_step + 15):
+                if step < trig:
+                    dist = min(dist, trig - step)
+        n = max(1, min(steps_per_call, dist))
+        while n & (n - 1):
+            n &= n - 1
+        return n
+
+    def _stack_batches(batches):
+        """Stack C loader batches into (C, B, ...) arrays. Bucketed token
+        widths may differ across the chunk; right-pad with EOT to the
+        chunk max — loss-exact (eot_loss_mask keeps only the first EOT
+        and pad positions are causal-masked)."""
+        import numpy as _np
+
+        tw = max(b["tokens"].shape[1] for b in batches)
+        toks = []
+        for b in batches:
+            t = b["tokens"]
+            if t.shape[1] < tw:
+                pad = _np.full(
+                    (t.shape[0], tw - t.shape[1]), eot, dtype=t.dtype
+                )
+                t = _np.concatenate([t, pad], axis=1)
+            toks.append(t)
+        return (
+            _np.stack([b["mel_features"] for b in batches]),
+            _np.stack(toks),
+        )
 
     try:
         step = start_step
-        for batch in loader:
-            step += 1
+        batch_iter = iter(loader)
+        while step < num_steps:
+            n = _chunk_len(step)
+            batches = []
+            for _ in range(n):
+                nxt = next(batch_iter, None)
+                if nxt is None:
+                    break
+                batches.append(nxt)
+            if not batches:
+                break
+            n = len(batches)
             try:
                 step_start = time.time()
                 if multi:
                     import numpy as _np
 
+                    batch = batches[0]
                     mel = global_batch_from_local(
                         mesh, _np.asarray(batch["mel_features"])
                     )
                     tokens = global_batch_from_local(
                         mesh, _np.asarray(batch["tokens"])
                     )
-                else:
+                elif n == 1:
+                    batch = batches[0]
                     mel = jnp.asarray(batch["mel_features"])
                     tokens = jnp.asarray(batch["tokens"])
                     if mesh is not None:
                         mel, tokens = shard_batch(mesh, mel, tokens)
-                if profile_dir and step == start_step + 10:
+                else:
+                    mels_np, toks_np = _stack_batches(batches)
+                    if mesh is not None:
+                        mel, tokens = shard_chunk(mesh, mels_np, toks_np)
+                    else:
+                        mel = jnp.asarray(mels_np)
+                        tokens = jnp.asarray(toks_np)
+                if profile_dir and step + 1 == start_step + 10:
                     jax.profiler.start_trace(profile_dir)
-                state, loss = train_step(
-                    state,
-                    mel,
-                    tokens,
-                    cfg,
-                    tx,
-                    eot,
-                    freeze_encoder=freeze_encoder,
-                    dtype_name=compute_dtype,
-                    remat=remat,
-                    blockwise=blockwise_loss,
-                    inputs_are_features=cache_encoder,
-                    bf16_head=bf16_head,
-                )
+                if n == 1:
+                    state, loss = train_step(
+                        state,
+                        mel,
+                        tokens,
+                        cfg,
+                        tx,
+                        eot,
+                        freeze_encoder=freeze_encoder,
+                        dtype_name=compute_dtype,
+                        remat=remat,
+                        blockwise=blockwise_loss,
+                        inputs_are_features=cache_encoder,
+                        bf16_head=bf16_head,
+                    )
+                    losses = None
+                else:
+                    state, losses = train_chunk(
+                        state,
+                        mel,
+                        tokens,
+                        cfg,
+                        tx,
+                        eot,
+                        freeze_encoder=freeze_encoder,
+                        dtype_name=compute_dtype,
+                        remat=remat,
+                        blockwise=blockwise_loss,
+                        inputs_are_features=cache_encoder,
+                        bf16_head=bf16_head,
+                    )
+                    loss = losses[-1]
+                prev_step, step = step, step + n
                 if profile_dir and step == start_step + 15:
                     jax.profiler.stop_trace()
                 # fetch the loss to host only when logging: a per-step
                 # device->host sync serializes the pipeline (very costly
                 # over remote-tunnel transports)
                 latest_loss = loss
-                step_time = time.time() - step_start
+                step_time = (time.time() - step_start) / n
 
-                if step % 10 == 0 or step <= 5:
-                    loss_val = float(loss)
-                    latest_loss = loss_val
-                    print(
-                        console_step_line(
-                            step, num_steps, loss_val, step_time, batch_size
+                log_steps = [
+                    s
+                    for s in range(prev_step + 1, step + 1)
+                    if s % 10 == 0 or s <= 5
+                ]
+                if log_steps:
+                    losses_host = (
+                        [float(loss)]
+                        if losses is None
+                        else list(map(float, losses))
+                    )
+                    latest_loss = losses_host[-1]
+                    for s in log_steps:
+                        loss_val = losses_host[s - prev_step - 1]
+                        print(
+                            console_step_line(
+                                s, num_steps, loss_val, step_time, batch_size
+                            )
                         )
-                    )
-                    logger.log_train_step(
-                        step,
-                        loss_val,
-                        lr_at(step),
-                        step_time,
-                        batch_size,
-                        time.time() - start_time,
-                    )
+                        logger.log_train_step(
+                            s,
+                            loss_val,
+                            lr_at(s),
+                            step_time,
+                            batch_size,
+                            time.time() - start_time,
+                        )
 
-                if step % 200 == 0:
+                if step % 200 < n:
                     # long runs on remote-tunnel backends showed host RSS
                     # growing ~one mel batch per step and step dispatch
                     # slowing in lockstep, both reset by validation's

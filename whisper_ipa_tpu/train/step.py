@@ -55,6 +55,49 @@ def create_train_state(
     )
 
 
+def _apply_update(
+    state: TrainState,
+    mel,
+    tokens,
+    cfg: WhisperConfig,
+    tx: optax.GradientTransformation,
+    eot: int,
+    freeze_encoder: bool,
+    dtype_name: str,
+    remat: bool,
+    blockwise: bool,
+    inputs_are_features: bool,
+    bf16_head: bool,
+) -> Tuple[TrainState, jax.Array]:
+    """Traced body shared by train_step (one dispatch per step) and
+    train_chunk (one dispatch per C steps)."""
+
+    def loss_fn(params):
+        return compute_loss(
+            params,
+            cfg,
+            mel if not inputs_are_features else None,
+            tokens,
+            eot,
+            audio_features=mel if inputs_are_features else None,
+            freeze_encoder=freeze_encoder,
+            dtype=jnp.dtype(dtype_name),
+            remat=remat,
+            blockwise=blockwise,
+            bf16_head=bf16_head,
+        )
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return (
+        TrainState(
+            step=state.step + 1, params=new_params, opt_state=new_opt_state
+        ),
+        loss,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -90,28 +133,55 @@ def train_step(
     sample, so caching them removes ~2/3 of the step's FLOPs (the encoder
     forward). See train(cache_encoder=True).
     """
+    return _apply_update(
+        state, mel, tokens, cfg, tx, eot, freeze_encoder, dtype_name,
+        remat, blockwise, inputs_are_features, bf16_head,
+    )
 
-    def loss_fn(params):
-        return compute_loss(
-            params,
-            cfg,
-            mel if not inputs_are_features else None,
-            tokens,
-            eot,
-            audio_features=mel if inputs_are_features else None,
-            freeze_encoder=freeze_encoder,
-            dtype=jnp.dtype(dtype_name),
-            remat=remat,
-            blockwise=blockwise,
-            bf16_head=bf16_head,
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "tx", "eot", "freeze_encoder", "dtype_name", "remat",
+        "blockwise", "inputs_are_features", "bf16_head",
+    ),
+    donate_argnames=("state",),
+)
+def train_chunk(
+    state: TrainState,
+    mels,
+    tokens,
+    cfg: WhisperConfig,
+    tx: optax.GradientTransformation,
+    eot: int,
+    freeze_encoder: bool = True,
+    dtype_name: str = "float32",
+    remat: bool = False,
+    blockwise: bool = False,
+    inputs_are_features: bool = False,
+    bf16_head: bool = False,
+) -> Tuple[TrainState, jax.Array]:
+    """C optimization steps in ONE dispatch. Returns (new_state, losses).
+
+    mels: (C, B, 3000, n_mels) — or (C, B, n_audio_ctx, d) features;
+    tokens: (C, B, S). lax.scan over the leading axis runs the exact
+    train_step body C times, so the result is numerically identical to C
+    sequential train_step calls (tests/test_train.py asserts bitwise
+    equality) — but the host pays ONE transfer + ONE dispatch instead of
+    C. On remote-tunnel transports (axon: ~0.1-0.4 s per device call,
+    ~100 MB/s uploads serialized per call) per-call overhead dominates
+    the 60 ms device step, so chunking is a 3-10x wall-clock lever; on
+    local hosts it still amortizes dispatch. Trailing-EOT token padding
+    is loss-exact (eot_loss_mask keeps only the first EOT; pad positions
+    are causal-masked), so batches of different bucketed widths stack
+    into one chunk by padding to the chunk max.
+    """
+
+    def body(st, xs):
+        mel_i, tok_i = xs
+        return _apply_update(
+            st, mel_i, tok_i, cfg, tx, eot, freeze_encoder, dtype_name,
+            remat, blockwise, inputs_are_features, bf16_head,
         )
 
-    loss, grads = jax.value_and_grad(loss_fn)(state.params)
-    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-    new_params = optax.apply_updates(state.params, updates)
-    return (
-        TrainState(
-            step=state.step + 1, params=new_params, opt_state=new_opt_state
-        ),
-        loss,
-    )
+    return jax.lax.scan(body, state, (mels, tokens))

@@ -405,3 +405,24 @@ class TestTrainChunk:
             if step % 10 == 0:
                 hits.append(step)
         assert hits == [10, 20, 30, 40]
+
+
+class TestBF16Upload:
+    def test_host_bf16_cast_upload_is_exact(self, params, batch):
+        """The loop uploads bf16 mels when compute_dtype=bfloat16; host
+        RN-even cast must equal the on-device mel.astype(bfloat16)."""
+        import ml_dtypes
+
+        mel, tokens = batch
+        from whisper_ipa_tpu.train import compute_loss
+
+        l_f32_upload = float(
+            compute_loss(params, CFG, mel, tokens, EOT, dtype=jnp.bfloat16)
+        )
+        mel_host = jnp.asarray(np.asarray(mel).astype(ml_dtypes.bfloat16))
+        l_bf16_upload = float(
+            compute_loss(
+                params, CFG, mel_host, tokens, EOT, dtype=jnp.bfloat16
+            )
+        )
+        assert l_f32_upload == l_bf16_upload

@@ -421,6 +421,19 @@ def train(
             n &= n - 1
         return n
 
+    def _cast_upload(mel_np):
+        """bfloat16 training: cast mels/features to bf16 ON HOST before
+        the upload. Both consumers cast at entry anyway (encode:
+        mel.astype(dtype); decoder_hidden: audio_features.astype(dtype)),
+        so this is numerically identical — it just halves the upload
+        bytes, which matter at ~100 MB/s on remote-tunnel transports."""
+        if compute_dtype != "bfloat16":
+            return mel_np
+        import ml_dtypes
+        import numpy as _np
+
+        return _np.asarray(mel_np).astype(ml_dtypes.bfloat16)
+
     def _stack_batches(batches):
         """Stack C loader batches into (C, B, ...) arrays. Bucketed token
         widths may differ across the chunk; right-pad with EOT to the
@@ -439,7 +452,7 @@ def train(
                 t = _np.concatenate([t, pad], axis=1)
             toks.append(t)
         return (
-            _np.stack([b["mel_features"] for b in batches]),
+            _cast_upload(_np.stack([b["mel_features"] for b in batches])),
             _np.stack(toks),
         )
 
@@ -471,7 +484,7 @@ def train(
                     )
                 elif n == 1:
                     batch = batches[0]
-                    mel = jnp.asarray(batch["mel_features"])
+                    mel = jnp.asarray(_cast_upload(batch["mel_features"]))
                     tokens = jnp.asarray(batch["tokens"])
                     if mesh is not None:
                         mel, tokens = shard_batch(mesh, mel, tokens)

@@ -186,3 +186,38 @@ def test_valid_target_mask_includes_first_eot():
         [True, False, False, False, False],
         [True, True, True, True, True],
     ]
+
+
+def test_train_medusa_steps_per_call_equivalent(tmp_path):
+    """--steps-per-call 2 draws the same batch sequence and runs the
+    same step math as sequential: saved heads must match."""
+    import json
+
+    from whisper_ipa_tpu.audio import write_wav
+    from whisper_ipa_tpu.cli.train_medusa import main as train_main
+    from whisper_ipa_tpu.data.synth import synthesize_ipa
+
+    entries = []
+    for i, ipa in enumerate(["ka", "ti"]):
+        path = str(tmp_path / f"b{i}.wav")
+        write_wav(path, synthesize_ipa(ipa, seed=i))
+        entries.append({"audio_path": path, "ipa_transcription": ipa})
+    jp = str(tmp_path / "train.json")
+    with open(jp, "w") as f:
+        json.dump(entries, f, ensure_ascii=False)
+
+    outs = {}
+    for spc in (1, 2):
+        out = str(tmp_path / f"heads{spc}.safetensors")
+        train_main(
+            ["--model", "test-tiny", "--train-data", jp, "--steps", "2",
+             "--batch-size", "2", "--n-heads", "2", "--output", out,
+             "--log-every", "1", "--steps-per-call", str(spc)]
+        )
+        outs[spc] = load_medusa(out)
+    for h1, h2 in zip(outs[1]["heads"], outs[2]["heads"]):
+        for k in h1:
+            np.testing.assert_allclose(
+                np.asarray(h1[k]), np.asarray(h2[k]), atol=2e-6,
+                err_msg=f"head param {k} diverged under steps_per_call",
+            )

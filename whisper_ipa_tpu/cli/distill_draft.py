@@ -51,6 +51,11 @@ def main(argv=None):
     p.add_argument("--token-len", type=int, default=128,
                    help="fixed token width (one compiled step program)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--steps-per-call", type=int, default=8,
+        help="optimizer steps per device dispatch (lax.scan over stacked "
+        "batches; amortizes remote-tunnel dispatch + upload)",
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -127,23 +132,56 @@ def main(argv=None):
         )
         return np.concatenate([tok, pad], axis=1)
 
+    # C steps per dispatch (fixed token width -> one stacked shape):
+    # amortizes the remote-tunnel upload + dispatch, numerically the
+    # same scan of the identical step body
+    @jax.jit
+    def chunk(student, teacher, opt_state, mels, toks):
+        def body(carry, xs):
+            st, os_ = carry
+            mel_i, tok_i = xs
+            st, os_, loss = step(st, teacher, os_, mel_i, tok_i)
+            return (st, os_), loss
+
+        (student, opt_state), losses = jax.lax.scan(
+            body, (student, opt_state), (mels, toks)
+        )
+        return student, opt_state, losses
+
+    import ml_dtypes
+
     rng = np.random.default_rng(args.seed)
     t0 = time.time()
     loss = None
-    for i in range(1, args.steps + 1):
-        idx = rng.choice(
-            len(dataset), args.batch_size,
-            replace=args.batch_size > len(dataset),
+    i = 0
+    spc = max(1, args.steps_per_call)
+    while i < args.steps:
+        n = args.steps - i
+        if args.save_every:
+            n = min(n, args.save_every - i % args.save_every)
+        n = min(n, spc)
+        while n & (n - 1):  # power-of-two chunks bound compile count
+            n &= n - 1
+        batches = []
+        for _ in range(n):
+            idx = rng.choice(
+                len(dataset), args.batch_size,
+                replace=args.batch_size > len(dataset),
+            )
+            batches.append(dataset.get_batch(idx.tolist()))
+        mels = np.stack(
+            [np.asarray(b["mel_features"]) for b in batches]
+        ).astype(ml_dtypes.bfloat16)  # compute_distill_loss runs bf16
+        toks = np.stack(
+            [pad_tokens(np.asarray(b["tokens"])) for b in batches]
         )
-        batch = dataset.get_batch(idx.tolist())
-        student, opt_state, loss = step(
-            student,
-            teacher,
-            opt_state,
-            jnp.asarray(batch["mel_features"]),
-            jnp.asarray(pad_tokens(np.asarray(batch["tokens"]))),
+        student, opt_state, losses = chunk(
+            student, teacher, opt_state, jnp.asarray(mels),
+            jnp.asarray(toks),
         )
-        if i % args.log_every == 0 or i == 1:
+        loss = losses[-1]
+        prev, i = i, i + n
+        if i % args.log_every < n or prev == 0:
             print(
                 f"step {i}/{args.steps}: distill loss {float(loss):.4f} "
                 f"({(time.time() - t0) / i:.2f} s/step)",

@@ -46,6 +46,11 @@ def main(argv=None):
     p.add_argument("--mel-cache-dir", default=None)
     p.add_argument("--log-every", type=int, default=25)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--steps-per-call", type=int, default=8,
+        help="head-optimizer steps per device dispatch (lax.scan over "
+        "stacked batches; amortizes remote-tunnel dispatch + upload)",
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -100,16 +105,74 @@ def main(argv=None):
         )
     )
 
+    # C steps per dispatch: the frozen-model forward + head update scan
+    # on device over C stacked batches — one upload + one dispatch per
+    # chunk instead of 2C (hidden_fn, step_fn) round trips. Trailing EOT
+    # token pad is loss-exact (medusa_losses masks past the first EOT).
+    def chunk_steps(mp, os_, mels, toks):
+        def body(carry, xs):
+            mp, os_ = carry
+            mel_i, tok_i = xs
+            h = decoder_hidden(
+                params, cfg, tok_i,
+                encode(params, cfg, mel_i, dtype=jnp.bfloat16),
+                dtype=jnp.bfloat16,
+            )
+            mp, os_, loss = train_medusa_step(
+                mp, os_, tx, params, cfg, h, tok_i, eot
+            )
+            return (mp, os_), loss
+
+        (mp, os_), losses = jax.lax.scan(body, (mp, os_), (mels, toks))
+        return mp, os_, losses
+
+    chunk_fn = jax.jit(chunk_steps)
+
+    def stack_pad(batches_):
+        tw = max(b["tokens"].shape[1] for b in batches_)
+        toks = []
+        for b in batches_:
+            t = np.asarray(b["tokens"])
+            if t.shape[1] < tw:
+                t = np.concatenate(
+                    [t, np.full((t.shape[0], tw - t.shape[1]), eot,
+                                t.dtype)], axis=1,
+                )
+            toks.append(t)
+        import ml_dtypes
+
+        mels = np.stack(
+            [np.asarray(b["mel_features"]) for b in batches_]
+        ).astype(ml_dtypes.bfloat16)  # encode casts to bf16 at entry
+        return jnp.asarray(mels), jnp.asarray(np.stack(toks))
+
     rng = np.random.default_rng(args.seed)
     t0 = time.time()
-    for step in range(1, args.steps + 1):
-        idx = rng.choice(len(dataset), args.batch_size, replace=True)
-        batch = dataset.get_batch(idx)
-        mel = jnp.asarray(batch["mel_features"])
-        tokens = jnp.asarray(batch["tokens"])
-        hidden = hidden_fn(params, mel, tokens)
-        medusa, opt_state, loss = step_fn(medusa, opt_state, hidden, tokens)
-        if step % args.log_every == 0 or step == 1:
+    step = 0
+    spc = max(1, args.steps_per_call)
+    while step < args.steps:
+        n = min(spc, args.steps - step)
+        while n & (n - 1):  # power-of-two chunks bound compile count
+            n &= n - 1
+        batches = []
+        for _ in range(n):
+            idx = rng.choice(len(dataset), args.batch_size, replace=True)
+            batches.append(dataset.get_batch(idx))
+        if n == 1:
+            mel = jnp.asarray(batches[0]["mel_features"])
+            tokens = jnp.asarray(batches[0]["tokens"])
+            hidden = hidden_fn(params, mel, tokens)
+            medusa, opt_state, loss = step_fn(
+                medusa, opt_state, hidden, tokens
+            )
+        else:
+            mels, toks = stack_pad(batches)
+            medusa, opt_state, losses = chunk_fn(
+                medusa, opt_state, mels, toks
+            )
+            loss = losses[-1]
+        prev, step = step, step + n
+        if step % args.log_every < n or prev == 0:
             print(
                 f"step {step}/{args.steps}: head loss {float(loss):.4f} "
                 f"({(time.time() - t0) / step:.2f} s/step)",

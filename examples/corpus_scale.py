@@ -122,7 +122,18 @@ def main(argv=None):
         help="optimizer steps per device dispatch (train_chunk); host "
         "dispatch+transfer dominates the tunnel-bound step time",
     )
+    p.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (the axon site hook overrides "
+        "JAX_PLATFORMS, so this must be a post-import config update) — "
+        "for micro-model runs when the TPU tunnel is unavailable",
+    )
     args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     data_root = os.path.join(args.out, "data")
     train_json = os.path.join(data_root, "train.json")

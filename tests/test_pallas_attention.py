@@ -240,3 +240,129 @@ class TestDecodeCrossAttentionKernel:
         finally:
             layers._DECODE_KERNEL = prev
         assert float(jnp.max(jnp.abs(got - want))) < 1e-4
+
+
+class TestMergedAttention:
+    """Head-merged kernel I/O (fused_attention_merged): (B, T, d) in/out."""
+
+    def _merged_ref(self, q, k, v, n_head, scale):
+        b, tq, d = q.shape
+        dh = d // n_head
+
+        def split(x):
+            return x.reshape(b, -1, n_head, dh).transpose(0, 2, 1, 3)
+
+        ref = reference_attention(
+            split(q * scale), split(k * scale), split(v)
+        )
+        return ref.transpose(0, 2, 1, 3).reshape(b, tq, d)
+
+    @pytest.mark.parametrize("tq,tk,n_head", [(256, 256, 4), (130, 257, 2)])
+    def test_matches_reference(self, tq, tk, n_head):
+        from whisper_ipa_tpu.ops.attention import fused_attention_merged
+
+        d = 64 * n_head
+        rng = np.random.default_rng(2)
+        q = rng.standard_normal((2, tq, d)).astype(np.float32) * 0.3
+        k = rng.standard_normal((2, tk, d)).astype(np.float32) * 0.3
+        v = rng.standard_normal((2, tk, d)).astype(np.float32)
+        s4 = 64 ** -0.25  # per-operand scale, total dh**-0.5 on logits
+        out = np.asarray(
+            fused_attention_merged(
+                jnp.asarray(q * s4), jnp.asarray(k * s4),
+                jnp.asarray(v), n_head, interpret=True,
+            )
+        )
+        ref = self._merged_ref(q, k, v, n_head, s4)
+        assert out.shape == ref.shape
+        assert np.max(np.abs(out - ref)) < 2e-5
+
+    def test_in_kernel_scale(self):
+        """scale folded into the kernel's q block == pre-scaled inputs."""
+        from whisper_ipa_tpu.ops.attention import fused_attention_merged
+
+        rng = np.random.default_rng(3)
+        q = rng.standard_normal((1, 130, 128)).astype(np.float32)
+        k = rng.standard_normal((1, 200, 128)).astype(np.float32)
+        v = rng.standard_normal((1, 200, 128)).astype(np.float32)
+        s = 64 ** -0.5
+        a = np.asarray(
+            fused_attention_merged(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 2,
+                scale=s, interpret=True,
+            )
+        )
+        b = np.asarray(
+            fused_attention_merged(
+                jnp.asarray(q * s), jnp.asarray(k), jnp.asarray(v), 2,
+                interpret=True,
+            )
+        )
+        np.testing.assert_allclose(a, b, atol=2e-6)
+
+    def test_grad_matches_xla(self):
+        """The custom VJP (flash backward on split heads) == XLA grads."""
+        import jax
+
+        from whisper_ipa_tpu.ops.attention import (
+            _xla_attention,
+            fused_attention_merged,
+        )
+
+        rng = np.random.default_rng(4)
+        n_head, d = 2, 128
+        q = jnp.asarray(rng.standard_normal((1, 136, d)), jnp.float32) * 0.3
+        k = jnp.asarray(rng.standard_normal((1, 150, d)), jnp.float32) * 0.3
+        v = jnp.asarray(rng.standard_normal((1, 150, d)), jnp.float32)
+
+        def split(x):
+            return x.reshape(1, -1, n_head, 64).transpose(0, 2, 1, 3)
+
+        def merge(x):
+            return x.transpose(0, 2, 1, 3).reshape(1, -1, d)
+
+        def f_merged(q, k, v):
+            return (
+                fused_attention_merged(q, k, v, n_head, interpret=True)
+                ** 2
+            ).sum()
+
+        def f_xla(q, k, v):
+            return (
+                merge(_xla_attention(split(q), split(k), split(v))) ** 2
+            ).sum()
+
+        g_m = jax.grad(f_merged, argnums=(0, 1, 2))(q, k, v)
+        g_x = jax.grad(f_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_m, g_x):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-4
+            )
+
+    def test_layers_dispatch(self, monkeypatch):
+        """use_merged_attention routes multi_head_attention through the
+        merged kernel with output matching the einsum core."""
+        import whisper_ipa_tpu.models.layers as L
+
+        rng = np.random.default_rng(5)
+        q = jnp.asarray(rng.standard_normal((1, 256, 128)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 256, 128)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 256, 128)), jnp.float32)
+        ref = np.asarray(L.multi_head_attention(q, k, v, 2))
+
+        # force the merged path through interpret mode (CPU test env)
+        from whisper_ipa_tpu.ops import attention as A
+
+        orig = A.fused_attention_merged
+
+        def merged_interpret(q, k, v, n_head, scale=1.0, interpret=False):
+            return orig(q, k, v, n_head, scale, True)
+
+        monkeypatch.setattr(A, "fused_attention_merged", merged_interpret)
+        monkeypatch.setattr(L, "_fused_eligible", lambda q, mask: mask is None)
+        L.use_merged_attention(True)
+        try:
+            out = np.asarray(L.multi_head_attention(q, k, v, 2))
+        finally:
+            L.use_merged_attention(False)
+        assert np.max(np.abs(out - ref)) < 2e-5

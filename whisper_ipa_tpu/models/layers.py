@@ -210,6 +210,20 @@ def use_fused_attention(enabled) -> None:
     _FUSED_ATTENTION = enabled
 
 
+# Head-merged kernel I/O variant (ops/attention.fused_attention_merged):
+# (B, T, d) operands stay merged through the kernel — no 64-minor lane
+# pad on the HBM I/O, K/V streamed once per q block for ALL heads, and
+# no split/merge transposes. Opt-in pending the TPU A/B (the kernel may
+# be VPU-bound, in which case the saved bandwidth buys nothing):
+# WHISPER_IPA_TPU_MERGED_ATTN=1 or use_merged_attention(True).
+_MERGED_ATTENTION = _os.environ.get("WHISPER_IPA_TPU_MERGED_ATTN") == "1"
+
+
+def use_merged_attention(enabled: bool) -> None:
+    global _MERGED_ATTENTION
+    _MERGED_ATTENTION = enabled
+
+
 def _fused_eligible(q, mask) -> bool:
     if mask is not None:
         return False
@@ -381,6 +395,12 @@ def multi_head_attention(
     scale = d_head ** -0.25
 
     if _fused_eligible(q, mask):
+        if _MERGED_ATTENTION:
+            from ..ops.attention import fused_attention_merged
+
+            return fused_attention_merged(
+                q, k, v, n_head, scale=float(d_head ** -0.5)
+            )
         from ..ops.attention import fused_attention
 
         # the total d_head**-0.5 scale is folded into the kernel's q

@@ -243,6 +243,153 @@ def _flash_attention_bwd_impl(q, k, v, g, scale: float = 1.0,
     )
 
 
+# q rows per grid cell in the MERGED-head kernel. Smaller than the
+# split kernel's 768: blocks are H*Dh wide instead of Dh, so VMEM holds
+# q/out at (BLOCK, d) plus one (BLOCK, T_pad) f32 logits temp.
+BLOCK_Q_MERGED = 512
+
+
+def _attn_kernel_merged(
+    n_head: int, kv_len: int, scale: float, q_ref, k_ref, v_ref, out_ref
+):
+    """Head-merged I/O variant: blocks arrive as (BLOCK, d = H*Dh).
+
+    WHY (r3 verdict item 3 / docs/ROADMAP.md head-merged idea): the
+    split-head kernel's HBM operands are (B*H, T, 64) — the 64-minor
+    axis pads to the 128-lane tile, so every q/k/v/out byte moves twice
+    (docs/PERF.md r2: '2.0x expansion'). Merged (B, T, 768) operands
+    have a tile-aligned minor dim (no pad), K/V stream ONCE per q block
+    for all heads instead of once per head, and the four split/merge
+    transposes around the kernel (models/layers._split_heads/_merge_
+    heads — real HBM copies) disappear. Heads are separated INSIDE VMEM
+    by static 64-wide lane slices. Whether the on-chip slicing costs
+    more than the saved bandwidth is the open A/B (the kernel measured
+    36% MFU, i.e. possibly VPU-bound, not HBM-bound) — measured on TPU
+    via perf/bench_enc_attn.py.
+    """
+    d = q_ref.shape[-1]
+    dh = d // n_head
+    q = q_ref[0]  # (BLOCK, d)
+    if scale != 1.0:
+        q = q * jnp.asarray(scale, q.dtype)
+    k = k_ref[0]  # (T_pad, d)
+    v = v_ref[0]
+
+    t_pad = k.shape[0]
+    if t_pad > kv_len:
+        # zero undefined V pad rows once for all heads (0 * NaN guard)
+        row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+        v = jnp.where(row < kv_len, v, 0)
+
+    for h in range(n_head):
+        q_h = q[:, h * dh:(h + 1) * dh]
+        k_h = k[:, h * dh:(h + 1) * dh]
+        v_h = v[:, h * dh:(h + 1) * dh]
+        logits = jax.lax.dot_general(
+            q_h, k_h,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BLOCK, T_pad) f32
+        if t_pad > kv_len:
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < kv_len, logits, -jnp.inf)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        out = jnp.dot(
+            p.astype(v_h.dtype), v_h, preferred_element_type=jnp.float32
+        )
+        out_ref[0, :, h * dh:(h + 1) * dh] = (out / denom).astype(
+            out_ref.dtype
+        )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_attention_merged(
+    q, k, v, n_head: int, scale: float = 1.0, interpret: bool = False
+):
+    """(B, Tq, d) x (B, Tk, d) -> (B, Tq, d): fused attention with
+    head-merged kernel I/O (no (B, H, T, 64) intermediates anywhere).
+
+    Forward: _attn_kernel_merged. Backward: the existing flash backward
+    on split heads (training perf is unchanged; this variant targets the
+    inference encode path).
+    """
+    return _fused_attention_merged_impl(q, k, v, n_head, scale, interpret)
+
+
+def _fused_attention_merged_fwd(q, k, v, n_head, scale, interpret):
+    return (
+        _fused_attention_merged_impl(q, k, v, n_head, scale, interpret),
+        (q, k, v),
+    )
+
+
+def _fused_attention_merged_bwd(n_head, scale, interpret, residuals, g):
+    q, k, v = residuals
+
+    def split(x):
+        b, t, d = x.shape
+        return x.reshape(b, t, n_head, d // n_head).transpose(0, 2, 1, 3)
+
+    def merge(x):
+        b, h, t, hd = x.shape
+        return x.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
+
+    on_cpu = False
+    if not interpret:
+        try:
+            on_cpu = jax.devices()[0].platform == "cpu"
+        except Exception:
+            on_cpu = True
+    if on_cpu:
+        _, vjp = jax.vjp(
+            lambda q, k, v: merge(
+                _xla_attention(split(q), split(k), split(v), scale)
+            ),
+            q, k, v,
+        )
+        return vjp(g)
+    dq, dk, dv = _flash_attention_bwd_impl(
+        split(q), split(k), split(v), split(g), scale, interpret
+    )
+    return merge(dq), merge(dk), merge(dv)
+
+
+fused_attention_merged.defvjp(
+    _fused_attention_merged_fwd, _fused_attention_merged_bwd
+)
+
+
+@partial(jax.jit, static_argnames=("n_head", "scale", "interpret"))
+def _fused_attention_merged_impl(
+    q, k, v, n_head: int, scale: float = 1.0, interpret: bool = False
+):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Tq, d = q.shape
+    Tk = k.shape[1]
+    tk_pad = _round_up(Tk, 128)
+
+    grid = (B, _round_up(Tq, BLOCK_Q_MERGED) // BLOCK_Q_MERGED)
+    full_kv = pl.BlockSpec(
+        (1, tk_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    qblock = pl.BlockSpec(
+        (1, BLOCK_Q_MERGED, d), lambda b, i: (b, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        partial(_attn_kernel_merged, n_head, Tk, scale),
+        out_shape=jax.ShapeDtypeStruct((B, Tq, d), q.dtype),
+        grid=grid,
+        in_specs=[qblock, full_kv, full_kv],
+        out_specs=qblock,
+        interpret=interpret,
+    )(q, k, v)
+
+
 def _xla_attention(q, k, v, scale: float = 1.0):
     """Reference unfused path (used for the backward pass)."""
     if scale != 1.0:

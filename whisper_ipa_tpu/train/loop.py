@@ -392,6 +392,10 @@ def train(
         seed=seed + start_step,
         # hosts pad independently: the global assembly needs one shape
         fixed_token_len=min(448, cfg.n_text_ctx) if multi else None,
+        # chunked dispatch drains steps_per_call batches at once: the
+        # worker must be able to buffer a full chunk ahead or the chunk
+        # assembly serializes on per-batch mel loads
+        depth=max(2, 2 * steps_per_call),
     )
     if multi:
         from ..parallel.distributed import global_batch_from_local

@@ -853,6 +853,13 @@ def main():
         "(float32 accumulation; the f32 head is ~7%% of credited FLOPs "
         "but runs at a fraction of MXU peak)",
     )
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (post-import config update; the axon "
+        "site hook overrides JAX_PLATFORMS). Timings are then NOT TPU "
+        "numbers — useful for hardware-independent measurements like "
+        "speculative ACCEPTANCE (tokens/round) when the tunnel is down",
+    )
     args = ap.parse_args()
 
     import os
@@ -864,7 +871,9 @@ def main():
     import subprocess
 
     reachable = True
-    if os.environ.get("WHISPER_IPA_TPU_SKIP_PROBE") != "1":
+    if args.cpu:
+        pass  # CPU backend: no tunnel involved
+    elif os.environ.get("WHISPER_IPA_TPU_SKIP_PROBE") != "1":
         try:
             probe = subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
@@ -891,6 +900,9 @@ def main():
         sys.exit(2)
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     # persistent compilation cache: later runs skip the long XLA compiles
     cache_dir = os.path.expanduser("~/.cache/whisper_ipa_tpu_xla")

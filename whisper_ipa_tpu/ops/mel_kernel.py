@@ -112,9 +112,19 @@ def log_mel_spectrogram_pallas(
     """(B, n_samples) float32 -> (B, n_frames, n_mels) log-mel.
 
     interpret=True runs the kernel in the Pallas interpreter (CPU tests).
+    On a CPU backend the interpreter is forced automatically (Mosaic
+    kernels need an accelerator) so synthetic-data bench/CLI paths run
+    off-TPU without per-callsite fallbacks — slow, but correct (the
+    interpreter path is what the parity tests assert against NumPy).
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if not interpret:
+        try:
+            interpret = jax.devices()[0].platform == "cpu"
+        except Exception:
+            interpret = True
 
     audio = jnp.asarray(audio, jnp.float32)
     squeeze = audio.ndim == 1

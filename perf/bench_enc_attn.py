@@ -26,11 +26,7 @@ def encode_time(mode: str, batch: int, iters: int = 10, model: str = "small"):
     cfg = get_config(model)
     params = init_params(cfg, seed=0)
 
-    L.use_fused_attention(
-        None if mode == "xla" else True
-    )
-    if mode == "xla":
-        L.use_fused_attention(False)
+    L.use_fused_attention(mode != "xla")
     L.use_merged_attention(mode == "merged")
 
     @jax.jit

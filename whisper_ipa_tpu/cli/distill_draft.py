@@ -148,7 +148,7 @@ def main(argv=None):
         )
         return student, opt_state, losses
 
-    import ml_dtypes
+    from ..train.chunking import pow2_floor, stack_pad_batches
 
     rng = np.random.default_rng(args.seed)
     t0 = time.time()
@@ -159,22 +159,18 @@ def main(argv=None):
         n = args.steps - i
         if args.save_every:
             n = min(n, args.save_every - i % args.save_every)
-        n = min(n, spc)
-        while n & (n - 1):  # power-of-two chunks bound compile count
-            n &= n - 1
+        n = pow2_floor(min(n, spc))
         batches = []
         for _ in range(n):
             idx = rng.choice(
                 len(dataset), args.batch_size,
                 replace=args.batch_size > len(dataset),
             )
-            batches.append(dataset.get_batch(idx.tolist()))
-        mels = np.stack(
-            [np.asarray(b["mel_features"]) for b in batches]
-        ).astype(ml_dtypes.bfloat16)  # compute_distill_loss runs bf16
-        toks = np.stack(
-            [pad_tokens(np.asarray(b["tokens"])) for b in batches]
-        )
+            b = dataset.get_batch(idx.tolist())
+            b["tokens"] = pad_tokens(np.asarray(b["tokens"]))
+            batches.append(b)
+        # bf16 mels: compute_distill_loss runs bf16 (entry-cast-exact)
+        mels, toks = stack_pad_batches(batches, eot, bf16_mels=True)
         student, opt_state, losses = chunk(
             student, teacher, opt_state, jnp.asarray(mels),
             jnp.asarray(toks),

@@ -128,32 +128,14 @@ def main(argv=None):
 
     chunk_fn = jax.jit(chunk_steps)
 
-    def stack_pad(batches_):
-        tw = max(b["tokens"].shape[1] for b in batches_)
-        toks = []
-        for b in batches_:
-            t = np.asarray(b["tokens"])
-            if t.shape[1] < tw:
-                t = np.concatenate(
-                    [t, np.full((t.shape[0], tw - t.shape[1]), eot,
-                                t.dtype)], axis=1,
-                )
-            toks.append(t)
-        import ml_dtypes
-
-        mels = np.stack(
-            [np.asarray(b["mel_features"]) for b in batches_]
-        ).astype(ml_dtypes.bfloat16)  # encode casts to bf16 at entry
-        return jnp.asarray(mels), jnp.asarray(np.stack(toks))
+    from ..train.chunking import pow2_floor, stack_pad_batches
 
     rng = np.random.default_rng(args.seed)
     t0 = time.time()
     step = 0
     spc = max(1, args.steps_per_call)
     while step < args.steps:
-        n = min(spc, args.steps - step)
-        while n & (n - 1):  # power-of-two chunks bound compile count
-            n &= n - 1
+        n = pow2_floor(min(spc, args.steps - step))
         batches = []
         for _ in range(n):
             idx = rng.choice(len(dataset), args.batch_size, replace=True)
@@ -166,9 +148,9 @@ def main(argv=None):
                 medusa, opt_state, hidden, tokens
             )
         else:
-            mels, toks = stack_pad(batches)
+            mels, toks = stack_pad_batches(batches, eot, bf16_mels=True)
             medusa, opt_state, losses = chunk_fn(
-                medusa, opt_state, mels, toks
+                medusa, opt_state, jnp.asarray(mels), jnp.asarray(toks)
             )
             loss = losses[-1]
         prev, step = step, step + n

@@ -15,6 +15,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import WhisperConfig, get_config
 from ..data.dataset import IPADataset, PrefetchLoader, create_data_loader
@@ -381,6 +382,12 @@ def train(
         }
         return metrics, host_params
 
+    if steps_per_call > 1 and multi:
+        # chunking stacks LOCAL batches; the global-batch assembly is
+        # per-call host work and has not been chunk-adapted — fall back
+        print("steps_per_call > 1 is single-host only; using 1")
+        steps_per_call = 1
+
     # each host feeds its local slice of the global batch (global rows =
     # local rows x process_count; the global array assembles on the mesh
     # without any cross-host input copy)
@@ -399,11 +406,8 @@ def train(
     )
     if multi:
         from ..parallel.distributed import global_batch_from_local
-    if steps_per_call > 1 and multi:
-        # chunking stacks LOCAL batches; the global-batch assembly is
-        # per-call host work and has not been chunk-adapted — fall back
-        print("steps_per_call > 1 is single-host only; using 1")
-        steps_per_call = 1
+
+    from .chunking import pow2_floor
 
     def _chunk_len(step: int) -> int:
         """Steps to run in the next dispatch: never crosses a host-work
@@ -415,15 +419,14 @@ def train(
             if period:
                 dist = min(dist, period - step % period)
         if profile_dir:
-            # the profiler traces steps start+10..start+15 one dispatch
-            # at a time: chunks must not straddle the window edges
-            for trig in (start_step + 10, start_step + 15):
+            # the profiler traces steps start+10..start+15: one chunk
+            # must START at exactly start+10 (start_trace fires before
+            # its dispatch) and one must END at start+15 (stop_trace
+            # fires after), so force boundaries at start+9 and start+15
+            for trig in (start_step + 9, start_step + 15):
                 if step < trig:
                     dist = min(dist, trig - step)
-        n = max(1, min(steps_per_call, dist))
-        while n & (n - 1):
-            n &= n - 1
-        return n
+        return pow2_floor(min(steps_per_call, dist))
 
     def _cast_upload(mel_np):
         """bfloat16 training: cast mels/features to bf16 ON HOST before
@@ -439,25 +442,10 @@ def train(
         return _np.asarray(mel_np).astype(ml_dtypes.bfloat16)
 
     def _stack_batches(batches):
-        """Stack C loader batches into (C, B, ...) arrays. Bucketed token
-        widths may differ across the chunk; right-pad with EOT to the
-        chunk max — loss-exact (eot_loss_mask keeps only the first EOT
-        and pad positions are causal-masked)."""
-        import numpy as _np
+        from .chunking import stack_pad_batches
 
-        tw = max(b["tokens"].shape[1] for b in batches)
-        toks = []
-        for b in batches:
-            t = b["tokens"]
-            if t.shape[1] < tw:
-                pad = _np.full(
-                    (t.shape[0], tw - t.shape[1]), eot, dtype=t.dtype
-                )
-                t = _np.concatenate([t, pad], axis=1)
-            toks.append(t)
-        return (
-            _cast_upload(_np.stack([b["mel_features"] for b in batches])),
-            _np.stack(toks),
+        return stack_pad_batches(
+            batches, eot, bf16_mels=compute_dtype == "bfloat16"
         )
 
     try:
@@ -534,7 +522,7 @@ def train(
                     )
                     loss = losses[-1]
                 prev_step, step = step, step + n
-                if profile_dir and step == start_step + 15:
+                if profile_dir and prev_step < start_step + 15 <= step:
                     jax.profiler.stop_trace()
                 # fetch the loss to host only when logging: a per-step
                 # device->host sync serializes the pipeline (very costly
@@ -548,10 +536,13 @@ def train(
                     if s % 10 == 0 or s <= 5
                 ]
                 if log_steps:
+                    # ONE bulk device->host transfer for the whole chunk
+                    # (per-scalar float() fetches would re-introduce the
+                    # per-step tunnel sync chunking exists to remove)
                     losses_host = (
                         [float(loss)]
                         if losses is None
-                        else list(map(float, losses))
+                        else np.asarray(losses).astype(float).tolist()
                     )
                     latest_loss = losses_host[-1]
                     for s in log_steps:

@@ -51,6 +51,11 @@ def main(argv=None):
         help="head-optimizer steps per device dispatch (lax.scan over "
         "stacked batches; amortizes remote-tunnel dispatch + upload)",
     )
+    p.add_argument(
+        "--save-every", type=int, default=250,
+        help="periodic head snapshot to <output>.partial (wedge "
+        "insurance); 0 disables",
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -160,6 +165,10 @@ def main(argv=None):
                 f"({(time.time() - t0) / step:.2f} s/step)",
                 flush=True,
             )
+        if args.save_every and step % args.save_every < n:
+            # wedge insurance: a dead tunnel mid-run should cost minutes
+            # of head training, not the whole run (heads are ~MBs)
+            save_medusa(args.output + ".partial", medusa)
 
     save_medusa(args.output, medusa)
     print(f"saved {args.n_heads} heads -> {args.output}")

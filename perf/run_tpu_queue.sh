@@ -105,6 +105,8 @@ fi
 item beam_sweep 7200 python perf/bench_beam.py
 item int4_capacity 7200 python perf/bench_capacity.py
 item enc_attn_ab 3600 python perf/bench_enc_attn.py
+item decode_breakdown 5400 \
+  python perf/bench_decode_breakdown.py --batch 128 --profile-dir /tmp/xprof_decode
 
 # -- 5. AOT serve-start timing (VERDICT #6): two fresh processes ----------
 item aot_start1 5400 env WHISPER_IPA_TPU_AOT_CACHE=/tmp/aotcache \

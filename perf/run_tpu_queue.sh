@@ -107,6 +107,7 @@ item int4_capacity 7200 python perf/bench_capacity.py
 item enc_attn_ab 3600 python perf/bench_enc_attn.py
 item decode_breakdown 5400 \
   python perf/bench_decode_breakdown.py --batch 128 --profile-dir /tmp/xprof_decode
+item kv_init_ab 3600 python perf/bench_kv_init.py
 
 # -- 5. AOT serve-start timing (VERDICT #6): two fresh processes ----------
 item aot_start1 5400 env WHISPER_IPA_TPU_AOT_CACHE=/tmp/aotcache \

@@ -436,6 +436,21 @@ def _quantize_kv_heads4(x, n_head: int):
     return packed, scale
 
 
+import os as _os
+
+# Fused cross-KV init (ops/kv_init.py): projection + int8 quantize +
+# T-minor layout in ONE HBM pass instead of three (VERDICT r3 item 3,
+# the one-time prefix/init cost). Opt-in until the on-device A/B
+# (perf/bench_kv_init.py) accepts it; requires float (non-quantized)
+# projection weights.
+_FUSED_KV_INIT = _os.environ.get("WHISPER_IPA_TPU_FUSED_KV_INIT") == "1"
+
+
+def use_fused_kv_init(enabled: bool) -> None:
+    global _FUSED_KV_INIT
+    _FUSED_KV_INIT = enabled
+
+
 def init_cache(
     params: Params,
     cfg: WhisperConfig,
@@ -458,11 +473,32 @@ def init_cache(
         quantize = (
             _quantize_kv_heads4 if cross_kv_int4 else _quantize_kv_heads
         )
+        # fused single-pass kernel (ops/kv_init.py): needs float weights
+        # (quantized-weight serving keeps the XLA path) and int8 mode
+        fused = (
+            _FUSED_KV_INIT
+            and cross_kv_int8
+            and not cross_kv_int4
+            and "w" in stacked["cross_attn"]["key"]
+            and "w" in stacked["cross_attn"]["value"]
+        )
 
         # project + quantize one layer at a time (lax.map, not vmap): the
         # float32 projection transient is ~B*1500*d*4 bytes PER LAYER; doing
         # all layers at once OOMs HBM at large batch
         def _project_quantize(p):
+            if fused:
+                from ..ops.kv_init import fused_kv_init_int8
+
+                return fused_kv_init_int8(
+                    audio_features,
+                    p["key"]["w"],
+                    p["key"].get("b"),
+                    p["value"]["w"],
+                    p["value"].get("b"),
+                    cfg.n_text_head,
+                    out_dtype=dtype,
+                )
             k = linear(audio_features, p["key"])
             v = linear(audio_features, p["value"])
             kq, ks = quantize(k, cfg.n_text_head)

@@ -52,6 +52,14 @@ item() {  # item <name> <timeout_s> <cmd...>
   return 0
 }
 
+# -- 0. cheap accept/refute studies first (~45 min total): the tunnel has
+#       wedged before, so bank the high-information-per-minute items
+#       before committing hours to training (VERDICT #3) -----------------
+item decode_breakdown 5400 \
+  python perf/bench_decode_breakdown.py --batch 128 --profile-dir /tmp/xprof_decode
+item kv_init_ab 3600 python perf/bench_kv_init.py
+item enc_attn_ab 3600 python perf/bench_enc_attn.py
+
 # -- 1. corpus-scale training (VERDICT #1: learning at corpus scale) ------
 item corpus_tiny 5400 \
   python examples/corpus_scale.py --model tiny --steps 4000 --batch-size 32 \
@@ -104,10 +112,6 @@ fi
 # -- 4. beam v2 sweep (VERDICT #4), capacity (VERDICT #5), enc-attn (#3) --
 item beam_sweep 7200 python perf/bench_beam.py
 item int4_capacity 7200 python perf/bench_capacity.py
-item enc_attn_ab 3600 python perf/bench_enc_attn.py
-item decode_breakdown 5400 \
-  python perf/bench_decode_breakdown.py --batch 128 --profile-dir /tmp/xprof_decode
-item kv_init_ab 3600 python perf/bench_kv_init.py
 
 # -- 5. AOT serve-start timing (VERDICT #6): two fresh processes ----------
 item aot_start1 5400 env WHISPER_IPA_TPU_AOT_CACHE=/tmp/aotcache \

@@ -102,14 +102,20 @@ def main():
     print(f"sync latency: {sync_lat * 1e3:.1f} ms (subtracted per stage)",
           flush=True)
 
-    def timed(name, fn, *a, **kw):
+    def timed(name, fn, *a, syncs_per_iter=0, **kw):
+        """syncs_per_iter=0: async-enqueue all iters, one final sync
+        (subtract sync_lat once). syncs_per_iter=1: fn host-fetches its
+        own outputs every call (decode() does), so each iteration pays
+        one tunnel round-trip — subtract sync_lat per iteration, else
+        the full-vs-stages difference inflates by (iters-1)*sync_lat."""
         out = fn(*a, **kw)  # compile
         _sync(out)
         t0 = time.time()
         for _ in range(args.iters):
             out = fn(*a, **kw)  # enqueued async; device runs serially
         _sync(out)  # one sync for the whole chain
-        dt = max(0.0, time.time() - t0 - sync_lat) / args.iters
+        n_syncs = max(1, syncs_per_iter * args.iters)
+        dt = max(0.0, time.time() - t0 - n_syncs * sync_lat) / args.iters
         print(f"{name:>14}: {dt * 1e3:8.1f} ms", flush=True)
         return out, dt
 
@@ -134,7 +140,7 @@ def main():
         return decode(params, cfg, mel_fn(audio), options,
                       tokenizer=tokenizer)
 
-    _, t_full = timed("full_decode", full)
+    _, t_full = timed("full_decode", full, syncs_per_iter=1)
 
     loop = t_full - (t_mel + t_enc + t_init + t_prefix)
     per_tok = loop / args.sample_len

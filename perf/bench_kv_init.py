@@ -18,6 +18,8 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--model", default="small")
+    ap.add_argument("--no-full", action="store_true",
+                    help="skip the end-to-end decode A/B (2 extra compiles)")
     args = ap.parse_args()
 
     import jax
@@ -51,6 +53,7 @@ def main():
     print(f"sync latency {lat * 1e3:.1f} ms", flush=True)
 
     results = {}
+    caches = {}
     for fused in (False, True):
         use_fused_kv_init(fused)
         # fresh jit per flag: the fused gate is read at trace time, so a
@@ -73,16 +76,87 @@ def main():
         sync(cache)
         dt = max(0.0, time.time() - t0 - lat) / args.iters
         results[fused] = dt
+        caches[fused] = cache
         print(f"init_cache fused={fused}: {dt * 1e3:.1f} ms", flush=True)
-        # keep codes/scales honest: compare a checksum across paths
-        print(f"  checksum scale sum={float(jnp.sum(cache.cross_k_scale)):.4f}",
-              flush=True)
     use_fused_kv_init(False)
 
+    # DEVICE-SIDE parity of the two caches (this is the first Mosaic
+    # compile of the kernel on real hardware — the CPU tests only cover
+    # the interpreter): codes must agree within the rounding-tie ULP,
+    # scales near-exactly. Fetching the full caches would ride the
+    # ~100 MB/s tunnel, so reduce on device and fetch scalars.
+    @jax.jit
+    def compare(a_k, a_ks, a_v, a_vs, b_k, b_ks, b_v, b_vs):
+        di = lambda x, y: jnp.max(
+            jnp.abs(x.astype(jnp.int32) - y.astype(jnp.int32))
+        )
+        return (
+            di(a_k, b_k),
+            di(a_v, b_v),
+            jnp.max(jnp.abs(a_ks - b_ks)),
+            jnp.max(jnp.abs(a_vs - b_vs)),
+            jnp.mean((a_k != b_k).astype(jnp.float32)),
+        )
+
+    a, b = caches[False], caches[True]
+    kd, vd, ksd, vsd, frac = (
+        float(x)
+        for x in compare(
+            a.cross_k, a.cross_k_scale, a.cross_v, a.cross_v_scale,
+            b.cross_k, b.cross_k_scale, b.cross_v, b.cross_v_scale,
+        )
+    )
+    ok = kd <= 1 and vd <= 1 and ksd < 1e-5 and vsd < 1e-5 and frac < 1e-3
+    print(
+        f"parity {'PASS' if ok else 'FAIL'}: max|code diff| k={kd:.0f} "
+        f"v={vd:.0f}, max|scale diff| k={ksd:.2e} v={vsd:.2e}, "
+        f"code mismatch frac={frac:.2e}",
+        flush=True,
+    )
+
     speedup = results[False] / max(results[True], 1e-9)
-    print(f"fused speedup: {speedup:.2f}x "
+    print(f"fused init speedup: {speedup:.2f}x "
           f"({results[False] * 1e3:.1f} -> {results[True] * 1e3:.1f} ms)",
           flush=True)
+
+    if args.no_full or not ok:
+        return
+
+    # end-to-end: the unfused path may partially fuse into the decode
+    # program anyway, so the accept decision uses the FULL greedy decode
+    # (encoder skipped: decode() takes (B, n_audio_ctx, d) features)
+    del caches, a, b
+    from whisper_ipa_tpu.decode import DecodingOptions, decode
+    from whisper_ipa_tpu.decode import decoding as _decoding
+    from whisper_ipa_tpu.tokenizer import get_tokenizer
+
+    tokenizer = get_tokenizer(
+        multilingual=True, num_languages=cfg.num_languages, language="en"
+    )
+    options = DecodingOptions(
+        language="en", without_timestamps=True, sample_len=64,
+        suppress_tokens=[-1, tokenizer.eot], fp16=True, kv_int8=True,
+    )
+    full = {}
+    for fused in (False, True):
+        use_fused_kv_init(fused)
+        # the greedy program is a module-level jit keyed on shapes only;
+        # the fused gate is read at trace time, so force a retrace
+        _decoding._greedy_decode_jit.clear_cache()
+        decode(params, cfg, feats, options, tokenizer=tokenizer)  # compile
+        t0 = time.time()
+        for _ in range(3):
+            decode(params, cfg, feats, options, tokenizer=tokenizer)
+        full[fused] = (time.time() - t0) / 3
+        print(f"full decode fused={fused}: {full[fused] * 1e3:.1f} ms",
+              flush=True)
+    use_fused_kv_init(False)
+    _decoding._greedy_decode_jit.clear_cache()
+    print(
+        f"end-to-end: {full[False] / max(full[True], 1e-9):.3f}x "
+        f"({(full[False] - full[True]) * 1e3:+.1f} ms per decode)",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

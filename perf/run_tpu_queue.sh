@@ -24,13 +24,7 @@ TD=$CORPUS/data/train.json
 VD=$CORPUS/data/test.json
 MC="--mel-cache-dir $CORPUS/melcache"
 
-probe() {
-  timeout 90 python - <<'EOF' >/dev/null 2>&1
-import jax
-d = jax.devices()
-assert d[0].platform != "cpu"
-EOF
-}
+source perf/probe_device.sh
 
 item() {  # item <name> <timeout_s> <cmd...>
   local name=$1 tmo=$2; shift 2
@@ -57,7 +51,7 @@ item() {  # item <name> <timeout_s> <cmd...>
 #       before committing hours to training (VERDICT #3) -----------------
 item decode_breakdown 5400 \
   python perf/bench_decode_breakdown.py --batch 128 --profile-dir /tmp/xprof_decode
-item kv_init_ab 3600 python perf/bench_kv_init.py
+item kv_init_ab 5400 python perf/bench_kv_init.py
 item enc_attn_ab 3600 python perf/bench_enc_attn.py
 
 # -- 1. corpus-scale training (VERDICT #1: learning at corpus scale) ------

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -435,8 +437,6 @@ def _quantize_kv_heads4(x, n_head: int):
     ).astype(jnp.int8)
     return packed, scale
 
-
-import os as _os
 
 # Fused cross-KV init (ops/kv_init.py): projection + int8 quantize +
 # T-minor layout in ONE HBM pass instead of three (VERDICT r3 item 3,

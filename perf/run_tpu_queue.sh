@@ -24,6 +24,12 @@ TD=$CORPUS/data/train.json
 VD=$CORPUS/data/test.json
 MC="--mel-cache-dir $CORPUS/melcache"
 
+# Shared executable cache: every tunnel compile costs 3-7 min and the
+# bench items repeat the same decode programs (each spec run re-compiles
+# the plain-decode baseline). The aot_start items get their OWN cache dir
+# below so their cold/warm A/B stays clean.
+export WHISPER_IPA_TPU_AOT_CACHE=/tmp/aotcache_queue
+
 source perf/probe_device.sh
 
 item() {  # item <name> <timeout_s> <cmd...>
@@ -112,6 +118,8 @@ item aot_start1 5400 env WHISPER_IPA_TPU_AOT_CACHE=/tmp/aotcache \
   python bench.py --batch 16 --sample-len 16 --no-trained-row --iters 2
 item aot_start2 2700 env WHISPER_IPA_TPU_AOT_CACHE=/tmp/aotcache \
   python bench.py --batch 16 --sample-len 16 --no-trained-row --iters 2
+# (isolated /tmp/aotcache: the cold/warm serve-start A/B must not see
+#  executables the earlier queue items compiled)
 
 # -- 6. distilled draft (stretch: r3 aligned-draft experiment) ------------
 if [ -d "$SMALL_CKPT" ]; then

@@ -85,8 +85,11 @@ def main():
 
             # each point in a SUBPROCESS: an OOM must not kill the sweep,
             # and freeing a failed allocation through the tunnel is flaky
+            here = __import__("os").path.dirname(
+                __import__("os").path.abspath(__file__)
+            )
             code = (
-                "import json,sys; sys.path.insert(0,'/tmp');"
+                f"import json,sys; sys.path.insert(0,{here!r});"
                 "from bench_capacity import try_point;"
                 f"r=try_point({args.model!r},{b},{args.sample_len},"
                 f"{wbits},{kvbits});"

@@ -111,7 +111,7 @@ fi
 
 # -- 4. beam v2 sweep (VERDICT #4), capacity (VERDICT #5), enc-attn (#3) --
 item beam_sweep 7200 python perf/bench_beam.py
-item int4_capacity 7200 python perf/bench_capacity.py
+item int4_capacity 14400 python perf/bench_capacity.py
 
 # -- 5. AOT serve-start timing (VERDICT #6): two fresh processes ----------
 item aot_start1 5400 env WHISPER_IPA_TPU_AOT_CACHE=/tmp/aotcache \

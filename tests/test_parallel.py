@@ -213,6 +213,212 @@ class TestTensorParallelInference:
                 ref_params,
             )
 
+    def test_zero1_spec_rules(self):
+        from whisper_ipa_tpu.parallel.mesh import zero1_spec
+
+        # largest divisible axis gets 'data'
+        assert zero1_spec((384, 1536), 8) == P(None, "data")
+        assert zero1_spec((1536, 384), 8) == P("data")
+        # composes with a TP spec: 'data' goes on the largest FREE axis
+        assert zero1_spec((384, 1536), 8, P(None, "model")) == P(
+            "data", "model"
+        )
+        # nothing divisible -> unchanged
+        assert zero1_spec((7, 5), 8) == P()
+        assert zero1_spec((), 8) == P()
+
+    def test_zero1_opt_state_sharded_and_matches_unsharded(self):
+        """ZeRO-1 oracle: the sharded-optimizer step must (a) hold exactly
+        1/N of the AdamW moments per device with no replication, (b) keep
+        that layout across steps, and (c) produce bit-comparable losses and
+        params to the plain replicated-state step."""
+        from dataclasses import replace
+
+        from whisper_ipa_tpu.config import CONFIGS
+        from whisper_ipa_tpu.models import init_params
+        from whisper_ipa_tpu.parallel import shard_batch
+        from whisper_ipa_tpu.train import (
+            create_train_state,
+            create_train_state_zero1,
+            make_zero1_step,
+            train_step,
+        )
+
+        cfg = replace(CONFIGS["test-tiny"], n_audio_ctx=32, n_text_ctx=32)
+        eot = 50257
+        batch = 8
+        rng = np.random.default_rng(7)
+        mel_np = rng.standard_normal((batch, 64, cfg.n_mels)).astype(
+            np.float32
+        )
+        tokens_np = np.tile(
+            [[50258, 50259, 50359, 50363, 100, 200, eot, eot]], (batch, 1)
+        ).astype(np.int32)
+
+        # reference: plain replicated-state steps on one device
+        params = init_params(cfg, seed=0)
+        state, tx = create_train_state(
+            params, learning_rate=1e-3, freeze_encoder=False
+        )
+        ref_losses = []
+        for _ in range(3):
+            state, loss = train_step(
+                state,
+                jnp.asarray(mel_np),
+                jnp.asarray(tokens_np),
+                cfg,
+                tx,
+                eot,
+                freeze_encoder=False,
+            )
+            ref_losses.append(float(loss))
+        ref_params = jax.device_get(state.params)
+        ref_opt_bytes = sum(
+            leaf.nbytes
+            for leaf in jax.tree.leaves(jax.device_get(state.opt_state))
+            if hasattr(leaf, "nbytes")
+        )
+
+        # ZeRO-1 over dp=8
+        mesh = make_mesh()
+        params = replicate(mesh, init_params(cfg, seed=0))
+        zstate, ztx, opt_sh = create_train_state_zero1(
+            mesh, params, learning_rate=1e-3, freeze_encoder=False
+        )
+
+        # (a) every moment tensor is sharded: per-device bytes == total/8
+        mu_leaves = [
+            x
+            for x in jax.tree.leaves(zstate.opt_state)
+            if hasattr(x, "sharding") and x.ndim >= 1 and x.size >= 64
+        ]
+        assert mu_leaves, "no shardable optimizer-state leaves found"
+        for leaf in mu_leaves:
+            assert "data" in tuple(leaf.sharding.spec), (
+                f"unsharded optimizer leaf {leaf.shape}"
+            )
+            shard = leaf.addressable_shards[0].data
+            assert shard.size * 8 == leaf.size
+        # total opt-state footprint is unchanged (sharded, not copied):
+        # sum of per-device shard bytes == unsharded total
+        per_device = sum(
+            leaf.addressable_shards[0].data.nbytes
+            for leaf in jax.tree.leaves(zstate.opt_state)
+            if hasattr(leaf, "addressable_shards")
+        )
+        assert per_device <= ref_opt_bytes / 8 + 4096
+
+        step_fn = make_zero1_step(
+            mesh, cfg, ztx, eot, opt_sh, freeze_encoder=False
+        )
+        mel, tokens = shard_batch(
+            mesh, jnp.asarray(mel_np), jnp.asarray(tokens_np)
+        )
+        z_losses = []
+        for _ in range(3):
+            zstate, loss = step_fn(zstate, mel, tokens)
+            z_losses.append(float(loss))
+
+        # (b) layout survived the steps (no silent re-replication)
+        for leaf in jax.tree.leaves(zstate.opt_state):
+            if hasattr(leaf, "sharding") and leaf.ndim >= 1 and leaf.size >= 64:
+                assert "data" in tuple(leaf.sharding.spec)
+
+        # (c) numerics match the replicated-state reference
+        np.testing.assert_allclose(z_losses, ref_losses, rtol=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            ),
+            jax.device_get(zstate.params),
+            ref_params,
+        )
+
+    def test_zero1_composes_with_tp(self):
+        """dp=4 x tp=2 with ZeRO-1: moments shard over BOTH axes ('data'
+        added on the largest free axis of the TP spec) and the loss still
+        matches the unsharded step."""
+        from dataclasses import replace
+
+        from whisper_ipa_tpu.config import CONFIGS
+        from whisper_ipa_tpu.models import init_params
+        from whisper_ipa_tpu.parallel import shard_batch
+        from whisper_ipa_tpu.train import (
+            create_train_state,
+            create_train_state_zero1,
+            make_zero1_step,
+            train_step,
+        )
+
+        cfg = replace(CONFIGS["test-tiny"], n_audio_ctx=32, n_text_ctx=32)
+        eot = 50257
+        batch = 8
+        rng = np.random.default_rng(11)
+        mel_np = rng.standard_normal((batch, 64, cfg.n_mels)).astype(
+            np.float32
+        )
+        tokens_np = np.tile(
+            [[50258, 50259, 50359, 50363, 100, 200, eot, eot]], (batch, 1)
+        ).astype(np.int32)
+
+        params = init_params(cfg, seed=0)
+        state, tx = create_train_state(
+            params, learning_rate=1e-3, freeze_encoder=False
+        )
+        ref_losses = []
+        for _ in range(2):
+            state, loss = train_step(
+                state,
+                jnp.asarray(mel_np),
+                jnp.asarray(tokens_np),
+                cfg,
+                tx,
+                eot,
+                freeze_encoder=False,
+            )
+            ref_losses.append(float(loss))
+
+        mesh = make_mesh(model=2)  # data=4 x model=2
+        tp_params = shard_params(
+            mesh, init_params(cfg, seed=0), tensor_parallel=True
+        )
+        zstate, ztx, opt_sh = create_train_state_zero1(
+            mesh,
+            tp_params,
+            learning_rate=1e-3,
+            freeze_encoder=False,
+            tensor_parallel=True,
+        )
+        # a TP-sharded param's moment composes both axes
+        mu_specs = [
+            tuple(leaf.sharding.spec)
+            for leaf in jax.tree.leaves(zstate.opt_state)
+            if hasattr(leaf, "sharding") and leaf.ndim == 2
+        ]
+        assert any(
+            "data" in spec and "model" in spec for spec in mu_specs
+        ), f"no dp+tp composed moment found: {mu_specs[:8]}"
+
+        from whisper_ipa_tpu.parallel import param_shardings as tp_shardings
+
+        step_fn = make_zero1_step(
+            mesh,
+            cfg,
+            ztx,
+            eot,
+            opt_sh,
+            param_shardings=tp_shardings(mesh, tp_params),
+            freeze_encoder=False,
+        )
+        mel, tokens = shard_batch(
+            mesh, jnp.asarray(mel_np), jnp.asarray(tokens_np)
+        )
+        z_losses = []
+        for _ in range(2):
+            zstate, loss = step_fn(zstate, mel, tokens)
+            z_losses.append(float(loss))
+        np.testing.assert_allclose(z_losses, ref_losses, rtol=1e-4)
+
     def test_tp_sharded_decode_int8_kv(self):
         """TP-sharded decode with the int8 head-split cross-KV cache: GSPMD
         must propagate the model-axis sharding through quantization and the

@@ -426,3 +426,59 @@ class TestBF16Upload:
             )
         )
         assert l_f32_upload == l_bf16_upload
+
+
+class TestZero1Loop:
+    @pytest.mark.slow
+    def test_zero1_train_loop_checkpoint_resume_matches_replicated(
+        self, tmp_path
+    ):
+        """The full train() loop with --zero1 on the 8-device mesh:
+        trains, checkpoints the SHARDED optimizer state, resumes (restored
+        moments re-placed sharded), and lands on the same losses as the
+        replicated-state loop run with an identical 4+4 phase schedule."""
+        import sys
+
+        import whisper_ipa_tpu.config as config_mod
+        from whisper_ipa_tpu.train.loop import train
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_dataset import make_synthetic_dataset
+
+        data_json = make_synthetic_dataset(str(tmp_path / "ds"))
+        config_mod.CONFIGS["test-micro-z1"] = replace(
+            CONFIGS["test-tiny"],
+            name="test-micro-z1",
+            n_audio_state=32,
+            n_audio_layer=1,
+            n_text_state=32,
+            n_text_layer=1,
+            n_text_ctx=48,
+        )
+        try:
+
+            def run(out_dir, zero1):
+                common = dict(
+                    model_name="test-micro-z1",
+                    train_data_path=data_json,
+                    test_data_path=data_json,
+                    output_dir=str(tmp_path / out_dir),
+                    batch_size=8,
+                    learning_rate=1e-3,
+                    validate_every=1000,  # > num_steps: no validation
+                    save_every=4,
+                    resume=True,
+                    final_validate=False,
+                    zero1=zero1,
+                )
+                train(num_steps=4, **common)  # phase 1 -> checkpoint-4
+                return train(num_steps=8, **common)  # phase 2: resume
+
+            z = run("z1", zero1=True)
+            assert os.path.isdir(str(tmp_path / "z1" / "checkpoint-8"))
+            r = run("rep", zero1=False)
+            assert z["final_loss"] == pytest.approx(
+                r["final_loss"], rel=1e-5
+            )
+        finally:
+            config_mod.CONFIGS.pop("test-micro-z1", None)

@@ -112,6 +112,13 @@ def build_parser() -> argparse.ArgumentParser:
         "transports (3-10x wall clock on axon)",
     )
     p.add_argument(
+        "--zero1", action="store_true",
+        help="ZeRO-1: shard the optimizer state over the data-parallel "
+        "mesh axis (each device holds 1/dp of the AdamW moments) — the "
+        "multi-chip memory lever for large-model fine-tunes; numerically "
+        "identical to replicated state (tests/test_parallel.py)",
+    )
+    p.add_argument(
         "--preset",
         default=None,
         choices=["large-single-chip"],
@@ -158,6 +165,7 @@ def main(argv=None):
         freeze_encoder=not args.unfreeze_encoder,
         bf16_head=args.bf16_head,
         steps_per_call=args.steps_per_call,
+        zero1=args.zero1,
     )
 
 

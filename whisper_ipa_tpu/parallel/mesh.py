@@ -123,3 +123,82 @@ def shard_params(mesh: Optional[Mesh], params, tensor_parallel: bool = False):
         return replicate(mesh, params)
     shardings = param_shardings(mesh, params)
     return jax.tree.map(jax.device_put, params, shardings)
+
+
+# -- ZeRO-1 optimizer-state sharding ---------------------------------------
+#
+# Optimizer moments mirror the parameters, so replicating them across the
+# 'data' axis (the plain-DP layout above) wastes (data-1)/data of their HBM:
+# AdamW on large-v3 carries ~2x params of fp32 moments, which is the
+# difference between fitting and not fitting a 16 GB v5e fine-tune. ZeRO-1
+# shards every optimizer-state tensor over 'data' on its largest free axis;
+# parameters stay replicated (the forward pass is untouched), and GSPMD
+# turns the update into reduce-scatter(grad-slice math) + all-gather(update)
+# — the classic ZeRO-1 communication schedule — from shardings alone.
+# (The reference trains on one GPU and has no equivalent; this is the
+# TPU-native scaling layer SURVEY §2c calls for.)
+
+
+def zero1_spec(shape, data_size: int, base: P = P()) -> P:
+    """Extend ``base`` (the tensor's TP spec, P() when pure-DP) with 'data'
+    on the largest axis that is unsharded and divisible by data_size."""
+    entries = list(base) + [None] * (len(shape) - len(base))
+    best, best_dim = -1, 0
+    for i, (dim, e) in enumerate(zip(shape, entries)):
+        if e is None and dim % data_size == 0 and dim > best_dim:
+            best, best_dim = i, dim
+    if best < 0:
+        return base
+    entries[best] = "data"
+    while entries and entries[-1] is None:
+        entries.pop()
+    return P(*entries)
+
+
+def _trailing_tree_path(path) -> str:
+    """The trailing run of dict/sequence keys of a tree_util key path,
+    joined flatten_params-style ('decoder.blocks.0.attn.query.w') — the
+    param path embedded at the tail of an optimizer-state leaf path
+    (…ScaleByAdamState.mu['decoder']['blocks'][0]…)."""
+    from jax.tree_util import DictKey, SequenceKey
+
+    parts = []
+    for entry in reversed(path):
+        if isinstance(entry, DictKey):
+            parts.append(str(entry.key))
+        elif isinstance(entry, SequenceKey):
+            parts.append(str(entry.idx))
+        else:
+            break
+    return ".".join(reversed(parts))
+
+
+def zero1_opt_shardings(
+    mesh: Mesh, tx, params, tensor_parallel: bool = False, rules=TP_RULES
+):
+    """Shardings pytree matching ``tx.init(params)``: every array leaf
+    sharded over 'data' via zero1_spec (composed with the mirrored param's
+    TP spec when the leaf sits inside a params-shaped subtree like
+    mu/nu/acc_grads); scalars and unmatched leaves replicate."""
+    from jax.tree_util import tree_flatten_with_path, tree_unflatten
+
+    from ..models.convert import flatten_params
+
+    data_size = int(mesh.shape.get("data", 1))
+    flat_params = flatten_params(params)
+    param_shapes = {k: tuple(v.shape) for k, v in flat_params.items()}
+
+    shapes = jax.eval_shape(tx.init, params)
+    leaves, treedef = tree_flatten_with_path(shapes)
+    out = []
+    for path, leaf in leaves:
+        shape = tuple(getattr(leaf, "shape", ()))
+        if not shape or data_size == 1:
+            out.append(NamedSharding(mesh, P()))
+            continue
+        base = P()
+        tail = _trailing_tree_path(path)
+        if tensor_parallel and tail and param_shapes.get(tail) == shape:
+            base = spec_for_param(tail, rules)
+        out.append(NamedSharding(mesh, zero1_spec(shape, data_size, base)))
+    return tree_unflatten(treedef, out)

@@ -18,7 +18,14 @@ from .optimizer import (
     decoder_only_mask,
     make_optimizer,
 )
-from .step import TrainState, create_train_state, train_chunk, train_step
+from .step import (
+    TrainState,
+    create_train_state,
+    create_train_state_zero1,
+    make_zero1_step,
+    train_chunk,
+    train_step,
+)
 
 __all__ = [
     "TrainState",
@@ -27,7 +34,9 @@ __all__ = [
     "compute_loss",
     "console_step_line",
     "create_train_state",
+    "create_train_state_zero1",
     "decoder_only_mask",
+    "make_zero1_step",
     "eot_loss_mask",
     "get_hardware_info",
     "latest_checkpoint",

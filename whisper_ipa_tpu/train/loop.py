@@ -140,6 +140,7 @@ def train(
     freeze_encoder: bool = True,
     bf16_head: bool = False,
     steps_per_call: int = 1,
+    zero1: bool = False,
 ) -> Dict:
     """Main training entry point (reference-compatible surface + resume).
 
@@ -336,6 +337,62 @@ def train(
     latest_loss = None
     eot = tokenizer.eot
 
+    # ZeRO-1: shard the optimizer state over the mesh 'data' axis instead
+    # of replicating it — each device holds 1/dp of the AdamW moments (the
+    # memory term that decides whether a large-v3 fine-tune fits a 16 GB
+    # chip). Parameters stay replicated; GSPMD derives the reduce-scatter/
+    # all-gather update schedule from the pinned output shardings.
+    step_impl, chunk_impl = train_step, train_chunk
+    if zero1 and mesh is not None and int(mesh.shape.get("data", 1)) > 1:
+        from ..parallel.mesh import replicate as _replicate
+        from ..parallel.mesh import zero1_opt_shardings
+        from .step import make_zero1_step
+
+        # params must be explicitly mesh-replicated: donated buffers are
+        # paired with outputs by global shape, and an uncommitted
+        # single-device param next to a sharded same-shape moment makes
+        # XLA alias mismatched local buffers
+        state = state._replace(
+            step=_replicate(mesh, state.step),
+            params=_replicate(mesh, state.params),
+        )
+        opt_sh = zero1_opt_shardings(mesh, tx, state.params)
+        if resumed_ckpt:
+            # keep the restored moments, just re-place them sharded
+            opt_state = jax.tree.map(
+                jax.device_put, state.opt_state, opt_sh
+            )
+        else:
+            # init ALREADY sharded: the replicated moments never exist
+            opt_state = jax.jit(tx.init, out_shardings=opt_sh)(state.params)
+        state = state._replace(opt_state=opt_state)
+        zero_knobs = dict(
+            freeze_encoder=freeze_encoder,
+            dtype_name=compute_dtype,
+            remat=remat,
+            blockwise=blockwise_loss,
+            inputs_are_features=cache_encoder,
+            bf16_head=bf16_head,
+        )
+        _z_step = make_zero1_step(mesh, cfg, tx, eot, opt_sh, **zero_knobs)
+        _z_chunk = make_zero1_step(
+            mesh, cfg, tx, eot, opt_sh, chunk=True, **zero_knobs
+        )
+
+        def step_impl(st, mel_a, tok_a, *a, **k):
+            return _z_step(st, mel_a, tok_a)
+
+        def chunk_impl(st, mels_a, toks_a, *a, **k):
+            return _z_chunk(st, mels_a, toks_a)
+
+        n_data = int(mesh.shape["data"])
+        print(
+            f"ZeRO-1: optimizer state sharded over data={n_data} "
+            f"(~1/{n_data} of the AdamW moments per device)"
+        )
+    elif zero1:
+        print("ZeRO-1 requested but no data-parallel mesh; ignoring")
+
     def run_validation(cur_state, num_samples):
         """Validate; multi-host: p0 decodes from a host-fetched copy of
         the params and broadcasts the metrics, so every process makes
@@ -490,7 +547,7 @@ def train(
                 if profile_dir and step + 1 == start_step + 10:
                     jax.profiler.start_trace(profile_dir)
                 if n == 1:
-                    state, loss = train_step(
+                    state, loss = step_impl(
                         state,
                         mel,
                         tokens,
@@ -506,7 +563,7 @@ def train(
                     )
                     losses = None
                 else:
-                    state, losses = train_chunk(
+                    state, losses = chunk_impl(
                         state,
                         mel,
                         tokens,

@@ -98,6 +98,119 @@ def _apply_update(
     )
 
 
+def create_train_state_zero1(
+    mesh,
+    params,
+    learning_rate: float = 1e-5,
+    max_grad_norm: float = 1.0,
+    freeze_encoder: bool = True,
+    schedule=None,
+    accum_steps: int = 1,
+    mu_dtype=None,
+    tensor_parallel: bool = False,
+) -> Tuple[TrainState, optax.GradientTransformation, Any]:
+    """TrainState with ZeRO-1 sharded optimizer state.
+
+    The moments are created ALREADY sharded over the mesh 'data' axis
+    (``jit(tx.init, out_shardings=...)``) so they never materialize
+    replicated — on a dp=N mesh each device holds 1/N of the AdamW state,
+    the memory term that decides whether a large-v3 fine-tune fits a
+    16 GB chip. Returns (state, tx, opt_shardings); drive steps with
+    make_zero1_step(mesh, tx, opt_shardings, ...).
+    """
+    from ..parallel.mesh import zero1_opt_shardings
+
+    tx = make_optimizer(
+        learning_rate=learning_rate,
+        max_grad_norm=max_grad_norm,
+        freeze_encoder=freeze_encoder,
+        schedule=schedule,
+        accum_steps=accum_steps,
+        mu_dtype=mu_dtype,
+    )
+    opt_shardings = zero1_opt_shardings(
+        mesh, tx, params, tensor_parallel=tensor_parallel
+    )
+    opt_state = jax.jit(tx.init, out_shardings=opt_shardings)(params)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state
+    )
+    return state, tx, opt_shardings
+
+
+def make_zero1_step(
+    mesh,
+    cfg: WhisperConfig,
+    tx: optax.GradientTransformation,
+    eot: int,
+    opt_shardings,
+    param_shardings=None,
+    chunk: bool = False,
+    **knobs,
+):
+    """Jitted train step (or C-step chunk) with ZeRO-1 output shardings.
+
+    Pinning out_shardings (params replicated / TP-sharded, optimizer state
+    ZeRO-sharded over 'data') keeps the state's layout FIXED across steps:
+    GSPMD computes the AdamW update on each device's 1/N state shard and
+    all-gathers only the final param delta, instead of silently
+    re-replicating the moments (or re-sharding the params) on some step.
+    ``knobs`` are the train_step keyword flags (freeze_encoder, dtype_name,
+    remat, blockwise, inputs_are_features, bf16_head).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    replicated = NamedSharding(mesh, P())
+    if param_shardings is None:
+        # params replicated over the whole mesh (pure DP / DP+ZeRO1)
+        make_param_sh = lambda tree: jax.tree.map(lambda _: replicated, tree)
+    else:
+        make_param_sh = lambda tree: param_shardings
+
+    defaults = dict(
+        freeze_encoder=True, dtype_name="float32", remat=False,
+        blockwise=False, inputs_are_features=False, bf16_head=False,
+    )
+    defaults.update(knobs)
+
+    def body(state, mel, tokens):
+        return _apply_update(
+            state, mel, tokens, cfg, tx, eot, defaults["freeze_encoder"],
+            defaults["dtype_name"], defaults["remat"], defaults["blockwise"],
+            defaults["inputs_are_features"], defaults["bf16_head"],
+        )
+
+    if chunk:
+        def fn(state, mels, tokens):
+            return jax.lax.scan(
+                lambda st, xs: body(st, xs[0], xs[1]), state, (mels, tokens)
+            )
+    else:
+        fn = body
+
+    def out_shardings_for(params):
+        state_sh = TrainState(
+            step=replicated,
+            params=make_param_sh(params),
+            opt_state=opt_shardings,
+        )
+        return (state_sh, replicated)
+
+    compiled = {}
+
+    def stepper(state, mel, tokens):
+        key = jax.tree.structure(state.params)
+        if key not in compiled:
+            compiled[key] = jax.jit(
+                fn,
+                donate_argnums=(0,),
+                out_shardings=out_shardings_for(state.params),
+            )
+        return compiled[key](state, mel, tokens)
+
+    return stepper
+
+
 @partial(
     jax.jit,
     static_argnames=(

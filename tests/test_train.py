@@ -482,3 +482,55 @@ class TestZero1Loop:
             )
         finally:
             config_mod.CONFIGS.pop("test-micro-z1", None)
+
+    @pytest.mark.slow
+    def test_tp_train_loop_matches_replicated(self, tmp_path):
+        """train() with --tensor-parallel 2 (+ ZeRO-1 composition) on the
+        virtual mesh: the Megatron-sharded production loop must land on
+        the same losses as the plain replicated loop."""
+        import sys
+
+        import whisper_ipa_tpu.config as config_mod
+        from whisper_ipa_tpu.train.loop import train
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_dataset import make_synthetic_dataset
+
+        data_json = make_synthetic_dataset(str(tmp_path / "ds"))
+        config_mod.CONFIGS["test-micro-tp"] = replace(
+            CONFIGS["test-tiny"],
+            name="test-micro-tp",
+            n_audio_state=32,
+            n_audio_layer=1,
+            n_text_state=32,
+            n_text_layer=1,
+            n_text_ctx=48,
+        )
+        try:
+
+            def run(out_dir, **kw):
+                return train(
+                    model_name="test-micro-tp",
+                    train_data_path=data_json,
+                    test_data_path=data_json,
+                    output_dir=str(tmp_path / out_dir),
+                    num_steps=4,
+                    batch_size=8,
+                    learning_rate=1e-3,
+                    validate_every=1000,
+                    save_every=1000,
+                    final_validate=False,
+                    **kw,
+                )
+
+            r = run("rep")
+            tp = run("tp2", tensor_parallel=2)
+            tpz = run("tp2z1", tensor_parallel=2, zero1=True)
+            assert tp["final_loss"] == pytest.approx(
+                r["final_loss"], rel=1e-4
+            )
+            assert tpz["final_loss"] == pytest.approx(
+                r["final_loss"], rel=1e-4
+            )
+        finally:
+            config_mod.CONFIGS.pop("test-micro-tp", None)

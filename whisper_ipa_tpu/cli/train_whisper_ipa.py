@@ -112,6 +112,11 @@ def build_parser() -> argparse.ArgumentParser:
         "transports (3-10x wall clock on axon)",
     )
     p.add_argument(
+        "--tensor-parallel", type=int, default=1,
+        help="Megatron tensor-parallel degree: shard qkv/mlp weights over "
+        "the mesh 'model' axis (devices = data x model); single-host",
+    )
+    p.add_argument(
         "--zero1", action="store_true",
         help="ZeRO-1: shard the optimizer state over the data-parallel "
         "mesh axis (each device holds 1/dp of the AdamW moments) — the "
@@ -166,6 +171,7 @@ def main(argv=None):
         bf16_head=args.bf16_head,
         steps_per_call=args.steps_per_call,
         zero1=args.zero1,
+        tensor_parallel=args.tensor_parallel,
     )
 
 

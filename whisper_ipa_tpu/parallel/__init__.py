@@ -8,11 +8,14 @@ from .mesh import (
     TP_RULES,
     batch_sharding,
     make_mesh,
+    opt_state_shardings,
     param_shardings,
     replicate,
     shard_batch,
     shard_params,
     spec_for_param,
+    zero1_opt_shardings,
+    zero1_spec,
 )
 
 __all__ = [
@@ -22,10 +25,13 @@ __all__ = [
     "initialize",
     "local_shard_indices",
     "make_mesh",
+    "opt_state_shardings",
     "param_shardings",
     "process_info",
     "replicate",
     "shard_batch",
     "shard_params",
     "spec_for_param",
+    "zero1_opt_shardings",
+    "zero1_spec",
 ]

@@ -173,18 +173,26 @@ def _trailing_tree_path(path) -> str:
     return ".".join(reversed(parts))
 
 
-def zero1_opt_shardings(
-    mesh: Mesh, tx, params, tensor_parallel: bool = False, rules=TP_RULES
+def opt_state_shardings(
+    mesh: Mesh,
+    tx,
+    params,
+    tensor_parallel: bool = False,
+    zero1: bool = True,
+    rules=TP_RULES,
 ):
-    """Shardings pytree matching ``tx.init(params)``: every array leaf
-    sharded over 'data' via zero1_spec (composed with the mirrored param's
-    TP spec when the leaf sits inside a params-shaped subtree like
-    mu/nu/acc_grads); scalars and unmatched leaves replicate."""
+    """Shardings pytree matching ``tx.init(params)``.
+
+    Each leaf that mirrors a TP-sharded param (mu/nu/acc_grads subtrees,
+    identified by the trailing tree path) gets that param's TP spec; with
+    ``zero1`` the spec is additionally extended with 'data' on the largest
+    free divisible axis (ZeRO-1). Scalars and unmatched leaves replicate.
+    """
     from jax.tree_util import tree_flatten_with_path, tree_unflatten
 
     from ..models.convert import flatten_params
 
-    data_size = int(mesh.shape.get("data", 1))
+    data_size = int(mesh.shape.get("data", 1)) if zero1 else 1
     flat_params = flatten_params(params)
     param_shapes = {k: tuple(v.shape) for k, v in flat_params.items()}
 
@@ -193,12 +201,22 @@ def zero1_opt_shardings(
     out = []
     for path, leaf in leaves:
         shape = tuple(getattr(leaf, "shape", ()))
-        if not shape or data_size == 1:
+        if not shape:
             out.append(NamedSharding(mesh, P()))
             continue
         base = P()
         tail = _trailing_tree_path(path)
         if tensor_parallel and tail and param_shapes.get(tail) == shape:
             base = spec_for_param(tail, rules)
-        out.append(NamedSharding(mesh, zero1_spec(shape, data_size, base)))
+        if data_size > 1:
+            base = zero1_spec(shape, data_size, base)
+        out.append(NamedSharding(mesh, base))
     return tree_unflatten(treedef, out)
+
+
+# ZeRO-1-flavored alias (the original name of opt_state_shardings)
+def zero1_opt_shardings(mesh, tx, params, tensor_parallel=False, rules=TP_RULES):
+    return opt_state_shardings(
+        mesh, tx, params, tensor_parallel=tensor_parallel, zero1=True,
+        rules=rules,
+    )

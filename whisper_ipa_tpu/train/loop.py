@@ -141,6 +141,7 @@ def train(
     bf16_head: bool = False,
     steps_per_call: int = 1,
     zero1: bool = False,
+    tensor_parallel: int = 1,
 ) -> Dict:
     """Main training entry point (reference-compatible surface + resume).
 
@@ -265,12 +266,30 @@ def train(
                 step=b_step, params=b_params, opt_state=b_opt
             )
 
-    mesh = make_mesh() if (data_parallel or multi) else None
+    if tensor_parallel > 1 and multi:
+        raise ValueError(
+            "tensor_parallel > 1 in the training loop is single-host for "
+            "now: the multi-host global-batch assembly assumes a pure-DP "
+            "device order"
+        )
+    mesh = (
+        make_mesh(model=tensor_parallel)
+        if (data_parallel or multi or tensor_parallel > 1)
+        else None
+    )
     if mesh is not None:
         n_dev = mesh.devices.size
-        print(f"Data-parallel over {n_dev} device(s): {mesh}")
-        if batch_size % n_dev != 0:
-            batch_size = max(n_dev, (batch_size // n_dev) * n_dev)
+        n_data = int(mesh.shape.get("data", 1))
+        if tensor_parallel > 1:
+            print(
+                f"Mesh over {n_dev} device(s): data={n_data} x "
+                f"model={tensor_parallel} (Megatron TP + DP)"
+            )
+        else:
+            print(f"Data-parallel over {n_dev} device(s): {mesh}")
+        # the batch shards over 'data' only — round to the data axis
+        if batch_size % n_data != 0:
+            batch_size = max(n_data, (batch_size // n_data) * n_data)
             print(f"  (batch size rounded to {batch_size} for even sharding)")
     if multi:
         # the global train state must live on the global mesh: host-local
@@ -337,26 +356,44 @@ def train(
     latest_loss = None
     eot = tokenizer.eot
 
-    # ZeRO-1: shard the optimizer state over the mesh 'data' axis instead
-    # of replicating it — each device holds 1/dp of the AdamW moments (the
-    # memory term that decides whether a large-v3 fine-tune fits a 16 GB
-    # chip). Parameters stay replicated; GSPMD derives the reduce-scatter/
-    # all-gather update schedule from the pinned output shardings.
+    # Sharded-state regimes: tensor parallelism (Megatron param sharding
+    # over 'model') and/or ZeRO-1 (optimizer state sharded over 'data' —
+    # each device holds 1/dp of the AdamW moments, the memory term that
+    # decides whether a large-v3 fine-tune fits a 16 GB chip). Both pin
+    # explicit state shardings on a dedicated jitted step; GSPMD derives
+    # the collective schedule (grad all-reduce, ZeRO reduce-scatter/
+    # all-gather, TP block all-reduces) from the shardings alone.
     step_impl, chunk_impl = train_step, train_chunk
-    if zero1 and mesh is not None and int(mesh.shape.get("data", 1)) > 1:
-        from ..parallel.mesh import replicate as _replicate
-        from ..parallel.mesh import zero1_opt_shardings
+    use_tp = tensor_parallel > 1 and mesh is not None
+    use_zero1 = (
+        zero1 and mesh is not None and int(mesh.shape.get("data", 1)) > 1
+    )
+    if use_tp or use_zero1:
+        from ..parallel.mesh import (
+            opt_state_shardings,
+            param_shardings as tp_param_shardings,
+            replicate as _replicate,
+        )
         from .step import make_zero1_step
 
-        # params must be explicitly mesh-replicated: donated buffers are
+        # params must be explicitly mesh-placed: donated buffers are
         # paired with outputs by global shape, and an uncommitted
         # single-device param next to a sharded same-shape moment makes
         # XLA alias mismatched local buffers
+        if use_tp:
+            param_sh = tp_param_shardings(mesh, state.params)
+            placed_params = jax.tree.map(
+                jax.device_put, state.params, param_sh
+            )
+        else:
+            param_sh = None
+            placed_params = _replicate(mesh, state.params)
         state = state._replace(
-            step=_replicate(mesh, state.step),
-            params=_replicate(mesh, state.params),
+            step=_replicate(mesh, state.step), params=placed_params
         )
-        opt_sh = zero1_opt_shardings(mesh, tx, state.params)
+        opt_sh = opt_state_shardings(
+            mesh, tx, state.params, tensor_parallel=use_tp, zero1=use_zero1
+        )
         if resumed_ckpt:
             # keep the restored moments, just re-place them sharded
             opt_state = jax.tree.map(
@@ -366,7 +403,7 @@ def train(
             # init ALREADY sharded: the replicated moments never exist
             opt_state = jax.jit(tx.init, out_shardings=opt_sh)(state.params)
         state = state._replace(opt_state=opt_state)
-        zero_knobs = dict(
+        sharded_knobs = dict(
             freeze_encoder=freeze_encoder,
             dtype_name=compute_dtype,
             remat=remat,
@@ -374,9 +411,13 @@ def train(
             inputs_are_features=cache_encoder,
             bf16_head=bf16_head,
         )
-        _z_step = make_zero1_step(mesh, cfg, tx, eot, opt_sh, **zero_knobs)
+        _z_step = make_zero1_step(
+            mesh, cfg, tx, eot, opt_sh, param_shardings=param_sh,
+            **sharded_knobs,
+        )
         _z_chunk = make_zero1_step(
-            mesh, cfg, tx, eot, opt_sh, chunk=True, **zero_knobs
+            mesh, cfg, tx, eot, opt_sh, param_shardings=param_sh,
+            chunk=True, **sharded_knobs,
         )
 
         def step_impl(st, mel_a, tok_a, *a, **k):
@@ -385,11 +426,17 @@ def train(
         def chunk_impl(st, mels_a, toks_a, *a, **k):
             return _z_chunk(st, mels_a, toks_a)
 
-        n_data = int(mesh.shape["data"])
-        print(
-            f"ZeRO-1: optimizer state sharded over data={n_data} "
-            f"(~1/{n_data} of the AdamW moments per device)"
-        )
+        if use_zero1:
+            n_data = int(mesh.shape["data"])
+            print(
+                f"ZeRO-1: optimizer state sharded over data={n_data} "
+                f"(~1/{n_data} of the AdamW moments per device)"
+            )
+        if use_tp:
+            print(
+                f"Tensor parallel: Megatron param sharding over "
+                f"model={tensor_parallel}"
+            )
     elif zero1:
         print("ZeRO-1 requested but no data-parallel mesh; ignoring")
 

@@ -449,3 +449,83 @@ class TestTensorParallelInference:
         plain = decode(params, cfg, mel, opts, tokenizer=tok)
         tp = decode(sharded, cfg, mel, opts, tokenizer=tok)
         assert [r.tokens for r in tp] == [r.tokens for r in plain]
+
+
+class TestZero1OptimizerVariants:
+    def test_zero1_with_accum_and_bf16_moments_and_frozen_encoder(self):
+        """ZeRO-1 shardings must map every optimizer wrapper we ship:
+        multi_transform (frozen encoder -> MaskedNode leaves),
+        MultiSteps (acc_grads mirror the params), and bfloat16 first
+        moments — and the step must still match the replicated run."""
+        from dataclasses import replace
+
+        from whisper_ipa_tpu.config import CONFIGS
+        from whisper_ipa_tpu.models import init_params
+        from whisper_ipa_tpu.parallel import shard_batch
+        from whisper_ipa_tpu.train import (
+            create_train_state,
+            create_train_state_zero1,
+            make_zero1_step,
+            train_step,
+        )
+
+        cfg = replace(CONFIGS["test-tiny"], n_audio_ctx=32, n_text_ctx=32)
+        eot = 50257
+        batch = 8
+        rng = np.random.default_rng(5)
+        mel_np = rng.standard_normal((batch, 64, cfg.n_mels)).astype(
+            np.float32
+        )
+        tokens_np = np.tile(
+            [[50258, 50259, 50359, 50363, 100, 200, eot, eot]], (batch, 1)
+        ).astype(np.int32)
+        kw = dict(
+            learning_rate=1e-3,
+            freeze_encoder=True,
+            accum_steps=2,
+            mu_dtype="bfloat16",
+        )
+
+        params = init_params(cfg, seed=0)
+        state, tx = create_train_state(params, **kw)
+        ref_losses = []
+        for _ in range(4):  # 2 accumulation cycles
+            state, loss = train_step(
+                state, jnp.asarray(mel_np), jnp.asarray(tokens_np), cfg,
+                tx, eot,
+            )
+            ref_losses.append(float(loss))
+        ref_params = jax.device_get(state.params)
+
+        mesh = make_mesh()
+        zparams = replicate(mesh, init_params(cfg, seed=0))
+        zstate, ztx, opt_sh = create_train_state_zero1(mesh, zparams, **kw)
+        # bf16 moments + acc_grads are sharded like everything else
+        n_sharded = sum(
+            1
+            for leaf in jax.tree.leaves(zstate.opt_state)
+            if hasattr(leaf, "sharding")
+            and "data" in tuple(leaf.sharding.spec)
+        )
+        assert n_sharded > 0
+        step_fn = make_zero1_step(mesh, cfg, ztx, eot, opt_sh)
+        mel, tokens = shard_batch(
+            mesh, jnp.asarray(mel_np), jnp.asarray(tokens_np)
+        )
+        z_losses = []
+        for _ in range(4):
+            zstate, loss = step_fn(zstate, mel, tokens)
+            z_losses.append(float(loss))
+        np.testing.assert_allclose(z_losses, ref_losses, rtol=1e-5)
+        jax.tree.map(
+            # bf16 first moments: tiny order-of-ops differences round
+            # visibly, so the param tolerance is looser than the fp32 test
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a, np.float32),
+                np.asarray(b, np.float32),
+                rtol=1e-3,
+                atol=1e-5,
+            ),
+            jax.device_get(zstate.params),
+            ref_params,
+        )

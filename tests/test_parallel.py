@@ -529,3 +529,50 @@ class TestZero1OptimizerVariants:
             jax.device_get(zstate.params),
             ref_params,
         )
+
+
+class TestDataParallelEvaluation:
+    def test_dp_validate_matches_single_device(self, tmp_path):
+        """validate(mesh=...) shards decode batches over 'data' (with
+        zero-padded tails) and must score identically to the unsharded
+        run — the offline-evaluation throughput scaling path."""
+        import sys, os
+
+        from dataclasses import replace
+
+        from whisper_ipa_tpu.config import CONFIGS
+        from whisper_ipa_tpu.data import create_data_loader
+        from whisper_ipa_tpu.models import init_params
+        from whisper_ipa_tpu.train.loop import validate
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_dataset import make_synthetic_dataset
+
+        data_json = make_synthetic_dataset(str(tmp_path / "ds"))
+        # full 1500-frame audio ctx (the dataset emits 30 s mels) but
+        # micro model dims to keep the CPU compile quick
+        cfg = replace(
+            CONFIGS["test-tiny"],
+            n_audio_state=32,
+            n_audio_layer=1,
+            n_text_state=32,
+            n_text_layer=1,
+            n_text_ctx=48,
+        )
+        params = init_params(cfg, seed=0)
+        dataset = create_data_loader(data_json, n_mels=cfg.n_mels)
+        tok = dataset.tokenizer
+
+        # batch 4 over 6 samples: a full batch (pad 4->8) and a tail
+        # batch of 2 (pad 2->8) both exercise the padding path on dp=8
+        plain = validate(
+            params, cfg, dataset, tok, num_samples=6, val_batch_size=4
+        )
+        mesh = make_mesh()
+        dp = validate(
+            replicate(mesh, init_params(cfg, seed=0)),
+            cfg, dataset, tok, num_samples=6, val_batch_size=4, mesh=mesh,
+        )
+        assert dp["per"] == pytest.approx(plain["per"], abs=1e-9)
+        assert dp["pfer"] == pytest.approx(plain["pfer"], abs=1e-9)
+        assert dp["num_samples"] == plain["num_samples"] == 6

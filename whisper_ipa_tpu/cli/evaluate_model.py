@@ -30,10 +30,23 @@ def evaluate_model(
     model_name: str = "Model",
     batch_size: int = 8,
     language: str = "en",
+    data_parallel: bool = False,
 ) -> Dict:
+    """data_parallel: shard each decode batch over the device mesh 'data'
+    axis (params replicated) — evaluation throughput scales with the chip
+    count, token-identical output (tests/test_parallel.py DP oracle)."""
     print("=" * 70)
     print(f"Evaluating {model_name}")
     print("=" * 70)
+
+    mesh = None
+    if data_parallel:
+        from ..parallel import make_mesh, replicate
+
+        mesh = make_mesh()
+        if mesh is not None:
+            params = replicate(mesh, params)
+            print(f"Data-parallel evaluation over {mesh.devices.size} devices")
 
     tokenizer = get_tokenizer(
         multilingual=cfg.multilingual,
@@ -53,9 +66,24 @@ def evaluate_model(
         indices = list(range(start, min(start + batch_size, n)))
         batch = dataset.get_batch(indices)
         try:
+            mel = batch["mel_features"]
+            n_real = len(indices)
+            if mesh is not None:
+                import jax.numpy as jnp
+
+                from ..parallel import shard_batch
+
+                n_data = int(mesh.shape.get("data", 1))
+                mel = jnp.asarray(mel)
+                pad = (-n_real) % n_data
+                if pad:
+                    mel = jnp.concatenate(
+                        [mel, jnp.zeros((pad,) + mel.shape[1:], mel.dtype)]
+                    )
+                mel = shard_batch(mesh, mel)
             results = decode(
-                params, cfg, batch["mel_features"], options, tokenizer=tokenizer
-            )
+                params, cfg, mel, options, tokenizer=tokenizer
+            )[:n_real]
             hyps = [r.text.strip() for r in results]
         except Exception as e:
             print(f"Error transcribing batch at {start}: {e}")
@@ -140,6 +168,11 @@ def main(argv=None):
     p.add_argument("--n-mels", type=int, default=None, help="(derived from model)")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--weights", type=str, default=None)
+    p.add_argument(
+        "--data-parallel", action="store_true",
+        help="Shard each decode batch over the device mesh (throughput "
+        "scales with chip count; token-identical output)",
+    )
     args = p.parse_args(argv)
 
     num_samples = None if args.num_samples == 0 else args.num_samples
@@ -155,6 +188,7 @@ def main(argv=None):
             num_samples,
             model_name="Base Whisper Model",
             batch_size=args.batch_size,
+            data_parallel=args.data_parallel,
         )
 
     import os as _os
@@ -179,6 +213,7 @@ def main(argv=None):
         num_samples,
         model_name="Trained Checkpoint",
         batch_size=args.batch_size,
+        data_parallel=args.data_parallel,
     )
 
     if base_results:

@@ -47,8 +47,16 @@ def validate(
     tokenizer,
     num_samples: int = 100,
     val_batch_size: int = 8,
+    mesh=None,
 ) -> Dict:
-    """Decode a test subset and score PER/PFER (reference validate())."""
+    """Decode a test subset and score PER/PFER (reference validate()).
+
+    mesh: shard each decode batch over the mesh 'data' axis — evaluation
+    throughput scales with the data-parallel degree (params replicated or
+    TP-sharded; token-identical to the single-device decode, see
+    tests/test_parallel.py). Tail batches zero-pad to a multiple of the
+    data axis and the pad rows are dropped.
+    """
     print(f"\nValidating on {num_samples} samples...")
     num_samples = min(num_samples, len(dataset))
     references = []
@@ -58,18 +66,28 @@ def validate(
         without_timestamps=True,
         length_penalty=1.0,
     )
+    n_data = int(mesh.shape.get("data", 1)) if mesh is not None else 1
 
     for start in range(0, num_samples, val_batch_size):
         indices = list(range(start, min(start + val_batch_size, num_samples)))
         batch = dataset.get_batch(indices)
         try:
+            mel = jnp.asarray(batch["mel_features"])
+            n_real = mel.shape[0]
+            if n_data > 1:
+                pad = (-n_real) % n_data
+                if pad:
+                    mel = jnp.concatenate(
+                        [mel, jnp.zeros((pad,) + mel.shape[1:], mel.dtype)]
+                    )
+                mel = shard_batch(mesh, mel)
             results = decode(
                 params,
                 cfg,
-                jnp.asarray(batch["mel_features"]),
+                mel,
                 options,
                 tokenizer=tokenizer,
-            )
+            )[:n_real]
             hypotheses.extend(r.text.strip() for r in results)
             references.extend(t.strip() for t in batch["ipa_texts"])
             if start == 0:
@@ -450,7 +468,7 @@ def train(
             return (
                 validate(
                     cur_state.params, cfg, test_dataset, tokenizer,
-                    num_samples=num_samples,
+                    num_samples=num_samples, mesh=mesh,
                 ),
                 None,
             )

@@ -453,3 +453,52 @@ def test_device_budget_freeze_truncates_exactly(params, tok):
         assert out["truncated"] == (len(ref) > 3)
     finally:
         eng.close()
+
+
+def test_dp_sharded_engine_matches_plain_greedy(params, tok):
+    """Engine with its SLOT axis sharded over the mesh 'data' axis
+    (multi-chip serving): same tokens as the standalone greedy decode,
+    and the persistent state STAYS sharded across joins/chunks/retires
+    (no silent re-replication of the KV cache)."""
+    from whisper_ipa_tpu.parallel import make_mesh
+
+    mesh = make_mesh()  # 8 virtual devices
+    eng = ContinuousBatcher(
+        params,
+        CFG,
+        slots=8,
+        max_new_tokens=MAX_NEW,
+        steps_per_sync=2,
+        language="en",
+        tokenizer=tok,
+        mesh=mesh,
+    )
+    try:
+        rng = np.random.default_rng(7)
+        audios = [
+            rng.standard_normal(16000).astype(np.float32) * 0.1
+            for _ in range(4)
+        ]
+        futs = [eng.submit(a) for a in audios]
+        results = [f.result(timeout=600) for f in futs]
+        for a, r in zip(audios, results):
+            assert r["tokens"] == reference_tokens(params, a, tok)
+        import jax
+
+        for leaf in jax.tree.leaves(eng.cache):
+            assert "data" in tuple(leaf.sharding.spec), (
+                f"cache leaf lost its slot sharding: {leaf.sharding}"
+            )
+        assert "data" in tuple(eng.lens.sharding.spec)
+    finally:
+        eng.close()
+
+
+def test_dp_engine_rejects_indivisible_slots(params, tok):
+    from whisper_ipa_tpu.parallel import make_mesh
+
+    with pytest.raises(ValueError, match="divide"):
+        ContinuousBatcher(
+            params, CFG, slots=6, max_new_tokens=MAX_NEW,
+            tokenizer=tok, mesh=make_mesh(),
+        )

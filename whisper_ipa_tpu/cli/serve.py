@@ -205,10 +205,10 @@ def main(argv=None):
     if args.continuous:
         from ..serve_continuous import ContinuousBatcher
 
-        if mesh is not None:
+        if args.tp > 1:
             raise SystemExit(
-                "--continuous is single-chip; use the micro-batch service "
-                "for --dp/--tp"
+                "--continuous supports --dp only (slot-axis sharding); "
+                "use the micro-batch service for --tp"
             )
         if args.beam_size:
             raise SystemExit("--continuous is greedy-only (no beam)")
@@ -241,6 +241,7 @@ def main(argv=None):
                 if (args.medusa_tree and medusa_params is not None)
                 else None
             ),
+            mesh=mesh,
         )
     else:
         service = TranscriptionService(

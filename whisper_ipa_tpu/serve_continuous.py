@@ -711,6 +711,7 @@ class ContinuousBatcher:
         medusa_params=None,
         medusa_tree=None,
         tokenizer: Optional[WhisperTokenizer] = None,
+        mesh=None,
     ):
         """draft_k > 0 turns on in-flight speculation: model-free n-gram
         drafts by default, or a persistent DRAFT MODEL when
@@ -723,7 +724,12 @@ class ContinuousBatcher:
         medusa_tree: a static (parent, cand) tree template
         (decode/medusa_tree.py) — verify top-C candidates per head as a
         TREE in the same forward (higher tokens/round, same exact-greedy
-        output)."""
+        output).
+        mesh: shard the SLOT axis of all persistent device state over the
+        mesh 'data' axis (params replicated) — the engine's throughput
+        then scales with the chip count, one engine per pod slice, with
+        token-identical output (tests/test_serve_continuous.py oracle).
+        slots must divide evenly by the data axis."""
         if (draft_params is None) != (draft_cfg is None):
             raise ValueError("draft_params and draft_cfg go together")
         if medusa_params is not None and draft_params is not None:
@@ -752,6 +758,24 @@ class ContinuousBatcher:
             raise ValueError(
                 "draft and target must share tokenizer and mel size"
             )
+        self.mesh = mesh
+        if mesh is not None:
+            n_data = int(mesh.shape.get("data", 1))
+            if n_data <= 1:
+                self.mesh = mesh = None
+            elif slots % n_data != 0:
+                raise ValueError(
+                    f"slots={slots} must divide by the mesh data axis "
+                    f"({n_data})"
+                )
+            else:
+                from .parallel.mesh import replicate as _replicate
+
+                params = _replicate(mesh, params)
+                if draft_params is not None:
+                    draft_params = _replicate(mesh, draft_params)
+                if medusa_params is not None:
+                    medusa_params = _replicate(mesh, medusa_params)
         self.params = params
         self.cfg = cfg
         self.draft_params = draft_params
@@ -822,6 +846,32 @@ class ContinuousBatcher:
 
             _, _, _, _, _, tree_k = _tree_tables(self.medusa_tree)
             self._tree_join_width = max(self.n_prefix, tree_k + 2)
+        if mesh is not None:
+            # shard every persistent buffer's SLOT axis over 'data': the
+            # cache batch axis is 1 ((L, B, ...) — models/whisper.py
+            # DecoderCache), the per-slot vectors' is 0. All engine
+            # programs are slot-parallel, so GSPMD splits them cleanly.
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            def _slot_sharded(x, axis):
+                if x is None:
+                    return None
+                spec = [None] * x.ndim
+                spec[axis] = "data"
+                return jax.device_put(x, NamedSharding(mesh, _P(*spec)))
+
+            self.cache = jax.tree.map(
+                lambda x: _slot_sharded(x, 1), self.cache
+            )
+            if self.draft_cache is not None:
+                self.draft_cache = jax.tree.map(
+                    lambda x: _slot_sharded(x, 1), self.draft_cache
+                )
+            self.last_tok = _slot_sharded(self.last_tok, 0)
+            self.lens = _slot_sharded(self.lens, 0)
+            self.finished = _slot_sharded(self.finished, 0)
+            if self.hidden_frontier is not None:
+                self.hidden_frontier = _slot_sharded(self.hidden_frontier, 0)
         self._prefix_row = np.asarray(self.prefix, np.int32)
 
         self._slots: List[Optional[_Slot]] = [None] * slots

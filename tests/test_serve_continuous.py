@@ -502,3 +502,77 @@ def test_dp_engine_rejects_indivisible_slots(params, tok):
             params, CFG, slots=6, max_new_tokens=MAX_NEW,
             tokenizer=tok, mesh=make_mesh(),
         )
+
+
+def test_max_pending_backpressure(engine):
+    """submit() rejects with EngineOverloaded at the queue bound and the
+    HTTP layer maps it to 503 (production load shedding)."""
+    from whisper_ipa_tpu.serve_continuous import EngineOverloaded
+
+    audio = np.zeros(8000, np.float32)
+    engine.max_pending = 0  # every submit sees a "full" queue
+    try:
+        with pytest.raises(EngineOverloaded):
+            engine.submit(audio)
+        assert engine.stats()["rejected"] >= 1
+    finally:
+        engine.max_pending = None
+
+
+def test_cancel_queued_request(engine, params, tok):
+    """A cancelled Future never occupies a slot; the engine keeps
+    serving everyone else correctly."""
+    rng = np.random.default_rng(21)
+    audio = rng.standard_normal(16000).astype(np.float32) * 0.1
+    fut = engine.submit(np.zeros(16000, np.float32))
+    assert fut.cancel()
+    out = engine.transcribe(audio, timeout=600)  # engine still healthy
+    assert out["tokens"] == reference_tokens(params, audio, tok)
+    assert engine.stats()["cancelled"] >= 1
+    with pytest.raises(Exception):
+        fut.result(timeout=0)
+
+
+def test_expired_deadline_resolves_before_decode(engine):
+    """A request whose deadline passed while queued resolves with
+    timed_out=True and an empty transcript — it never pays the encode."""
+    audio = np.zeros(16000, np.float32)
+    out = engine.submit(audio, deadline_sec=0).result(timeout=600)
+    assert out["timed_out"] is True
+    assert out["tokens"] == []
+    assert out["queue_sec"] is None  # never started
+    assert engine.stats()["timed_out"] >= 1
+
+
+def test_inflight_deadline_returns_partial(engine, params, tok):
+    """A deadline that expires MID-DECODE resolves at the next sync with
+    the tokens decoded so far (partial transcript, timed_out flag)."""
+    import time as _time
+
+    rng = np.random.default_rng(22)
+    audio = rng.standard_normal(16000).astype(np.float32) * 0.1
+    ref = reference_tokens(params, audio, tok)
+    fut = engine.submit(audio, deadline_sec=3600)
+    # wait for admission, then pull the deadline into the past
+    deadline = _time.time() + 120
+    hit = False
+    while _time.time() < deadline:
+        for s in engine._slots:
+            if s is not None and s.deadline is not None:
+                s.deadline = 0.0
+                hit = True
+                break
+        if hit or fut.done():
+            break
+        _time.sleep(0.001)
+    out = fut.result(timeout=600)
+    if out["timed_out"]:
+        # partial: a prefix of the reference tokens
+        assert out["tokens"] == ref[: len(out["tokens"])]
+    else:
+        # raced to completion before the reaper saw it — still exact
+        assert out["tokens"] == ref
+    # engine remains healthy for the next request
+    audio2 = rng.standard_normal(16000).astype(np.float32) * 0.1
+    out2 = engine.transcribe(audio2, timeout=600)
+    assert out2["tokens"] == reference_tokens(params, audio2, tok)

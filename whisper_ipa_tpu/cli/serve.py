@@ -80,8 +80,11 @@ def make_handler(service):
                 write_chunk({"final": fut.result()})
                 self.wfile.write(b"0\r\n\r\n")
             except Exception as e:
+                from ..serve_continuous import EngineOverloaded
+
+                code = 503 if isinstance(e, EngineOverloaded) else 500
                 try:
-                    self._send(500, {"error": str(e)})
+                    self._send(code, {"error": str(e)})
                 except Exception:
                     pass  # headers may already be sent mid-stream
 
@@ -138,6 +141,12 @@ def main(argv=None):
     )
     p.add_argument("--max-new-tokens", type=int, default=128)
     p.add_argument("--steps-per-sync", type=int, default=4)
+    p.add_argument(
+        "--max-pending", type=int, default=None,
+        help="continuous engine: reject (HTTP 503) when this many "
+        "requests are already waiting — backpressure over unbounded "
+        "queueing latency",
+    )
     p.add_argument(
         "--dp", type=int, default=1,
         help="data-parallel ways: shard each batch over the mesh's "
@@ -242,6 +251,7 @@ def main(argv=None):
                 else None
             ),
             mesh=mesh,
+            max_pending=args.max_pending,
         )
     else:
         service = TranscriptionService(

@@ -677,6 +677,8 @@ class _Slot:
     started_at: float = 0.0
     first_token_at: float = 0.0  # first token visible on host (TTFT)
     on_token: Optional[Callable[[dict], None]] = None
+    deadline: Optional[float] = None  # absolute wall time; None = no limit
+    timed_out: bool = False
 
     def all_tokens(self) -> List[int]:
         out: List[int] = []
@@ -684,6 +686,11 @@ class _Slot:
             out.extend(w)
         out.extend(self.tokens)
         return out
+
+
+class EngineOverloaded(RuntimeError):
+    """Raised by submit() when the waiting queue is at max_pending —
+    backpressure for upstream load shedding (HTTP layer maps it to 503)."""
 
 
 class ContinuousBatcher:
@@ -712,6 +719,7 @@ class ContinuousBatcher:
         medusa_tree=None,
         tokenizer: Optional[WhisperTokenizer] = None,
         mesh=None,
+        max_pending: Optional[int] = None,
     ):
         """draft_k > 0 turns on in-flight speculation: model-free n-gram
         drafts by default, or a persistent DRAFT MODEL when
@@ -729,7 +737,11 @@ class ContinuousBatcher:
         mesh 'data' axis (params replicated) — the engine's throughput
         then scales with the chip count, one engine per pod slice, with
         token-identical output (tests/test_serve_continuous.py oracle).
-        slots must divide evenly by the data axis."""
+        slots must divide evenly by the data axis.
+        max_pending: bound on the waiting queue; submit() raises
+        EngineOverloaded beyond it (backpressure instead of unbounded
+        latency). Per-request deadlines/cancellation: submit(...,
+        deadline_sec=...) and Future.cancel()."""
         if (draft_params is None) != (draft_cfg is None):
             raise ValueError("draft_params and draft_cfg go together")
         if medusa_params is not None and draft_params is not None:
@@ -876,12 +888,14 @@ class ContinuousBatcher:
 
         self._slots: List[Optional[_Slot]] = [None] * slots
         self._queue: "queue.Queue" = queue.Queue()  # (slot, audio) pairs
+        self.max_pending = max_pending
         # finished-window requests waiting to rejoin for their next window
         self._continuations: List[tuple] = []
         self._stop = threading.Event()
         self._stats = {
             "requests": 0, "joins": 0, "chunks": 0,
             "spec_rounds": 0, "spec_emitted": 0,
+            "rejected": 0, "cancelled": 0, "timed_out": 0,
         }
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -893,6 +907,7 @@ class ContinuousBatcher:
         audio,
         on_token: Optional[Callable[[dict], None]] = None,
         on_partial: Optional[Callable[[dict], None]] = None,
+        deadline_sec: Optional[float] = None,
     ) -> Future:
         """Submit one utterance (path or waveform, first 30 s window).
 
@@ -900,7 +915,23 @@ class ContinuousBatcher:
         {"token", "text_so_far"} per decoded token (token streaming).
         on_partial is an alias accepted for interface parity with
         serve.TranscriptionService (the HTTP stream handler uses it).
+
+        deadline_sec: wall-clock budget from NOW; a request past its
+        deadline resolves at the next engine sync with whatever it has
+        decoded so far (``timed_out: True`` in the result). Calling
+        ``.cancel()`` on the returned Future drops the request (queued
+        ones never run; in-flight ones stop at the next sync).
+        Raises EngineOverloaded when max_pending requests are waiting.
         """
+        if (
+            self.max_pending is not None
+            and self._queue.qsize() >= self.max_pending
+        ):
+            self._stats["rejected"] += 1
+            raise EngineOverloaded(
+                f"{self._queue.qsize()} requests already waiting "
+                f"(max_pending={self.max_pending})"
+            )
         on_token = on_token or on_partial
         if isinstance(audio, str):
             audio = load_audio(audio)
@@ -915,6 +946,11 @@ class ContinuousBatcher:
             windows=windows[1:],
             submitted_at=time.time(),
             on_token=on_token,
+            deadline=(
+                time.time() + deadline_sec
+                if deadline_sec is not None
+                else None
+            ),
         )
         self._queue.put((slot, windows[0]))
         self._stats["requests"] += 1
@@ -924,7 +960,10 @@ class ContinuousBatcher:
         return self.submit(audio).result(timeout=timeout)
 
     def stats(self) -> dict:
-        return dict(self._stats)
+        d = dict(self._stats)
+        d["pending"] = self._queue.qsize()
+        d["active_slots"] = sum(s is not None for s in self._slots)
+        return d
 
     def close(self):
         self._stop.set()
@@ -952,6 +991,18 @@ class ContinuousBatcher:
                     slot_state, audio = self._queue.get_nowait()
                 except queue.Empty:
                     break
+            # cancelled / already-expired requests never pay the encode
+            if slot_state.future.cancelled():
+                self._stats["cancelled"] += 1
+                continue
+            if (
+                slot_state.deadline is not None
+                and time.time() > slot_state.deadline
+            ):
+                slot_state.timed_out = True
+                self._stats["timed_out"] += 1
+                self._resolve(slot_state)
+                continue
             i = free.pop(0)
             mel = log_mel_spectrogram(audio, n_mels=self.cfg.n_mels)
             feats = aot_call(
@@ -1072,6 +1123,36 @@ class ContinuousBatcher:
         self._stats["joins"] += len(joiners)
         return True
 
+    def _resolve(self, s: _Slot):
+        """Resolve a request's Future with its final transcript."""
+        if s.future.done():  # cancelled under our feet
+            return
+        tokens = s.all_tokens()
+        text = self.tokenizer.decode_text(tokens).strip()
+        try:
+            s.future.set_result(
+                {
+                    "text": text,
+                    "tokens": tokens,
+                    "n_windows": len(s.window_tokens),
+                    "latency_sec": time.time() - s.submitted_at,
+                    "queue_sec": (
+                        (s.started_at - s.submitted_at)
+                        if s.started_at
+                        else None  # expired while still queued
+                    ),
+                    "ttft_sec": (
+                        (s.first_token_at - s.submitted_at)
+                        if s.first_token_at
+                        else None  # produced no tokens (immediate EOT)
+                    ),
+                    "truncated": s.truncated,
+                    "timed_out": s.timed_out,
+                }
+            )
+        except Exception:
+            pass  # a cancel() racing set_result
+
     def _retire(self, i: int, budget_hit: bool):
         """Finish the current window; chain the next or resolve."""
         s = self._slots[i]
@@ -1086,23 +1167,54 @@ class ContinuousBatcher:
             # (the slot is freed — another request may use it meanwhile)
             self._continuations.append((s, s.windows.pop(0)))
             return
-        tokens = s.all_tokens()
-        text = self.tokenizer.decode_text(tokens).strip()
-        s.future.set_result(
-            {
-                "text": text,
-                "tokens": tokens,
-                "n_windows": len(s.window_tokens),
-                "latency_sec": time.time() - s.submitted_at,
-                "queue_sec": s.started_at - s.submitted_at,
-                "ttft_sec": (
-                    (s.first_token_at - s.submitted_at)
-                    if s.first_token_at
-                    else None  # request produced no tokens (immediate EOT)
-                ),
-                "truncated": s.truncated,
-            }
-        )
+        self._resolve(s)
+
+    def _halt_device_slot(self, i: int):
+        """Mark slot i finished ON DEVICE so forced retires stop burning
+        decode steps on a dead request (joins reset the flag later)."""
+        onehot = np.zeros(self.slots, bool)
+        onehot[i] = True
+        self.finished = jnp.logical_or(self.finished, jnp.asarray(onehot))
+
+    def _force_retire(self, i: int, cancelled: bool):
+        """Drop an in-flight request NOW (client cancel or deadline)."""
+        s = self._slots[i]
+        if s is None:
+            return
+        self._slots[i] = None
+        self._halt_device_slot(i)
+        if cancelled:
+            self._stats["cancelled"] += 1
+            return  # the Future is already in its CANCELLED state
+        s.timed_out = True
+        self._stats["timed_out"] += 1
+        s.window_tokens.append(list(s.tokens))
+        s.tokens = []
+        self._resolve(s)  # partial transcript, timed_out flag set
+
+    def _reap(self):
+        """Apply client cancels and deadlines to in-flight slots and to
+        requests still waiting between windows (continuations)."""
+        now = time.time()
+        for i, s in enumerate(self._slots):
+            if s is None:
+                continue
+            if s.future.cancelled():
+                self._force_retire(i, cancelled=True)
+            elif s.deadline is not None and now > s.deadline:
+                self._force_retire(i, cancelled=False)
+        if self._continuations:
+            keep = []
+            for s, audio in self._continuations:
+                if s.future.cancelled():
+                    self._stats["cancelled"] += 1
+                elif s.deadline is not None and now > s.deadline:
+                    s.timed_out = True
+                    self._stats["timed_out"] += 1
+                    self._resolve(s)
+                else:
+                    keep.append((s, audio))
+            self._continuations = keep
 
     def _spec_round(self, active: List[int]):
         """One speculative chunk (draft_k > 0): steps_per_sync
@@ -1298,6 +1410,7 @@ class ContinuousBatcher:
                 raise
 
     def _loop_once(self):
+        self._reap()
         admitted = self._admit()
         active = [i for i, s in enumerate(self._slots) if s is not None]
         if not active:

@@ -576,3 +576,24 @@ def test_inflight_deadline_returns_partial(engine, params, tok):
     audio2 = rng.standard_normal(16000).astype(np.float32) * 0.1
     out2 = engine.transcribe(audio2, timeout=600)
     assert out2["tokens"] == reference_tokens(params, audio2, tok)
+
+
+def test_queued_deadline_resolves_while_slots_full(engine, params, tok):
+    """An expired queued request resolves promptly even when every slot
+    is busy (the _reap queue sweep — without it the client would wait
+    for a slot to free, the unbounded latency deadlines must prevent).
+    Long-audio requests keep both slots occupied across windows."""
+    from whisper_ipa_tpu.audio import N_SAMPLES
+
+    rng = np.random.default_rng(23)
+    n = N_SAMPLES + 16000  # 31 s -> 2 windows per request
+    long1 = rng.standard_normal(n).astype(np.float32) * 0.1
+    long2 = rng.standard_normal(n).astype(np.float32) * 0.1
+    f1 = engine.submit(long1)
+    f2 = engine.submit(long2)
+    fq = engine.submit(np.zeros(16000, np.float32), deadline_sec=0)
+    out = fq.result(timeout=120)  # resolves while f1/f2 still decode
+    assert out["timed_out"] is True and out["tokens"] == []
+    # the engine finishes the real requests untouched
+    assert f1.result(timeout=600)["n_windows"] == 2
+    assert f2.result(timeout=600)["n_windows"] == 2

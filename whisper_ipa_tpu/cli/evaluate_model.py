@@ -71,16 +71,9 @@ def evaluate_model(
             if mesh is not None:
                 import jax.numpy as jnp
 
-                from ..parallel import shard_batch
+                from ..parallel import shard_padded_batch
 
-                n_data = int(mesh.shape.get("data", 1))
-                mel = jnp.asarray(mel)
-                pad = (-n_real) % n_data
-                if pad:
-                    mel = jnp.concatenate(
-                        [mel, jnp.zeros((pad,) + mel.shape[1:], mel.dtype)]
-                    )
-                mel = shard_batch(mesh, mel)
+                mel, n_real = shard_padded_batch(mesh, jnp.asarray(mel))
             results = decode(
                 params, cfg, mel, options, tokenizer=tokenizer
             )[:n_real]

@@ -14,7 +14,7 @@ from .mesh import (
     shard_batch,
     shard_params,
     spec_for_param,
-    zero1_opt_shardings,
+    shard_padded_batch,
     zero1_spec,
 )
 
@@ -32,6 +32,6 @@ __all__ = [
     "shard_batch",
     "shard_params",
     "spec_for_param",
-    "zero1_opt_shardings",
+    "shard_padded_batch",
     "zero1_spec",
 ]

@@ -57,6 +57,26 @@ def shard_batch(mesh: Optional[Mesh], *arrays):
     return out if len(out) > 1 else out[0]
 
 
+def shard_padded_batch(mesh: Optional[Mesh], x):
+    """Zero-pad the batch axis to a multiple of the 'data' axis and shard.
+
+    Returns (sharded_x, n_real) — decode helpers slice results back to
+    n_real rows. The evaluation paths (validate, evaluate_model) share
+    this so the padding contract lives in one place."""
+    import jax.numpy as jnp
+
+    n_real = int(x.shape[0])
+    if mesh is None:
+        return x, n_real
+    n_data = int(mesh.shape.get("data", 1))
+    if n_data <= 1:
+        return x, n_real
+    pad = (-n_real) % n_data
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+    return shard_batch(mesh, x), n_real
+
+
 def shard_chunk(mesh: Optional[Mesh], *arrays):
     """Place (C, B, ...) multi-step chunks with axis 1 (batch) sharded
     over 'data' — the chunk axis C is a time axis (lax.scan steps in
@@ -212,11 +232,3 @@ def opt_state_shardings(
             base = zero1_spec(shape, data_size, base)
         out.append(NamedSharding(mesh, base))
     return tree_unflatten(treedef, out)
-
-
-# ZeRO-1-flavored alias (the original name of opt_state_shardings)
-def zero1_opt_shardings(mesh, tx, params, tensor_parallel=False, rules=TP_RULES):
-    return opt_state_shardings(
-        mesh, tx, params, tensor_parallel=tensor_parallel, zero1=True,
-        rules=rules,
-    )

@@ -1215,6 +1215,28 @@ class ContinuousBatcher:
                 else:
                     keep.append((s, audio))
             self._continuations = keep
+        # the WAITING queue too: with every slot busy _admit never pops
+        # it, so without this sweep a queued request with a deadline (or
+        # a cancelled one) would block its client until a slot frees —
+        # the unbounded latency deadlines exist to prevent — and dead
+        # entries would keep counting toward max_pending
+        if not self._queue.empty():
+            keep_q = []
+            while True:
+                try:
+                    s, audio = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if s.future.cancelled():
+                    self._stats["cancelled"] += 1
+                elif s.deadline is not None and now > s.deadline:
+                    s.timed_out = True
+                    self._stats["timed_out"] += 1
+                    self._resolve(s)
+                else:
+                    keep_q.append((s, audio))
+            for item in keep_q:  # FIFO order preserved for the survivors
+                self._queue.put(item)
 
     def _spec_round(self, active: List[int]):
         """One speculative chunk (draft_k > 0): steps_per_sync

@@ -90,9 +90,15 @@ def _restore_pytree_numpy(tree_like, flat: Dict[str, np.ndarray]):
         saved = np.asarray(flat[key])
         template = jnp.asarray(leaf)
         # safetensors may round-trip 0-d arrays as 1-d; restore the shape
-        leaves.append(
-            jnp.asarray(saved.reshape(template.shape)).astype(template.dtype)
-        )
+        host = saved.reshape(template.shape).astype(template.dtype)
+        sharding = getattr(template, "sharding", None)
+        if sharding is not None and getattr(sharding, "mesh", None) is not None:
+            # sharded template (ZeRO-1 moments, TP params): place each
+            # shard directly from host — the full replicated array never
+            # materializes on any device (it may not fit)
+            leaves.append(jax.device_put(host, sharding))
+        else:
+            leaves.append(jnp.asarray(host))
     return jax.tree_util.tree_unflatten(paths_and_leaves[1], leaves)
 
 

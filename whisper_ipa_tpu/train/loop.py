@@ -66,21 +66,15 @@ def validate(
         without_timestamps=True,
         length_penalty=1.0,
     )
-    n_data = int(mesh.shape.get("data", 1)) if mesh is not None else 1
+    from ..parallel.mesh import shard_padded_batch
 
     for start in range(0, num_samples, val_batch_size):
         indices = list(range(start, min(start + val_batch_size, num_samples)))
         batch = dataset.get_batch(indices)
         try:
-            mel = jnp.asarray(batch["mel_features"])
-            n_real = mel.shape[0]
-            if n_data > 1:
-                pad = (-n_real) % n_data
-                if pad:
-                    mel = jnp.concatenate(
-                        [mel, jnp.zeros((pad,) + mel.shape[1:], mel.dtype)]
-                    )
-                mel = shard_batch(mesh, mel)
+            mel, n_real = shard_padded_batch(
+                mesh, jnp.asarray(batch["mel_features"])
+            )
             results = decode(
                 params,
                 cfg,
@@ -240,14 +234,92 @@ def train(
         total_steps=num_steps,
     )
     use_schedule = bool(warmup_steps) or lr_decay != "constant"
-    state, tx = create_train_state(
-        params,
-        learning_rate=learning_rate,
-        freeze_encoder=freeze_encoder,
-        schedule=schedule if use_schedule else None,
-        accum_steps=accum_steps,
-        mu_dtype=mu_dtype,
+
+    # mesh + parameter placement come BEFORE optimizer-state creation:
+    # ZeRO-1 must init its moments ALREADY sharded (jit out_shardings) —
+    # materializing the replicated fp32 AdamW state first would defeat
+    # the memory purpose on exactly the fine-tunes that need it
+    if tensor_parallel > 1 and multi:
+        raise ValueError(
+            "tensor_parallel > 1 in the training loop is single-host for "
+            "now: the multi-host global-batch assembly assumes a pure-DP "
+            "device order"
+        )
+    mesh = (
+        make_mesh(
+            # --no-data-parallel with TP: a pure-model mesh (data=1),
+            # not an implicit data axis over the remaining devices
+            data=(1 if (not data_parallel and tensor_parallel > 1) else None),
+            model=tensor_parallel,
+        )
+        if (data_parallel or multi or tensor_parallel > 1)
+        else None
     )
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        n_data = int(mesh.shape.get("data", 1))
+        if tensor_parallel > 1:
+            print(
+                f"Mesh over {n_dev} device(s): data={n_data} x "
+                f"model={tensor_parallel} (Megatron TP"
+                + (" + DP" if n_data > 1 else "") + ")"
+            )
+        else:
+            print(f"Data-parallel over {n_dev} device(s): {mesh}")
+        # the batch shards over 'data' only — round to the data axis
+        if batch_size % n_data != 0:
+            batch_size = max(n_data, (batch_size // n_data) * n_data)
+            print(f"  (batch size rounded to {batch_size} for even sharding)")
+    use_tp = tensor_parallel > 1 and mesh is not None
+    use_zero1 = (
+        zero1 and mesh is not None and int(mesh.shape.get("data", 1)) > 1
+    )
+    if zero1 and not use_zero1:
+        print("ZeRO-1 requested but no data-parallel mesh axis; ignoring")
+    if use_tp:
+        from ..parallel.mesh import shard_params as _shard_params
+
+        params = _shard_params(mesh, params, tensor_parallel=True)
+    elif use_zero1:
+        # params must be explicitly mesh-replicated: donated buffers are
+        # paired with outputs by global shape, and an uncommitted
+        # single-device param next to a sharded same-shape moment makes
+        # XLA alias mismatched local buffers
+        from ..parallel.mesh import replicate as _replicate_params
+
+        params = _replicate_params(mesh, params)
+
+    opt_sh = None
+    if use_zero1:
+        from .step import create_train_state_zero1
+
+        state, tx, opt_sh = create_train_state_zero1(
+            mesh,
+            params,
+            learning_rate=learning_rate,
+            freeze_encoder=freeze_encoder,
+            schedule=schedule if use_schedule else None,
+            accum_steps=accum_steps,
+            mu_dtype=mu_dtype,
+            tensor_parallel=use_tp,
+        )
+    else:
+        state, tx = create_train_state(
+            params,
+            learning_rate=learning_rate,
+            freeze_encoder=freeze_encoder,
+            schedule=schedule if use_schedule else None,
+            accum_steps=accum_steps,
+            mu_dtype=mu_dtype,
+        )
+        if use_tp:
+            # tx.init's zeros_like already follows the params' TP specs;
+            # opt_sh pins the step's output shardings to match
+            from ..parallel.mesh import opt_state_shardings
+
+            opt_sh = opt_state_shardings(
+                mesh, tx, params, tensor_parallel=True, zero1=False
+            )
 
     def lr_at(s: int) -> float:
         """The lr actually applied at step s (schedule-aware logging)."""
@@ -284,42 +356,22 @@ def train(
                 step=b_step, params=b_params, opt_state=b_opt
             )
 
-    if tensor_parallel > 1 and multi:
-        raise ValueError(
-            "tensor_parallel > 1 in the training loop is single-host for "
-            "now: the multi-host global-batch assembly assumes a pure-DP "
-            "device order"
-        )
-    mesh = (
-        make_mesh(model=tensor_parallel)
-        if (data_parallel or multi or tensor_parallel > 1)
-        else None
-    )
-    if mesh is not None:
-        n_dev = mesh.devices.size
-        n_data = int(mesh.shape.get("data", 1))
-        if tensor_parallel > 1:
-            print(
-                f"Mesh over {n_dev} device(s): data={n_data} x "
-                f"model={tensor_parallel} (Megatron TP + DP)"
-            )
-        else:
-            print(f"Data-parallel over {n_dev} device(s): {mesh}")
-        # the batch shards over 'data' only — round to the data axis
-        if batch_size % n_data != 0:
-            batch_size = max(n_data, (batch_size // n_data) * n_data)
-            print(f"  (batch size rounded to {batch_size} for even sharding)")
     if multi:
         # the global train state must live on the global mesh: host-local
         # (uncommitted) arrays cannot enter a multi-host jit. Parameters
-        # and optimizer moments are replicated; GSPMD derives the grad
-        # all-reduce from the 'data'-sharded batch.
+        # are replicated; optimizer moments replicate too unless ZeRO-1
+        # shards them; GSPMD derives the grad all-reduce from the
+        # 'data'-sharded batch.
         from ..parallel.mesh import replicate
 
         state = type(state)(
             step=replicate(mesh, state.step),
             params=replicate(mesh, state.params),
-            opt_state=replicate(mesh, state.opt_state),
+            opt_state=(
+                jax.tree.map(jax.device_put, state.opt_state, opt_sh)
+                if use_zero1
+                else replicate(mesh, state.opt_state)
+            ),
         )
 
     # datasets
@@ -377,50 +429,36 @@ def train(
     # Sharded-state regimes: tensor parallelism (Megatron param sharding
     # over 'model') and/or ZeRO-1 (optimizer state sharded over 'data' —
     # each device holds 1/dp of the AdamW moments, the memory term that
-    # decides whether a large-v3 fine-tune fits a 16 GB chip). Both pin
-    # explicit state shardings on a dedicated jitted step; GSPMD derives
-    # the collective schedule (grad all-reduce, ZeRO reduce-scatter/
-    # all-gather, TP block all-reduces) from the shardings alone.
+    # decides whether a large-v3 fine-tune fits a 16 GB chip). State was
+    # CREATED sharded above; here we re-place what resume restored and
+    # pin the step's output shardings so the layout is fixed across
+    # steps; GSPMD derives the collective schedule (grad all-reduce,
+    # ZeRO reduce-scatter/all-gather, TP block all-reduces) from the
+    # shardings alone.
     step_impl, chunk_impl = train_step, train_chunk
-    use_tp = tensor_parallel > 1 and mesh is not None
-    use_zero1 = (
-        zero1 and mesh is not None and int(mesh.shape.get("data", 1)) > 1
-    )
     if use_tp or use_zero1:
         from ..parallel.mesh import (
-            opt_state_shardings,
             param_shardings as tp_param_shardings,
             replicate as _replicate,
         )
         from .step import make_zero1_step
 
-        # params must be explicitly mesh-placed: donated buffers are
-        # paired with outputs by global shape, and an uncommitted
-        # single-device param next to a sharded same-shape moment makes
-        # XLA alias mismatched local buffers
-        if use_tp:
-            param_sh = tp_param_shardings(mesh, state.params)
-            placed_params = jax.tree.map(
-                jax.device_put, state.params, param_sh
-            )
-        else:
-            param_sh = None
-            placed_params = _replicate(mesh, state.params)
-        state = state._replace(
-            step=_replicate(mesh, state.step), params=placed_params
-        )
-        opt_sh = opt_state_shardings(
-            mesh, tx, state.params, tensor_parallel=use_tp, zero1=use_zero1
-        )
+        param_sh = tp_param_shardings(mesh, state.params) if use_tp else None
         if resumed_ckpt:
-            # keep the restored moments, just re-place them sharded
-            opt_state = jax.tree.map(
-                jax.device_put, state.opt_state, opt_sh
+            # restore produced fresh host-loaded arrays: re-place them
+            # (params per TP spec or replicated, moments per opt_sh)
+            placed_params = (
+                jax.tree.map(jax.device_put, state.params, param_sh)
+                if use_tp
+                else _replicate(mesh, state.params)
             )
-        else:
-            # init ALREADY sharded: the replicated moments never exist
-            opt_state = jax.jit(tx.init, out_shardings=opt_sh)(state.params)
-        state = state._replace(opt_state=opt_state)
+            state = state._replace(
+                step=_replicate(mesh, state.step),
+                params=placed_params,
+                opt_state=jax.tree.map(
+                    jax.device_put, state.opt_state, opt_sh
+                ),
+            )
         sharded_knobs = dict(
             freeze_encoder=freeze_encoder,
             dtype_name=compute_dtype,
@@ -445,18 +483,17 @@ def train(
             return _z_chunk(st, mels_a, toks_a)
 
         if use_zero1:
-            n_data = int(mesh.shape["data"])
             print(
-                f"ZeRO-1: optimizer state sharded over data={n_data} "
-                f"(~1/{n_data} of the AdamW moments per device)"
+                f"ZeRO-1: optimizer state sharded over "
+                f"data={int(mesh.shape['data'])} (~1/"
+                f"{int(mesh.shape['data'])} of the AdamW moments "
+                "per device)"
             )
         if use_tp:
             print(
                 f"Tensor parallel: Megatron param sharding over "
                 f"model={tensor_parallel}"
             )
-    elif zero1:
-        print("ZeRO-1 requested but no data-parallel mesh; ignoring")
 
     def run_validation(cur_state, num_samples):
         """Validate; multi-host: p0 decodes from a host-fetched copy of

@@ -118,7 +118,7 @@ def create_train_state_zero1(
     16 GB chip. Returns (state, tx, opt_shardings); drive steps with
     make_zero1_step(mesh, tx, opt_shardings, ...).
     """
-    from ..parallel.mesh import zero1_opt_shardings
+    from ..parallel.mesh import opt_state_shardings
 
     tx = make_optimizer(
         learning_rate=learning_rate,
@@ -128,8 +128,8 @@ def create_train_state_zero1(
         accum_steps=accum_steps,
         mu_dtype=mu_dtype,
     )
-    opt_shardings = zero1_opt_shardings(
-        mesh, tx, params, tensor_parallel=tensor_parallel
+    opt_shardings = opt_state_shardings(
+        mesh, tx, params, tensor_parallel=tensor_parallel, zero1=True
     )
     opt_state = jax.jit(tx.init, out_shardings=opt_shardings)(params)
     state = TrainState(

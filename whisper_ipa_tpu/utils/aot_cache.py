@@ -111,7 +111,15 @@ def _aval_sig(tree) -> Tuple:
     return (
         str(treedef),
         tuple(
-            (getattr(x, "shape", None), str(getattr(x, "dtype", type(x))))
+            (
+                getattr(x, "shape", None),
+                str(getattr(x, "dtype", type(x))),
+                # shardings are part of the compiled signature: the same
+                # shape/dtype arrives replicated in one call and
+                # mesh-sharded in the next (DP eval, sharded engine) and
+                # an executable built for one layout rejects the other
+                str(getattr(x, "sharding", None)),
+            )
             for x in leaves
         ),
     )

@@ -526,10 +526,16 @@ class TestZero1Loop:
             r = run("rep")
             tp = run("tp2", tensor_parallel=2)
             tpz = run("tp2z1", tensor_parallel=2, zero1=True)
+            # --no-data-parallel + TP: a pure-model mesh (data=1), no
+            # implicit DP over the remaining devices
+            tpo = run("tp_only", tensor_parallel=2, data_parallel=False)
             assert tp["final_loss"] == pytest.approx(
                 r["final_loss"], rel=1e-4
             )
             assert tpz["final_loss"] == pytest.approx(
+                r["final_loss"], rel=1e-4
+            )
+            assert tpo["final_loss"] == pytest.approx(
                 r["final_loss"], rel=1e-4
             )
         finally:

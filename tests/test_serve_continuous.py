@@ -597,3 +597,80 @@ def test_queued_deadline_resolves_while_slots_full(engine, params, tok):
     # the engine finishes the real requests untouched
     assert f1.result(timeout=600)["n_windows"] == 2
     assert f2.result(timeout=600)["n_windows"] == 2
+
+
+def test_tp_sharded_engine_matches_plain_greedy(params, tok):
+    """Engine with Megatron-TP weights (mesh 'model' axis): the KV
+    caches inherit the head-axis sharding from the projections and the
+    output stays token-identical — serving models too big for one chip."""
+    import jax
+
+    from whisper_ipa_tpu.parallel import make_mesh
+
+    mesh = make_mesh(model=2, devices=jax.devices()[:2])  # data=1 x tp=2
+    eng = ContinuousBatcher(
+        params,
+        CFG,
+        slots=2,
+        max_new_tokens=MAX_NEW,
+        steps_per_sync=2,
+        language="en",
+        tokenizer=tok,
+        mesh=mesh,
+        tensor_parallel=True,
+    )
+    try:
+        rng = np.random.default_rng(31)
+        audios = [
+            rng.standard_normal(16000).astype(np.float32) * 0.1
+            for _ in range(3)
+        ]
+        futs = [eng.submit(a) for a in audios]
+        for a, f in zip(audios, futs):
+            assert f.result(timeout=600)["tokens"] == reference_tokens(
+                params, a, tok
+            )
+        # the weights are actually sharded (not silently replicated)
+        q = eng.params["decoder"]["blocks"][0]["attn"]["query"]["w"]
+        assert "model" in tuple(q.sharding.spec)
+    finally:
+        eng.close()
+
+
+def test_dp_tp_sharded_engine_matches_plain_greedy(params, tok):
+    """dp x tp engine: slot axis over 'data', weights over 'model'."""
+    from whisper_ipa_tpu.parallel import make_mesh
+
+    mesh = make_mesh(model=2)  # data=4 x model=2 on the virtual 8
+    eng = ContinuousBatcher(
+        params,
+        CFG,
+        slots=4,
+        max_new_tokens=MAX_NEW,
+        steps_per_sync=2,
+        language="en",
+        tokenizer=tok,
+        mesh=mesh,
+        tensor_parallel=True,
+    )
+    try:
+        rng = np.random.default_rng(32)
+        audios = [
+            rng.standard_normal(16000).astype(np.float32) * 0.1
+            for _ in range(4)
+        ]
+        futs = [eng.submit(a) for a in audios]
+        for a, f in zip(audios, futs):
+            assert f.result(timeout=600)["tokens"] == reference_tokens(
+                params, a, tok
+            )
+        import jax
+
+        # both axes live on the persistent cache
+        specs = [
+            tuple(x.sharding.spec) for x in jax.tree.leaves(eng.cache)
+        ]
+        assert any("data" in s for s in specs)
+        assert any("model" in s for s in specs)
+    finally:
+        eng.close()

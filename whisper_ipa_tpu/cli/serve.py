@@ -214,10 +214,10 @@ def main(argv=None):
     if args.continuous:
         from ..serve_continuous import ContinuousBatcher
 
-        if args.tp > 1:
+        if args.tp > 1 and args.quant_bits is not None:
             raise SystemExit(
-                "--continuous supports --dp only (slot-axis sharding); "
-                "use the micro-batch service for --tp"
+                "--continuous --tp shards float weights (TP_RULES); "
+                "drop --quant-bits or use the micro-batch service"
             )
         if args.beam_size:
             raise SystemExit("--continuous is greedy-only (no beam)")
@@ -251,6 +251,7 @@ def main(argv=None):
                 else None
             ),
             mesh=mesh,
+            tensor_parallel=args.tp > 1,
             max_pending=args.max_pending,
         )
     else:

@@ -719,6 +719,7 @@ class ContinuousBatcher:
         medusa_tree=None,
         tokenizer: Optional[WhisperTokenizer] = None,
         mesh=None,
+        tensor_parallel: bool = False,
         max_pending: Optional[int] = None,
     ):
         """draft_k > 0 turns on in-flight speculation: model-free n-gram
@@ -738,6 +739,10 @@ class ContinuousBatcher:
         then scales with the chip count, one engine per pod slice, with
         token-identical output (tests/test_serve_continuous.py oracle).
         slots must divide evenly by the data axis.
+        tensor_parallel: additionally Megatron-shard the TARGET weights
+        over the mesh 'model' axis (serve models too big for one chip);
+        the KV caches inherit the 'model' sharding from the projections
+        and the slot axis still shards over 'data' — dp x tp composes.
         max_pending: bound on the waiting queue; submit() raises
         EngineOverloaded beyond it (backpressure instead of unbounded
         latency). Per-request deadlines/cancellation: submit(...,
@@ -773,17 +778,32 @@ class ContinuousBatcher:
         self.mesh = mesh
         if mesh is not None:
             n_data = int(mesh.shape.get("data", 1))
-            if n_data <= 1:
+            n_model = int(mesh.shape.get("model", 1))
+            if tensor_parallel and n_model <= 1:
+                raise ValueError(
+                    "tensor_parallel needs a mesh 'model' axis > 1"
+                )
+            if n_data <= 1 and not tensor_parallel:
                 self.mesh = mesh = None
-            elif slots % n_data != 0:
+            elif slots % max(n_data, 1) != 0:
                 raise ValueError(
                     f"slots={slots} must divide by the mesh data axis "
                     f"({n_data})"
                 )
             else:
                 from .parallel.mesh import replicate as _replicate
+                from .parallel.mesh import shard_params as _shard_params
 
-                params = _replicate(mesh, params)
+                if tensor_parallel:
+                    # Megatron weight sharding over 'model'; the decode
+                    # programs' KV caches inherit the head-axis sharding
+                    # from the projections (TP-decode oracle in
+                    # tests/test_parallel.py)
+                    params = _shard_params(
+                        mesh, params, tensor_parallel=True
+                    )
+                else:
+                    params = _replicate(mesh, params)
                 if draft_params is not None:
                     draft_params = _replicate(mesh, draft_params)
                 if medusa_params is not None:
@@ -858,17 +878,24 @@ class ContinuousBatcher:
 
             _, _, _, _, _, tree_k = _tree_tables(self.medusa_tree)
             self._tree_join_width = max(self.n_prefix, tree_k + 2)
-        if mesh is not None:
+        if mesh is not None and int(mesh.shape.get("data", 1)) > 1:
             # shard every persistent buffer's SLOT axis over 'data': the
             # cache batch axis is 1 ((L, B, ...) — models/whisper.py
             # DecoderCache), the per-slot vectors' is 0. All engine
             # programs are slot-parallel, so GSPMD splits them cleanly.
+            # Under tensor_parallel the cache leaves already carry a
+            # 'model' sharding (propagated from the TP projections) —
+            # EXTEND that spec rather than clobber it, so dp x tp holds.
             from jax.sharding import NamedSharding, PartitionSpec as _P
 
             def _slot_sharded(x, axis):
                 if x is None:
                     return None
                 spec = [None] * x.ndim
+                sh = getattr(x, "sharding", None)
+                if isinstance(sh, NamedSharding):
+                    prior = list(sh.spec) + [None] * (x.ndim - len(sh.spec))
+                    spec = prior[: x.ndim]
                 spec[axis] = "data"
                 return jax.device_put(x, NamedSharding(mesh, _P(*spec)))
 

@@ -457,7 +457,7 @@ class TestZero1Loop:
         )
         try:
 
-            def run(out_dir, zero1):
+            def run(out_dir, zero1, **kw):
                 common = dict(
                     model_name="test-micro-z1",
                     train_data_path=data_json,
@@ -470,6 +470,7 @@ class TestZero1Loop:
                     resume=True,
                     final_validate=False,
                     zero1=zero1,
+                    **kw,
                 )
                 train(num_steps=4, **common)  # phase 1 -> checkpoint-4
                 return train(num_steps=8, **common)  # phase 2: resume
@@ -478,6 +479,14 @@ class TestZero1Loop:
             assert os.path.isdir(str(tmp_path / "z1" / "checkpoint-8"))
             r = run("rep", zero1=False)
             assert z["final_loss"] == pytest.approx(
+                r["final_loss"], rel=1e-5
+            )
+            # FSDP through the same loop: checkpoint saves the SHARDED
+            # params, resume re-places them per the FSDP specs, and the
+            # final loss still matches the replicated run
+            f = run("fsdp", zero1=False, fsdp=True)
+            assert os.path.isdir(str(tmp_path / "fsdp" / "checkpoint-8"))
+            assert f["final_loss"] == pytest.approx(
                 r["final_loss"], rel=1e-5
             )
         finally:

@@ -124,6 +124,15 @@ def build_parser() -> argparse.ArgumentParser:
         "identical to replicated state (tests/test_parallel.py)",
     )
     p.add_argument(
+        "--fsdp", action="store_true",
+        help="FSDP (ZeRO-3): shard the PARAMETERS over the data-parallel "
+        "mesh axis too (implies --zero1 moments), ~1/dp of weights + "
+        "optimizer state per device — XLA all-gathers weights at use "
+        "and reduce-scatters grads; composes with --tensor-parallel; "
+        "numerically identical to the replicated step "
+        "(tests/test_parallel.py)",
+    )
+    p.add_argument(
         "--preset",
         default=None,
         choices=["large-single-chip"],
@@ -171,6 +180,7 @@ def main(argv=None):
         bf16_head=args.bf16_head,
         steps_per_call=args.steps_per_call,
         zero1=args.zero1,
+        fsdp=args.fsdp,
         tensor_parallel=args.tensor_parallel,
     )
 

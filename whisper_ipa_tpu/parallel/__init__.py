@@ -7,6 +7,7 @@ from .distributed import (
 from .mesh import (
     TP_RULES,
     batch_sharding,
+    fsdp_param_shardings,
     make_mesh,
     opt_state_shardings,
     param_shardings,
@@ -21,6 +22,7 @@ from .mesh import (
 __all__ = [
     "TP_RULES",
     "batch_sharding",
+    "fsdp_param_shardings",
     "global_batch_from_local",
     "initialize",
     "local_shard_indices",

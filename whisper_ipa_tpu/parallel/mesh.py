@@ -145,6 +145,40 @@ def shard_params(mesh: Optional[Mesh], params, tensor_parallel: bool = False):
     return jax.tree.map(jax.device_put, params, shardings)
 
 
+# -- FSDP / ZeRO-3 parameter sharding ---------------------------------------
+
+
+def fsdp_param_shardings(
+    mesh: Mesh, params, tensor_parallel: bool = False, rules=TP_RULES
+):
+    """FSDP (ZeRO-3) parameter placement: shard every parameter over the
+    mesh 'data' axis on its largest free divisible axis, on top of its
+    Megatron spec when ``tensor_parallel``.
+
+    Each device then holds ~1/dp of the weights; GSPMD all-gathers a
+    tensor where the forward/backward uses it and reduce-scatters its
+    gradient — the FSDP communication schedule falls out of the
+    shardings alone, no wrapper classes (contrast torch FSDP). Combined
+    with the mirrored ZeRO-1 moment sharding (opt_state_shardings) this
+    is the full ZeRO-3 memory stack: params, grads-in-update, and
+    moments all at 1/dp residency — what decides whether a large-v3
+    full fine-tune fits 16 GB v5e chips. Tensors with no divisible free
+    axis (small biases, scalars) stay replicated. (The reference trains
+    on a single GPU and has no equivalent — SURVEY §2c.)
+    """
+    from ..models.convert import flatten_params, unflatten_params
+
+    data_size = int(mesh.shape.get("data", 1))
+    flat = flatten_params(params)
+    specs = {}
+    for k, v in flat.items():
+        base = spec_for_param(k, rules) if tensor_parallel else P()
+        specs[k] = NamedSharding(
+            mesh, zero1_spec(tuple(v.shape), data_size, base)
+        )
+    return unflatten_params(specs)
+
+
 # -- ZeRO-1 optimizer-state sharding ---------------------------------------
 #
 # Optimizer moments mirror the parameters, so replicating them across the

@@ -153,6 +153,7 @@ def train(
     bf16_head: bool = False,
     steps_per_call: int = 1,
     zero1: bool = False,
+    fsdp: bool = False,
     tensor_parallel: int = 1,
 ) -> Dict:
     """Main training entry point (reference-compatible surface + resume).
@@ -271,12 +272,30 @@ def train(
             batch_size = max(n_data, (batch_size // n_data) * n_data)
             print(f"  (batch size rounded to {batch_size} for even sharding)")
     use_tp = tensor_parallel > 1 and mesh is not None
+    use_fsdp = (
+        fsdp and mesh is not None and int(mesh.shape.get("data", 1)) > 1
+    )
+    if fsdp and not use_fsdp:
+        print("FSDP requested but no data-parallel mesh axis; ignoring")
     use_zero1 = (
-        zero1 and mesh is not None and int(mesh.shape.get("data", 1)) > 1
+        (zero1 or use_fsdp)
+        and mesh is not None
+        and int(mesh.shape.get("data", 1)) > 1
     )
     if zero1 and not use_zero1:
         print("ZeRO-1 requested but no data-parallel mesh axis; ignoring")
-    if use_tp:
+    fsdp_sh = None
+    if use_fsdp:
+        # FSDP / ZeRO-3: parameters sharded over 'data' (largest free
+        # divisible axis, composed with the Megatron spec under TP).
+        # The moments mirror the params (opt_state_shardings applies the
+        # same zero1_spec extension), so the whole AdamW state sits at
+        # 1/dp residency per device.
+        from ..parallel.mesh import fsdp_param_shardings
+
+        fsdp_sh = fsdp_param_shardings(mesh, params, tensor_parallel=use_tp)
+        params = jax.tree.map(jax.device_put, params, fsdp_sh)
+    elif use_tp:
         from ..parallel.mesh import shard_params as _shard_params
 
         params = _shard_params(mesh, params, tensor_parallel=True)
@@ -366,7 +385,11 @@ def train(
 
         state = type(state)(
             step=replicate(mesh, state.step),
-            params=replicate(mesh, state.params),
+            params=(
+                jax.tree.map(jax.device_put, state.params, fsdp_sh)
+                if use_fsdp
+                else replicate(mesh, state.params)
+            ),
             opt_state=(
                 jax.tree.map(jax.device_put, state.opt_state, opt_sh)
                 if use_zero1
@@ -443,13 +466,17 @@ def train(
         )
         from .step import make_zero1_step
 
-        param_sh = tp_param_shardings(mesh, state.params) if use_tp else None
+        param_sh = (
+            fsdp_sh
+            if use_fsdp
+            else tp_param_shardings(mesh, state.params) if use_tp else None
+        )
         if resumed_ckpt:
             # restore produced fresh host-loaded arrays: re-place them
-            # (params per TP spec or replicated, moments per opt_sh)
+            # (params per FSDP/TP spec or replicated, moments per opt_sh)
             placed_params = (
                 jax.tree.map(jax.device_put, state.params, param_sh)
-                if use_tp
+                if param_sh is not None
                 else _replicate(mesh, state.params)
             )
             state = state._replace(
@@ -482,7 +509,15 @@ def train(
         def chunk_impl(st, mels_a, toks_a, *a, **k):
             return _z_chunk(st, mels_a, toks_a)
 
-        if use_zero1:
+        if use_fsdp:
+            print(
+                f"FSDP (ZeRO-3): parameters AND optimizer state sharded "
+                f"over data={int(mesh.shape['data'])} (~1/"
+                f"{int(mesh.shape['data'])} of weights + moments per "
+                "device; XLA all-gathers weights at use, reduce-scatters "
+                "grads)"
+            )
+        elif use_zero1:
             print(
                 f"ZeRO-1: optimizer state sharded over "
                 f"data={int(mesh.shape['data'])} (~1/"

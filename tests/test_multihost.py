@@ -155,6 +155,11 @@ summary = train(
     save_every=4,
     resume=True,           # first run finds no checkpoint; second resumes
     final_validate=False,
+    # FSDP variant (test_two_process_fsdp_train_checkpoint_resume):
+    # params device_put from host-local arrays to a cross-host 'data'
+    # sharding; the checkpoint save MUST go through the collective
+    # fetch (params not fully addressable on either host)
+    fsdp=os.environ.get("WHISPER_IPA_TPU_TEST_FSDP") == "1",
 )
 
 if pid != 0:
@@ -166,7 +171,7 @@ print(f"RESULT pid={pid} loss={summary['final_loss']:.6f} "
 """
 
 
-def _run_loop_workers(tmp_path, num_steps, out_dir, data_json):
+def _run_loop_workers(tmp_path, num_steps, out_dir, data_json, extra_env=None):
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
@@ -176,6 +181,7 @@ def _run_loop_workers(tmp_path, num_steps, out_dir, data_json):
     env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
+    env.update(extra_env or {})
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(port), str(pid),
@@ -234,6 +240,37 @@ def test_two_process_train_checkpoint_resume(tmp_path):
         os.path.join(out_dir, "checkpoint-16", "training_state.json")
     ) as f:
         assert json.load(f)["step"] == 16
+
+
+@pytest.mark.slow
+def test_two_process_fsdp_train_checkpoint_resume(tmp_path):
+    """FSDP across 2 real processes: parameters live 'data'-sharded over
+    a cross-host mesh (1/4 of the weights per device, NOT fully
+    addressable on either host), so the checkpoint save must collectively
+    fetch them and resume must re-place the restored host arrays onto the
+    cross-host FSDP sharding — the ZeRO-3 pod path end to end."""
+    sys.path.insert(0, os.path.join(REPO_ROOT, "tests"))
+    from test_dataset import make_synthetic_dataset
+
+    data_json = make_synthetic_dataset(str(tmp_path / "ds"))
+    out_dir = str(tmp_path / "run_fsdp")
+    fsdp_env = {"WHISPER_IPA_TPU_TEST_FSDP": "1"}
+
+    outs1, losses1 = _run_loop_workers(
+        tmp_path, 8, out_dir, data_json, extra_env=fsdp_env
+    )
+    assert losses1[0] == pytest.approx(losses1[1], abs=1e-5)
+    assert any("FSDP (ZeRO-3)" in o for o in outs1)
+    assert os.path.isdir(os.path.join(out_dir, "checkpoint-8"))
+
+    outs2, losses2 = _run_loop_workers(
+        tmp_path, 16, out_dir, data_json, extra_env=fsdp_env
+    )
+    assert losses2[0] == pytest.approx(losses2[1], abs=1e-5)
+    assert any("Resumed from" in o and "step 8" in o for o in outs2)
+    assert os.path.isdir(os.path.join(out_dir, "checkpoint-16"))
+    # the loss keeps falling across the kill/resume boundary
+    assert losses2[0] < losses1[0]
 
 
 FETCH_WORKER = r"""

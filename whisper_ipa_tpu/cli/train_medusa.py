@@ -21,6 +21,73 @@ import argparse
 import time
 
 
+def measure_head_accuracy(
+    params,
+    cfg,
+    medusa,
+    dataset,
+    eot,
+    batch_size: int = 8,
+    seed: int = 0,
+    top_c: int = 4,
+    n_batches: int = 4,
+    hidden_fn=None,
+):
+    """Per-head top-C hit rates on batches drawn from ``dataset``.
+
+    Head k conditioned on h_t proposes the token at t+k+2; hits are
+    counted against the actual tokens, masked past the first EOT.
+    Returns a (n_heads x top_c) nested list — the payload
+    decode.medusa_tree.optimize_tree maximizes expected acceptance
+    from. Exposed standalone (--measure-only) so heads trained before
+    the sidecar existed can get accuracy-optimized trees.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..models.medusa import medusa_propose_topk, valid_target_mask
+    from ..models.whisper import decoder_hidden, encode
+
+    if hidden_fn is None:
+        hidden_fn = jax.jit(
+            lambda p, mel, tok: decoder_hidden(
+                p, cfg, tok, encode(p, cfg, mel, dtype=jnp.bfloat16),
+                dtype=jnp.bfloat16,
+            )
+        )
+    n_heads = len(medusa["heads"])
+    hits = np.zeros((n_heads, top_c))
+    totals = np.zeros(n_heads)
+    eval_rng = np.random.default_rng(seed + 1)
+    for _ in range(n_batches):
+        idx = eval_rng.choice(len(dataset), batch_size, replace=True)
+        batch = dataset.get_batch(idx)
+        mel = jnp.asarray(batch["mel_features"])
+        tokens = jnp.asarray(batch["tokens"])
+        hidden = hidden_fn(params, mel, tokens)  # (B, T, d)
+        B, T = tokens.shape
+        topk = jax.vmap(
+            lambda h: medusa_propose_topk(
+                medusa, params, h, top_c, jnp.bfloat16
+            ),
+            in_axes=1, out_axes=1,
+        )(hidden)  # (B, T, K, C)
+        valid = np.asarray(valid_target_mask(tokens, eot))  # (B, T)
+        topk_np = np.asarray(topk)
+        tok_np = np.asarray(tokens)
+        for k in range(n_heads):
+            tgt_pos = np.arange(T) + k + 2
+            ok = tgt_pos < T
+            tgt = tok_np[:, np.minimum(tgt_pos, T - 1)]  # (B, T)
+            mask = valid[:, np.minimum(tgt_pos, T - 1)] & ok[None, :]
+            match = topk_np[:, :, k, :] == tgt[:, :, None]  # (B, T, C)
+            for c in range(top_c):
+                hits[k, c] += float((match[:, :, c] & mask).sum())
+            totals[k] += float(mask.sum())
+    return (hits / np.maximum(totals, 1.0)[:, None]).tolist()
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         description="Train Medusa speculative-decoding heads "
@@ -56,9 +123,26 @@ def main(argv=None):
         help="periodic head snapshot to <output>.partial (wedge "
         "insurance); 0 disables",
     )
+    p.add_argument(
+        "--measure-only", action="store_true",
+        help="skip training: load EXISTING heads from --output, measure "
+        "per-head top-C accuracy on --train-data, and (re)write the "
+        "<output>.accuracy.json sidecar that tree_for_heads optimizes "
+        "the verification tree from",
+    )
+    p.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (post-import config update, same as "
+        "bench.py --cpu: the axon site hook wins over the env var) — "
+        "head accuracy is hardware-independent, so --measure-only runs "
+        "fine with the TPU tunnel down",
+    )
     args = p.parse_args(argv)
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
     import optax
@@ -92,10 +176,32 @@ def main(argv=None):
     )
     print(f"{len(dataset)} training samples")
 
+    eot = dataset.tokenizer.eot
+    if args.measure_only:
+        from ..decode.medusa_tree import optimize_tree
+        from ..models.medusa import load_medusa
+
+        medusa = load_medusa(args.output)
+        probs = measure_head_accuracy(
+            params, cfg, medusa, dataset, eot,
+            batch_size=args.batch_size, seed=args.seed,
+        )
+        import json as _json
+
+        sidecar = args.output + ".accuracy.json"
+        with open(sidecar, "w") as f:
+            _json.dump({"head_topk_accuracy": probs, "top_c": 4}, f)
+        print(
+            "head top-1 accuracy: "
+            + ", ".join(f"{p[0]:.3f}" for p in probs)
+            + f" -> {sidecar}"
+        )
+        print(f"optimized tree (12 nodes): {optimize_tree(probs, 12)}")
+        return
+
     medusa = init_medusa_params(cfg, n_heads=args.n_heads, seed=args.seed)
     tx = optax.adam(args.learning_rate)
     opt_state = tx.init(medusa)
-    eot = dataset.tokenizer.eot
 
     # one frozen-model forward per batch; heads fit on the hidden states
     hidden_fn = jax.jit(
@@ -178,43 +284,14 @@ def main(argv=None):
     # verification tree from (expected-acceptance-maximal static tree)
     import json as _json
 
-    from ..models.medusa import medusa_propose_topk, valid_target_mask
-
-    top_c = 4
-    hits = np.zeros((args.n_heads, top_c))
-    totals = np.zeros(args.n_heads)
-    eval_rng = np.random.default_rng(args.seed + 1)
-    for _ in range(4):
-        idx = eval_rng.choice(len(dataset), args.batch_size, replace=True)
-        batch = dataset.get_batch(idx)
-        mel = jnp.asarray(batch["mel_features"])
-        tokens = jnp.asarray(batch["tokens"])
-        hidden = hidden_fn(params, mel, tokens)  # (B, T, d)
-        B, T = tokens.shape
-        # head k conditioned on h_t proposes the token at t+k+2; count
-        # matches against the actual tokens, masked past the first EOT
-        topk = jax.vmap(
-            lambda h: medusa_propose_topk(
-                medusa, params, h, top_c, jnp.bfloat16
-            ),
-            in_axes=1, out_axes=1,
-        )(hidden)  # (B, T, K, C)
-        valid = np.asarray(valid_target_mask(tokens, eot))  # (B, T)
-        topk_np = np.asarray(topk)
-        tok_np = np.asarray(tokens)
-        for k in range(args.n_heads):
-            tgt_pos = np.arange(T) + k + 2
-            ok = tgt_pos < T
-            tgt = tok_np[:, np.minimum(tgt_pos, T - 1)]  # (B, T)
-            mask = valid[:, np.minimum(tgt_pos, T - 1)] & ok[None, :]
-            match = topk_np[:, :, k, :] == tgt[:, :, None]  # (B, T, C)
-            for c in range(top_c):
-                hits[k, c] += float((match[:, :, c] & mask).sum())
-            totals[k] += float(mask.sum())
-    probs = (hits / np.maximum(totals, 1.0)[:, None]).tolist()
+    probs = measure_head_accuracy(
+        params, cfg, medusa, dataset, eot,
+        batch_size=args.batch_size, seed=args.seed,
+        hidden_fn=hidden_fn,
+    )
     sidecar = args.output + ".accuracy.json"
     with open(sidecar, "w") as f:
-        _json.dump({"head_topk_accuracy": probs, "top_c": top_c}, f)
+        _json.dump({"head_topk_accuracy": probs, "top_c": 4}, f)
     print(
         "head top-1 accuracy: "
         + ", ".join(f"{p[0]:.3f}" for p in probs)

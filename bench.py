@@ -883,20 +883,68 @@ def main():
         except subprocess.TimeoutExpired:
             reachable = False
     if not reachable:
-        print(
-            json.dumps(
-                {
-                    "metric": "whisper-small inference RTF "
-                    "(audio-sec/sec/chip)",
-                    "value": None,
-                    "unit": "x realtime",
-                    "vs_baseline": None,
-                    "note": "DEVICE UNREACHABLE: the accelerator backend "
-                    "failed to initialize within 180s (axon tunnel down); "
-                    "no measurement possible",
+        out = {
+            "metric": "whisper-small inference RTF "
+            "(audio-sec/sec/chip)",
+            "value": None,
+            "unit": "x realtime",
+            "vs_baseline": None,
+            "note": "DEVICE UNREACHABLE: the accelerator backend "
+            "failed to initialize within 180s (axon tunnel down); "
+            "RTF not measurable",
+        }
+        # Salvage what IS measurable with the tunnel down: speculative
+        # ACCEPTANCE is a model property (CPU reproduced the r3 TPU
+        # measurement exactly — docs/PERF.md r4 chain-vs-tree), so when a
+        # trained checkpoint + medusa heads exist, record tokens/round
+        # from the CPU backend instead of nothing.
+        spec = None
+        if os.environ.get("WHISPER_IPA_TPU_BENCH_NO_CPU_FALLBACK") != "1":
+            for heads, ckpt, data, mc, mdl in (
+                ("/tmp/corpus/medusa_small.safetensors",
+                 "/tmp/corpus/run_small/best-checkpoint",
+                 "/tmp/corpus/data/test.json", "/tmp/corpus/melcache",
+                 "small"),
+                ("/tmp/gen_exp/medusa_heads.safetensors",
+                 "/tmp/gen_exp/run/best-checkpoint",
+                 "/tmp/gen_exp/data/heldout.json", "/tmp/gen_exp/melcache",
+                 "tiny"),
+            ):
+                if (
+                    os.path.isfile(heads)
+                    and os.path.isfile(os.path.join(
+                        ckpt, "model.safetensors"))
+                    and os.path.isfile(data)
+                ):
+                    spec = (heads, ckpt, data, mc, mdl)
+                    break
+        if spec is not None:
+            heads, ckpt, data, mc, mdl = spec
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+            try:
+                r = bench_spec_measured(
+                    ckpt, data, model=mdl, medusa_weights=heads,
+                    batch=8, sample_len=32, iters=1, mel_cache_dir=mc,
+                    tree=os.path.isfile(heads + ".accuracy.json"),
+                )
+                out["cpu_acceptance"] = {
+                    "tokens_per_round": round(r["tokens_per_round"], 3),
+                    "rounds": r["rounds"],
+                    "emitted_tokens": r["emitted_tokens"],
+                    "exact_match": r["exact_match"],
+                    "source": r["source"],
+                    "model": mdl,
+                    "batch": r["batch"],
                 }
-            )
-        )
+                out["note"] += (
+                    "; speculative acceptance (hardware-independent) "
+                    "measured on the CPU backend instead"
+                )
+            except Exception as e:
+                out["cpu_fallback_error"] = repr(e)[:300]
+        print(json.dumps(out))
         sys.exit(2)
 
     import jax

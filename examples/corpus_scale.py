@@ -113,6 +113,12 @@ def main(argv=None):
         help="decoder-only fine-tune (random frozen encoder: ablation)",
     )
     p.add_argument(
+        "--validate-every", type=int, default=None,
+        help="in-loop validation interval (default steps//4); each "
+        "validation greedy-decodes 100 held-out samples, which is "
+        "minutes on the CPU backend — space them out there",
+    )
+    p.add_argument(
         "--save-every", type=int, default=None,
         help="checkpoint interval (default: min(steps//8, 250) — a wedged "
         "tunnel should cost minutes of progress, not the whole run)",
@@ -193,7 +199,7 @@ def main(argv=None):
         num_steps=args.steps,
         batch_size=args.batch_size,
         learning_rate=args.lr,
-        validate_every=max(args.steps // 4, 1),
+        validate_every=args.validate_every or max(args.steps // 4, 1),
         save_every=args.save_every or max(min(args.steps // 8, 250), 1),
         steps_per_call=args.steps_per_call,
         freeze_encoder=args.freeze_encoder,

@@ -470,6 +470,7 @@ def discover_trained():
     for run_dir, data in (
         ("/tmp/corpus/run_small", "/tmp/corpus/data/test.json"),
         ("/tmp/corpus/run_tiny", "/tmp/corpus/data/test.json"),
+        ("/tmp/corpus_cputiny/run_tiny", "/tmp/corpus/data/test.json"),
         ("/tmp/gen_small/run", "/tmp/gen_small/data/heldout.json"),
     ):
         best = os.path.join(run_dir, "best-checkpoint")
@@ -905,6 +906,10 @@ def main():
                  "/tmp/corpus/run_small/best-checkpoint",
                  "/tmp/corpus/data/test.json", "/tmp/corpus/melcache",
                  "small"),
+                ("/tmp/corpus_cputiny/medusa_tiny.safetensors",
+                 "/tmp/corpus_cputiny/run_tiny/best-checkpoint",
+                 "/tmp/corpus/data/test.json", "/tmp/corpus/melcache",
+                 "tiny"),
                 ("/tmp/gen_exp/medusa_heads.safetensors",
                  "/tmp/gen_exp/run/best-checkpoint",
                  "/tmp/gen_exp/data/heldout.json", "/tmp/gen_exp/melcache",
@@ -944,6 +949,23 @@ def main():
                 )
             except Exception as e:
                 out["cpu_fallback_error"] = repr(e)[:300]
+        # Held-out corpus-scale learning results (PER/PFER through the
+        # real validate() path) are likewise hardware-independent —
+        # surface the newest corpus_scale.json so the recorded bench
+        # carries the learning evidence even with the tunnel down.
+        for run_dir in (
+            "/tmp/corpus/run_small",
+            "/tmp/corpus/run_tiny",
+            "/tmp/corpus_cputiny/run_tiny",
+        ):
+            cs = os.path.join(run_dir, "corpus_scale.json")
+            if os.path.isfile(cs):
+                try:
+                    with open(cs) as f:
+                        out["corpus_scale"] = json.load(f)
+                    break
+                except Exception:
+                    pass
         print(json.dumps(out))
         sys.exit(2)
 

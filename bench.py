@@ -953,6 +953,7 @@ def main():
         # real validate() path) are likewise hardware-independent —
         # surface the newest corpus_scale.json so the recorded bench
         # carries the learning evidence even with the tunnel down.
+        found = []
         for run_dir in (
             "/tmp/corpus/run_small",
             "/tmp/corpus/run_tiny",
@@ -960,12 +961,13 @@ def main():
         ):
             cs = os.path.join(run_dir, "corpus_scale.json")
             if os.path.isfile(cs):
-                try:
-                    with open(cs) as f:
-                        out["corpus_scale"] = json.load(f)
-                    break
-                except Exception:
-                    pass
+                found.append((os.path.getmtime(cs), cs))
+        if found:
+            try:
+                with open(max(found)[1]) as f:
+                    out["corpus_scale"] = json.load(f)
+            except Exception:
+                pass
         print(json.dumps(out))
         sys.exit(2)
 
@@ -1061,7 +1063,7 @@ def main():
             batch=batch,
             sample_len=args.sample_len if args.sample_len != SAMPLE_LEN
             else 32,
-            iters=max(args.iters, 3),
+            iters=max(args.iters, 1 if args.cpu else 3),
             mel_cache_dir=args.mel_cache_dir,
             draft_k=args.draft_k,
             tree=args.medusa_tree,

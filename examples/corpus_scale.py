@@ -199,7 +199,10 @@ def main(argv=None):
         num_steps=args.steps,
         batch_size=args.batch_size,
         learning_rate=args.lr,
-        validate_every=args.validate_every or max(args.steps // 4, 1),
+        validate_every=(
+            args.validate_every if args.validate_every is not None
+            else max(args.steps // 4, 1)
+        ),
         save_every=args.save_every or max(min(args.steps // 8, 250), 1),
         steps_per_call=args.steps_per_call,
         freeze_encoder=args.freeze_encoder,

@@ -27,7 +27,12 @@ run_item() {  # run_item <name> <timeout_s> <cmd...>
   echo "== $name: $* (timeout ${tmo}s)"
   timeout "$tmo" nice -n 5 "$@" > "/tmp/cq_$name.log" 2>&1
   local rc=$?
-  echo "rc=$rc $(date -u +%H:%M:%S)" > "$MARK/$name.done"
+  # only success gets a done-marker — a re-run retries failures/timeouts
+  if [ "$rc" -eq 0 ]; then
+    echo "rc=$rc $(date -u +%H:%M:%S)" > "$MARK/$name.done"
+  else
+    echo "rc=$rc $(date -u +%H:%M:%S)" > "$MARK/$name.fail"
+  fi
   echo "== $name rc=$rc"
   return 0
 }
@@ -35,13 +40,22 @@ run_item() {  # run_item <name> <timeout_s> <cmd...>
 # -- wait for the corpus training to finish ------------------------------
 CS="$OUT/run_tiny/corpus_scale.json"
 PIDF=/tmp/corpus_cputiny.pid
+WAITED=0
+WAIT_MAX=${WAIT_MAX:-36000}
 while [ ! -e "$CS" ]; do
-  if [ -e "$PIDF" ] && ! kill -0 "$(cat "$PIDF")" 2>/dev/null; then
-    echo "trainer pid dead without corpus_scale.json; falling back to"
+  # no/ dead trainer pid, or the wait budget exhausted -> stop waiting
+  # and use whatever best-checkpoint exists
+  if [ ! -e "$PIDF" ] || ! kill -0 "$(cat "$PIDF")" 2>/dev/null; then
+    echo "no live trainer without corpus_scale.json; falling back to"
     echo "best-checkpoint if one exists"
     break
   fi
+  if [ "$WAITED" -ge "$WAIT_MAX" ]; then
+    echo "wait budget ${WAIT_MAX}s exhausted; using best-checkpoint"
+    break
+  fi
   sleep 120
+  WAITED=$((WAITED + 120))
 done
 CKPT="$OUT/run_tiny/best-checkpoint"
 if [ ! -e "$CKPT/model.safetensors" ]; then

@@ -785,7 +785,7 @@ class ContinuousBatcher:
                 )
             if n_data <= 1 and not tensor_parallel:
                 self.mesh = mesh = None
-            elif slots % max(n_data, 1) != 0:
+            elif slots % n_data != 0:
                 raise ValueError(
                     f"slots={slots} must divide by the mesh data axis "
                     f"({n_data})"

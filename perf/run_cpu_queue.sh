@@ -107,3 +107,8 @@ echo "== CPU queue complete"
 for f in "$MARK"/*.done; do
   echo "  $(basename "$f" .done): $(cat "$f")"
 done
+
+# -- 4. per-language held-out report (appended; see examples/corpus_report.py)
+run_item report 7200 python examples/corpus_report.py \
+  --run-dir "$OUT/run_tiny" --data "$DATA/test.json" --model tiny \
+  --mel-cache-dir "$MC" --cpu --batch 8

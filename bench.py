@@ -372,8 +372,13 @@ def bench_spec_measured(checkpoint, data_json, model="tiny",
     elif draft_checkpoint:
         draft_cfg = get_config(draft)
         draft_params = load_or_init_params(draft, draft_cfg, None)
+        # full=True (like the target + engine loads above): a draft
+        # trained from scratch carries a TRAINED encoder; the decoder-
+        # only overlay would run its decoder on a RANDOM encoder and
+        # floor the measured acceptance (r3's model-draft 1.06 t/r ran
+        # through this path — re-measure queued, docs/R4_TPU_QUEUE.md)
         draft_params, _ = load_checkpoint_model(
-            draft_checkpoint, draft_params
+            draft_checkpoint, draft_params, full=True
         )
     else:
         raise ValueError(

@@ -112,3 +112,18 @@ done
 run_item report 7200 python examples/corpus_report.py \
   --run-dir "$OUT/run_tiny" --data "$DATA/test.json" --model tiny \
   --mel-cache-dir "$MC" --cpu --batch 8
+
+# -- 5. aligned micro-draft via distillation (r3's negative model-draft
+#    result called for an ALIGNED draft; acceptance is hardware-independent)
+run_item distill 10800 python -m whisper_ipa_tpu.cli.distill_draft \
+  --student test-tiny --teacher tiny --teacher-checkpoint "$CKPT" \
+  --full-checkpoint --train-data "$DATA/train.json" --steps 1500 \
+  --batch-size 8 --mel-cache-dir "$MC" --cpu --save-every 250 \
+  --output-dir "$OUT/draft_testtiny"
+if [ -e "$OUT/draft_testtiny/checkpoint-1500/model.safetensors" ]; then
+  run_item acc_draft 7200 python bench.py --cpu \
+    --checkpoint "$CKPT" --draft test-tiny \
+    --draft-checkpoint "$OUT/draft_testtiny/checkpoint-1500" \
+    --spec-data "$DATA/test.json" --model tiny --mel-cache-dir "$MC" \
+    --batch 8 --iters 1
+fi

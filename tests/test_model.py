@@ -263,6 +263,47 @@ class TestCheckpointInterop:
             np.asarray(tf["decoder.token_embedding"]),
         )
 
+    def test_auto_overlay_mode(self, params, tmp_path):
+        """load_checkpoint_auto reads freeze_encoder from the run's
+        training_config.json: full-fine-tune runs get the full overlay,
+        frozen/metadata-less runs keep the decoder-only contract."""
+        import json
+        import os
+
+        from whisper_ipa_tpu.models import (
+            checkpoint_overlay_mode,
+            load_checkpoint_auto,
+        )
+
+        trained = init_params(CFG, seed=1)
+        run = tmp_path / "run"
+        ckpt = run / "best-checkpoint"
+        os.makedirs(ckpt)
+        save_safetensors(str(ckpt / "model.safetensors"), trained)
+
+        # no metadata -> None -> decoder-only
+        assert checkpoint_overlay_mode(str(ckpt)) is None
+        _, n_auto = load_checkpoint_auto(str(ckpt), params)
+        _, n_dec = load_checkpoint_model(str(ckpt), params)
+        assert n_auto == n_dec
+
+        for frozen, expect in ((True, False), (False, True)):
+            with open(run / "training_config.json", "w") as f:
+                json.dump(
+                    {"training_args": {"freeze_encoder": frozen}}, f
+                )
+            assert checkpoint_overlay_mode(str(ckpt)) is expect
+        # freeze_encoder=false -> full overlay: encoder comes from ckpt
+        merged, n_full = load_checkpoint_auto(str(ckpt), params)
+        assert n_full > n_dec
+        np.testing.assert_array_equal(
+            np.asarray(flatten_params(merged)["encoder.conv1.w"]),
+            np.asarray(flatten_params(trained)["encoder.conv1.w"]),
+        )
+        # explicit override beats metadata
+        _, n_forced = load_checkpoint_auto(str(ckpt), params, full=False)
+        assert n_forced == n_dec
+
     def test_hf_conversion(self):
         """Synthetic HF-named dict converts to working params."""
         rng = np.random.default_rng(0)

@@ -18,3 +18,25 @@ Beyond the reference surface:
   error_analysis         phone-confusion analysis
   transcribe / convert_weights / check_vocab / evaluate_zeroshot
 """
+
+
+def add_overlay_flags(parser):
+    """--full-checkpoint / --decoder-only on checkpoint-loading CLIs.
+
+    Default (neither flag) auto-detects from the run's
+    training_config.json (models.convert.checkpoint_overlay_mode):
+    full-fine-tune checkpoints get the full overlay, reference-style
+    frozen-encoder checkpoints keep the decoder-only contract.
+    """
+    g = parser.add_mutually_exclusive_group()
+    g.add_argument(
+        "--full-checkpoint", dest="full_ckpt", action="store_true",
+        default=None,
+        help="overlay ALL tensors (encoder included) — for checkpoints "
+        "from full fine-tunes (freeze_encoder=false); default: auto",
+    )
+    g.add_argument(
+        "--decoder-only", dest="full_ckpt", action="store_false",
+        help="force the decoder-only reference overlay contract",
+    )
+    return parser

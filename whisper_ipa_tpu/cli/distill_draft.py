@@ -56,9 +56,18 @@ def main(argv=None):
         help="optimizer steps per device dispatch (lax.scan over stacked "
         "batches; amortizes remote-tunnel dispatch + upload)",
     )
+    p.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (post-import config update; the axon "
+        "site hook overrides JAX_PLATFORMS) — for micro-student "
+        "distillation when the TPU tunnel is unavailable",
+    )
     args = p.parse_args(argv)
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
     import optax

@@ -28,6 +28,9 @@ def main(argv=None):
     p.add_argument("--num-samples", type=int, default=100)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--output", default=None, help="Write full report JSON")
+    from . import add_overlay_flags
+
+    add_overlay_flags(p)
     args = p.parse_args(argv)
 
     if args.predictions:
@@ -41,15 +44,17 @@ def main(argv=None):
         from ..config import get_config
         from ..data.dataset import create_data_loader
         from ..decode import DecodingOptions, decode
-        from ..models import load_checkpoint_model
+        from ..models import load_checkpoint_auto
         from ..tokenizer import get_tokenizer
         from ..train.loop import load_or_init_params
 
         cfg = get_config(args.base_model)
         params = load_or_init_params(args.base_model, cfg, args.weights)
         if args.checkpoint:
-            params, n = load_checkpoint_model(args.checkpoint, params)
-            print(f"Loaded {n} decoder tensors")
+            params, n = load_checkpoint_auto(
+                args.checkpoint, params, args.full_ckpt
+            )
+            print(f"Loaded {n} tensors")
         tokenizer = get_tokenizer(
             multilingual=cfg.multilingual, num_languages=cfg.num_languages
         )

@@ -11,7 +11,7 @@ from ..config import get_config
 from ..data.dataset import create_data_loader
 from ..decode import DecodingOptions, decode
 from ..metrics import evaluate_batch, phone_error_rate, phone_feature_error_rate
-from ..models import load_checkpoint_model
+from ..models import load_checkpoint_auto
 from ..tokenizer import get_tokenizer
 from ..train.loop import load_or_init_params
 
@@ -166,6 +166,9 @@ def main(argv=None):
         help="Shard each decode batch over the device mesh (throughput "
         "scales with chip count; token-identical output)",
     )
+    from . import add_overlay_flags
+
+    add_overlay_flags(p)
     args = p.parse_args(argv)
 
     num_samples = None if args.num_samples == 0 else args.num_samples
@@ -195,10 +198,10 @@ def main(argv=None):
             _get_tokenizer(multilingual=cfg.multilingual),
             strict=True,
         )
-    trained_params, n_loaded = load_checkpoint_model(
-        args.checkpoint, base_params
+    trained_params, n_loaded = load_checkpoint_auto(
+        args.checkpoint, base_params, args.full_ckpt
     )
-    print(f"Loaded {n_loaded} decoder tensors from {args.checkpoint}")
+    print(f"Loaded {n_loaded} tensors from {args.checkpoint}")
     trained_results = evaluate_model(
         trained_params,
         cfg,

@@ -17,7 +17,7 @@ from ..audio import load_audio, log_mel_spectrogram, pad_or_trim
 from ..config import get_config
 from ..decode import DecodingOptions, decode
 from ..metrics import evaluate_batch, normalize_ipa_for_comparison
-from ..models import load_checkpoint_model
+from ..models import load_checkpoint_auto
 from ..tokenizer import get_tokenizer
 from ..train.loop import load_or_init_params
 
@@ -46,6 +46,9 @@ def main(argv=None):
         default=None,
         help="Force a language token (default: auto-detect per utterance)",
     )
+    from . import add_overlay_flags
+
+    add_overlay_flags(p)
     args = p.parse_args(argv)
 
     with open(args.test_data, encoding="utf-8") as f:
@@ -62,8 +65,10 @@ def main(argv=None):
     cfg = get_config(args.base_model)
     params = load_or_init_params(args.base_model, cfg, args.weights)
     if args.checkpoint:
-        params, n_loaded = load_checkpoint_model(args.checkpoint, params)
-        print(f"Loaded {n_loaded} decoder tensors from {args.checkpoint}")
+        params, n_loaded = load_checkpoint_auto(
+            args.checkpoint, params, args.full_ckpt
+        )
+        print(f"Loaded {n_loaded} tensors from {args.checkpoint}")
 
     tokenizer = get_tokenizer(
         multilingual=cfg.multilingual,

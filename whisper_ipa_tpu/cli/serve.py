@@ -162,18 +162,23 @@ def main(argv=None):
         action="store_true",
         help="Run one dummy batch before binding (absorbs XLA compiles)",
     )
+    from . import add_overlay_flags
+
+    add_overlay_flags(p)
     args = p.parse_args(argv)
 
     from ..config import get_config
-    from ..models import load_checkpoint_model
+    from ..models import load_checkpoint_auto
     from ..serve import TranscriptionService
     from ..train.loop import load_or_init_params
 
     cfg = get_config(args.model)
     params = load_or_init_params(args.model, cfg, args.weights)
     if args.checkpoint:
-        params, n = load_checkpoint_model(args.checkpoint, params)
-        print(f"Loaded {n} decoder tensors from {args.checkpoint}")
+        params, n = load_checkpoint_auto(
+            args.checkpoint, params, args.full_ckpt
+        )
+        print(f"Loaded {n} tensors from {args.checkpoint}")
 
     draft_params = draft_cfg = medusa_params = None
     if args.draft_model == "medusa":

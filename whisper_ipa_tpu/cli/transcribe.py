@@ -11,7 +11,7 @@ import json as _json
 
 from ..config import get_config
 from ..decode import transcribe
-from ..models import load_checkpoint_model
+from ..models import load_checkpoint_auto
 from ..train.loop import load_or_init_params
 
 
@@ -26,13 +26,18 @@ def main(argv=None):
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--json", action="store_true", help="Emit JSON per file")
+    from . import add_overlay_flags
+
+    add_overlay_flags(p)
     args = p.parse_args(argv)
 
     cfg = get_config(args.model)
     params = load_or_init_params(args.model, cfg, args.weights)
     if args.checkpoint:
-        params, n = load_checkpoint_model(args.checkpoint, params)
-        print(f"# loaded {n} decoder tensors from {args.checkpoint}")
+        params, n = load_checkpoint_auto(
+            args.checkpoint, params, args.full_ckpt
+        )
+        print(f"# loaded {n} tensors from {args.checkpoint}")
 
     for path in args.audio:
         result = transcribe(

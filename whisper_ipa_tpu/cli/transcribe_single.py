@@ -10,7 +10,7 @@ import argparse
 from ..audio import load_audio, log_mel_spectrogram, pad_or_trim
 from ..config import get_config
 from ..decode import DecodingOptions, decode
-from ..models import load_checkpoint_model
+from ..models import load_checkpoint_auto
 from ..tokenizer import get_tokenizer
 from ..train.loop import load_or_init_params
 
@@ -40,12 +40,17 @@ def main(argv=None):
     p.add_argument("--audio", type=str, default="4.wav")
     p.add_argument("--language", type=str, default="en")
     p.add_argument("--weights", type=str, default=None)
+    from . import add_overlay_flags
+
+    add_overlay_flags(p)
     args = p.parse_args(argv)
 
     cfg = get_config(args.base_model)
     params = load_or_init_params(args.base_model, cfg, args.weights)
-    params, n_loaded = load_checkpoint_model(args.checkpoint, params)
-    print(f"Loaded {n_loaded} decoder tensors")
+    params, n_loaded = load_checkpoint_auto(
+        args.checkpoint, params, args.full_ckpt
+    )
+    print(f"Loaded {n_loaded} tensors")
 
     transcription = transcribe_file(params, cfg, args.audio, args.language)
     print("\n" + "=" * 50)

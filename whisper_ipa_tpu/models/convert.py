@@ -286,6 +286,61 @@ def overlay_decoder_weights(
     return unflatten_params(base_flat), n_loaded
 
 
+def checkpoint_overlay_mode(checkpoint_path: str):
+    """Infer whether a checkpoint needs the FULL overlay (trained
+    encoder) from its run's training_config.json.
+
+    ``checkpoint-N`` / ``best-checkpoint`` dirs sit inside the run dir
+    that holds ``training_config.json``; a run recorded with
+    ``freeze_encoder: false`` trained its encoder, so loading it through
+    the decoder-only reference contract (scripts/evaluate_model.py:56-73)
+    would silently leave a random encoder under the trained decoder.
+    Returns True (full), False (decoder-only), or None (no metadata —
+    caller decides; reference-produced checkpoints land here and keep
+    the reference behavior).
+    """
+    import json as _json
+    import os
+
+    d = checkpoint_path
+    if not os.path.isdir(d):
+        d = os.path.dirname(d)
+    for cand in (d, os.path.dirname(d)):
+        cfg_path = os.path.join(cand, "training_config.json")
+        if os.path.isfile(cfg_path):
+            try:
+                with open(cfg_path) as f:
+                    fe = _json.load(f)["training_args"].get("freeze_encoder")
+            except Exception:
+                return None
+            if fe is None:
+                return None
+            return not fe
+    return None
+
+
+def load_checkpoint_auto(
+    checkpoint_path: str, base_params: Params, full=None
+) -> Tuple[Params, int]:
+    """load_checkpoint_model with overlay-mode auto-detection.
+
+    full=None reads the run's training_config.json via
+    checkpoint_overlay_mode: full-fine-tune checkpoints get the full
+    overlay automatically, everything else keeps the decoder-only
+    reference contract. Explicit True/False overrides (CLI
+    --full-checkpoint / --decoder-only).
+    """
+    if full is None:
+        full = checkpoint_overlay_mode(checkpoint_path)
+        if full:
+            print(
+                "(auto) full overlay: checkpoint run recorded "
+                "freeze_encoder=false, so its encoder is trained"
+            )
+        full = bool(full)
+    return load_checkpoint_model(checkpoint_path, base_params, full=full)
+
+
 def load_checkpoint_model(
     checkpoint_path: str, base_params: Params, full: bool = False
 ) -> Tuple[Params, int]:

@@ -181,6 +181,11 @@ def train(
         "save_every": save_every,
         "test_run": test_run,
         "resume": resume,
+        # load-time contract: freeze_encoder=False checkpoints carry a
+        # TRAINED encoder, so CLIs must overlay the full tensor set (the
+        # decoder-only reference overlay would leave a random encoder) —
+        # models.convert.checkpoint_overlay_mode reads this back
+        "freeze_encoder": freeze_encoder,
     }
     if is_main:
         save_training_config(output_dir, args_dict, get_hardware_info())

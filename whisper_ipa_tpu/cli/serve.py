@@ -133,6 +133,12 @@ def main(argv=None):
         "--draft-model medusa",
     )
     p.add_argument("--draft-weights", default=None)
+    p.add_argument(
+        "--draft-checkpoint", default=None,
+        help="trained draft-model checkpoint (e.g. cli.distill_draft "
+        "output) overlaid onto the draft model; overlay mode "
+        "auto-detects from the draft run's training_config.json",
+    )
     p.add_argument("--draft-k", type=int, default=4)
     p.add_argument(
         "--continuous", action="store_true",
@@ -199,6 +205,11 @@ def main(argv=None):
         draft_params = load_or_init_params(
             args.draft_model, draft_cfg, args.draft_weights
         )
+        if args.draft_checkpoint:
+            draft_params, n = load_checkpoint_auto(
+                args.draft_checkpoint, draft_params
+            )
+            print(f"Loaded {n} draft tensors from {args.draft_checkpoint}")
 
     mesh = None
     if args.dp * args.tp > 1:

@@ -129,6 +129,14 @@ def main(argv=None):
         "dispatch+transfer dominates the tunnel-bound step time",
     )
     p.add_argument(
+        "--fixed-token-len", type=int, default=None,
+        help="pin every training batch to one token width (one XLA "
+        "program instead of one per pow2 bucket; compiles are minutes "
+        "each through the tunnel and worse on CPU). 128 covers p99 of "
+        "the reference corpus (measured p99=123, max 175; the 1% tail "
+        "truncates, final EOT preserved)",
+    )
+    p.add_argument(
         "--cpu", action="store_true",
         help="force the CPU backend (the axon site hook overrides "
         "JAX_PLATFORMS, so this must be a post-import config update) — "
@@ -140,6 +148,12 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+        # unlike axon, the CPU backend DOES hit the persistent compile
+        # cache — a restarted run skips its ~minutes-long recompiles
+        cache = os.path.expanduser("~/.cache/whisper_ipa_tpu_xla")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
     data_root = os.path.join(args.out, "data")
     train_json = os.path.join(data_root, "train.json")
@@ -215,6 +229,7 @@ def main(argv=None):
         final_validate_samples=args.val_samples,
         mel_cache_dir=os.path.join(args.out, "melcache"),
         resume=True,
+        fixed_token_len=args.fixed_token_len,
     )
     if "final_per" not in summary:
         raise SystemExit(f"training stopped early: {summary}")

@@ -155,6 +155,7 @@ def train(
     zero1: bool = False,
     fsdp: bool = False,
     tensor_parallel: int = 1,
+    fixed_token_len: Optional[int] = None,
 ) -> Dict:
     """Main training entry point (reference-compatible surface + resume).
 
@@ -596,8 +597,13 @@ def train(
         local_batch,
         num_steps - start_step,
         seed=seed + start_step,
-        # hosts pad independently: the global assembly needs one shape
-        fixed_token_len=min(448, cfg.n_text_ctx) if multi else None,
+        # hosts pad independently: the global assembly needs one shape.
+        # Single-host callers can pin a width too: every distinct chunk
+        # width is its own XLA program, which is minutes per compile
+        # through the tunnel (tens of minutes on the 1-core CPU backend)
+        fixed_token_len=(
+            min(448, cfg.n_text_ctx) if multi else fixed_token_len
+        ),
         # chunked dispatch drains steps_per_call batches at once: the
         # worker must be able to buffer a full chunk ahead or the chunk
         # assembly serializes on per-batch mel loads

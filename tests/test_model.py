@@ -170,6 +170,62 @@ class TestKVCache:
         assert logits1.shape == (1, 1, CFG.n_vocab)
         assert np.isfinite(np.asarray(logits2)).all()
 
+    def test_cast_decoder_blocks(self, params, mel):
+        """Hoisted bf16 pre-cast == linear()'s per-use cast, bit-exact.
+
+        The decode loops cast the decoder block tree ONCE at the jitted
+        entry (models/whisper.cast_decoder_blocks) instead of letting
+        ``linear`` re-convert f32 weights per layer per token step; the
+        logits must be identical because the same single f32->bf16
+        rounding happens either way.
+        """
+        from whisper_ipa_tpu.models.whisper import cast_decoder_blocks
+        from whisper_ipa_tpu.ops.quant import quantize_tree
+
+        cast = cast_decoder_blocks(params, jnp.bfloat16)
+        b0 = cast["decoder"]["blocks"][0]
+        # matmul weights/biases go bf16; layernorm + embeddings stay f32
+        assert b0["attn"]["query"]["w"].dtype == jnp.bfloat16
+        assert b0["mlp1"]["b"].dtype == jnp.bfloat16
+        assert b0["attn_ln"]["g"].dtype == jnp.float32
+        assert cast["decoder"]["token_embedding"].dtype == jnp.float32
+        # f32 request is a no-op (same object)
+        assert cast_decoder_blocks(params, jnp.float32) is params
+        # quantized leaves keep their stored dtypes
+        qp = dict(params)
+        qp["decoder"] = dict(params["decoder"])
+        qp["decoder"]["blocks"] = [
+            {
+                k: (quantize_tree(v) if k == "mlp1" else v)
+                for k, v in blk.items()
+            }
+            for blk in params["decoder"]["blocks"]
+        ]
+        qcast = cast_decoder_blocks(qp, jnp.bfloat16)
+        assert qcast["decoder"]["blocks"][0]["mlp1"]["w_q"].dtype == jnp.int8
+        assert (
+            qcast["decoder"]["blocks"][0]["mlp1"]["w_s"].dtype
+            == qp["decoder"]["blocks"][0]["mlp1"]["w_s"].dtype
+        )
+
+        # bit-exact logits: per-use cast (uncast params, bf16 activations)
+        # vs hoisted pre-cast
+        feats = encode(params, CFG, mel[:1])
+        tokens = jnp.array([[50258, 50259, 50359, 50363]])
+        cache_a = init_cache(
+            params, CFG, feats, max_len=8, dtype=jnp.bfloat16
+        )
+        la, _ = decode_step(
+            params, CFG, tokens, cache_a, 0, dtype=jnp.bfloat16
+        )
+        cache_b = init_cache(
+            cast, CFG, feats, max_len=8, dtype=jnp.bfloat16
+        )
+        lb, _ = decode_step(
+            cast, CFG, tokens, cache_b, 0, dtype=jnp.bfloat16
+        )
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
 
 class TestCheckpointInterop:
     def test_flatten_roundtrip(self, params):

@@ -410,9 +410,11 @@ def _beam_decode_jit_v2(
     Also threads bf16 compute (``dtype_name``), which the legacy jit
     never did. Output contract matches _beam_decode_jit exactly.
     """
-    from ..models.whisper import decode_step_beam
+    from ..models.whisper import cast_decoder_blocks, decode_step_beam
 
     dtype = jnp.dtype(dtype_name)
+    # hoist the per-(layer, step) weight converts out of the loop
+    params = cast_decoder_blocks(params, dtype)
     B = audio_features.shape[0]
     K = beam_size
     C = K + 1  # candidates per beam: at most one can be EOT

@@ -21,7 +21,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import WhisperConfig
-from ..models.whisper import decode_step, encode, init_cache
+from ..models.whisper import (
+    cast_decoder_blocks,
+    decode_step,
+    encode,
+    init_cache,
+)
 from ..tokenizer import WhisperTokenizer, get_tokenizer
 from ..utils.aot_cache import aot_call
 from ..tokenizer.whisper_tokenizer import N_TIMESTAMPS
@@ -320,6 +325,9 @@ def _greedy_decode_jit(
 ):
     """Batched greedy/temperature decode under one lax.while_loop."""
     dtype = jnp.dtype(dtype_name)
+    # one-time cast OUTSIDE the token loop: kills the per-(layer, step)
+    # f32->bf16 weight converts and halves param-slice traffic (xprof r4)
+    params = cast_decoder_blocks(params, dtype)
     B = audio_features.shape[0]
     max_len = n_prefix + sample_len
     cache = init_cache(

@@ -41,6 +41,7 @@ import numpy as np
 from ..config import WhisperConfig
 from ..utils.aot_cache import aot_call
 from ..models.whisper import (
+    cast_decoder_blocks,
     decode_step,
     decode_step_multipos,
     encode,
@@ -164,6 +165,10 @@ def _spec_decode_jit(
 ):
     """Batched speculative greedy decode under one lax.while_loop."""
     dtype = jnp.dtype(dtype_name)
+    # hoist the per-(layer, step) weight converts out of the loop
+    params = cast_decoder_blocks(params, dtype)
+    if draft_params is not None:
+        draft_params = cast_decoder_blocks(draft_params, dtype)
     K = draft_k
     B = audio_features.shape[0]
     buf_len = n_prefix + sample_len + K + 1

@@ -438,6 +438,55 @@ def _quantize_kv_heads4(x, n_head: int):
     return packed, scale
 
 
+def cast_decoder_blocks(params: Params, dtype) -> Params:
+    """Pre-cast decoder-block matmul weights/biases to the decode dtype.
+
+    ``layers.linear`` casts ``w``/``b`` to the activation dtype at every
+    use; inside the token while_loop that convert re-runs per layer per
+    step and the param slices stream float32 bytes (xprof r4, batch-128
+    whisper-small decode: 29.6 ms/decode of in-loop convert_element_type
+    plus double-width dynamic_slice reads — ~60 ms of the ~160 ms
+    non-cross-attention loop residue). Casting the block tree ONCE at
+    the jitted entry, outside the loop, is numerically identical (the
+    same single f32->bf16 rounding the per-use cast applies) and halves
+    the per-step parameter traffic.
+
+    Only float32 leaves named exactly ``w``/``b`` are cast: layernorm
+    params (``*_ln``, applied in f32 by ``layer_norm``), quantized
+    leaves (``w_q``/``w_s``/``w_q4``/``w_s4``, consumed by fused-dequant
+    paths that expect their stored dtypes), and the embeddings/logits
+    head (f32 by design, ``_final_logits``) keep their dtypes.
+    """
+    if jnp.dtype(dtype) == jnp.float32:
+        return params
+
+    def _cast(obj):
+        if isinstance(obj, dict):
+            return {
+                k: (
+                    v.astype(dtype)
+                    if k in ("w", "b")
+                    and v is not None
+                    and getattr(v, "dtype", None) == jnp.float32
+                    else _cast(v)
+                )
+                for k, v in obj.items()
+            }
+        return obj
+
+    def _cast_block(block):
+        return {
+            name: (group if name.endswith("_ln") else _cast(group))
+            for name, group in block.items()
+        }
+
+    dec = dict(params["decoder"])
+    dec["blocks"] = [_cast_block(b) for b in dec["blocks"]]
+    out = dict(params)
+    out["decoder"] = dec
+    return out
+
+
 # Fused cross-KV init (ops/kv_init.py): projection + int8 quantize +
 # T-minor layout in ONE HBM pass instead of three (VERDICT r3 item 3,
 # the one-time prefix/init cost). Opt-in until the on-device A/B

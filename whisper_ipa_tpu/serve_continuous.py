@@ -55,6 +55,7 @@ from .decode.decoding import (
 )
 from .models.whisper import (
     DecoderCache,
+    cast_decoder_blocks,
     decode_step_multipos,
     encode,
     init_cache,
@@ -223,6 +224,7 @@ def _decode_chunk(
     frontier row otherwise).
     """
     dtype = jnp.dtype(dtype_name)
+    params = cast_decoder_blocks(params, dtype)
 
     def body(carry, _):
         cache, last_tok, lens, finished = carry
@@ -288,6 +290,7 @@ def _spec_chunk(
     from .decode.speculative import _ngram_drafts
 
     dtype = jnp.dtype(dtype_name)
+    params = cast_decoder_blocks(params, dtype)
     K = draft_k
     idx = jnp.arange(K + 1)[None, :]
     write_row = jax.vmap(
@@ -388,6 +391,8 @@ def _spec_chunk_model(
     counts v (n_rounds, B).
     """
     dtype = jnp.dtype(dtype_name)
+    params = cast_decoder_blocks(params, dtype)
+    draft_params = cast_decoder_blocks(draft_params, dtype)
     K = draft_k
     idx = jnp.arange(K + 1)[None, :]
 
@@ -493,6 +498,7 @@ def _spec_chunk_medusa(
     from .models.whisper import decode_step_multipos_hidden
 
     dtype = jnp.dtype(dtype_name)
+    params = cast_decoder_blocks(params, dtype)
     K = draft_k
     idx = jnp.arange(K + 1)[None, :]
 
@@ -594,6 +600,7 @@ def _spec_chunk_medusa_tree(
     from .decode.medusa_tree import _tree_tables, tree_round
 
     dtype = jnp.dtype(dtype_name)
+    params = cast_decoder_blocks(params, dtype)
     _, _, _, _, _, K = _tree_tables(tree)
     B = tokens_buf.shape[0]
     idxs = jnp.arange(K + 1)[None, :]

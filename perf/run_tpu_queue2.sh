@@ -1,0 +1,43 @@
+#!/bin/bash
+# Follow-up measurement queue (round 4, session 4): items discovered
+# AFTER perf/run_tpu_queue.sh launched. Same discipline: serial, probed,
+# marker-resumable. Run ONLY after the first queue's runner exits
+# (ONE TPU process at a time — CLAUDE.md).
+#
+# Usage: bash perf/run_tpu_queue2.sh
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH=/root/repo:/root/.axon_site
+MARK=/tmp/qmark
+mkdir -p "$MARK"
+IDX=-1
+
+export WHISPER_IPA_TPU_AOT_CACHE=/tmp/aotcache_queue
+
+source perf/probe_device.sh
+
+item() {  # item <name> <timeout_s> <cmd...>
+  local name=$1 tmo=$2; shift 2
+  IDX=$((IDX + 1))
+  if [ -f "$MARK/$name.done" ]; then
+    echo "== [$IDX] $name: marker exists ($(cat "$MARK/$name.done")), skip"
+    return 0
+  fi
+  if ! probe; then
+    echo "== [$IDX] $name: TPU UNREACHABLE, skipping (queue continues probing)"
+    return 1
+  fi
+  echo "== [$IDX] $name: START $(date +%H:%M:%S) (timeout ${tmo}s)"
+  timeout "$tmo" "$@" > "/tmp/q_$name.log" 2>&1
+  local rc=$?
+  echo "rc=$rc $(date)" > "$MARK/$name.done"
+  echo "== [$IDX] $name: DONE rc=$rc $(date +%H:%M:%S) (log /tmp/q_$name.log)"
+  return 0
+}
+
+# Decode-loop residue A/B after the cast hoist (commit 5ba2d5c): the r4
+# xprof attributed ~60 ms/decode to in-loop f32 param slices +
+# convert_element_type; the hoist should cut the 8.67 ms/token loop
+# toward the 6.97 floor. Same shapes as the pre-change breakdown.
+item decode_breakdown_postcast 5400 \
+  python perf/bench_decode_breakdown.py --batch 128 --profile-dir /tmp/xprof_decode_postcast

@@ -41,3 +41,17 @@ item() {  # item <name> <timeout_s> <cmd...>
 # toward the 6.97 floor. Same shapes as the pre-change breakdown.
 item decode_breakdown_postcast 5400 \
   python perf/bench_decode_breakdown.py --batch 128 --profile-dir /tmp/xprof_decode_postcast
+
+# Paper-style per-language held-out breakdown on the corpus checkpoints
+# (VERDICT #1 scale-of-evidence; matches reference evaluate_model.py's
+# per-run reporting). Batch 32 to amortize tunnel dispatch.
+item corpus_report_tiny 3600 \
+  python examples/corpus_report.py --run-dir /tmp/corpus/run_tiny \
+    --data /tmp/corpus/data/test.json --model tiny \
+    --mel-cache-dir /tmp/corpus/melcache --batch 32
+if [ -d /tmp/corpus/run_small/best-checkpoint ]; then
+  item corpus_report_small 5400 \
+    python examples/corpus_report.py --run-dir /tmp/corpus/run_small \
+      --data /tmp/corpus/data/test.json --model small \
+      --mel-cache-dir /tmp/corpus/melcache --batch 32
+fi

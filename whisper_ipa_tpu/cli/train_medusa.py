@@ -210,9 +210,13 @@ def main(argv=None):
             dtype=jnp.bfloat16,
         )
     )
+    # The frozen model params are explicit jit ARGUMENTS everywhere:
+    # closing over them would embed ~1 GB of weight constants in the
+    # lowered program, which the axon remote-compile endpoint rejects
+    # with HTTP 413 (measured: whisper-small chunk program, r4 queue).
     step_fn = jax.jit(
-        lambda mp, os, h, t: train_medusa_step(
-            mp, os, tx, params, cfg, h, t, eot
+        lambda fp, mp, os, h, t: train_medusa_step(
+            mp, os, tx, fp, cfg, h, t, eot
         )
     )
 
@@ -220,17 +224,17 @@ def main(argv=None):
     # on device over C stacked batches — one upload + one dispatch per
     # chunk instead of 2C (hidden_fn, step_fn) round trips. Trailing EOT
     # token pad is loss-exact (medusa_losses masks past the first EOT).
-    def chunk_steps(mp, os_, mels, toks):
+    def chunk_steps(fp, mp, os_, mels, toks):
         def body(carry, xs):
             mp, os_ = carry
             mel_i, tok_i = xs
             h = decoder_hidden(
-                params, cfg, tok_i,
-                encode(params, cfg, mel_i, dtype=jnp.bfloat16),
+                fp, cfg, tok_i,
+                encode(fp, cfg, mel_i, dtype=jnp.bfloat16),
                 dtype=jnp.bfloat16,
             )
             mp, os_, loss = train_medusa_step(
-                mp, os_, tx, params, cfg, h, tok_i, eot
+                mp, os_, tx, fp, cfg, h, tok_i, eot
             )
             return (mp, os_), loss
 
@@ -256,12 +260,13 @@ def main(argv=None):
             tokens = jnp.asarray(batches[0]["tokens"])
             hidden = hidden_fn(params, mel, tokens)
             medusa, opt_state, loss = step_fn(
-                medusa, opt_state, hidden, tokens
+                params, medusa, opt_state, hidden, tokens
             )
         else:
             mels, toks = stack_pad_batches(batches, eot, bf16_mels=True)
             medusa, opt_state, losses = chunk_fn(
-                medusa, opt_state, jnp.asarray(mels), jnp.asarray(toks)
+                params, medusa, opt_state,
+                jnp.asarray(mels), jnp.asarray(toks),
             )
             loss = losses[-1]
         prev, step = step, step + n

@@ -221,3 +221,48 @@ def test_train_medusa_steps_per_call_equivalent(tmp_path):
                 np.asarray(h1[k]), np.asarray(h2[k]), atol=2e-6,
                 err_msg=f"head param {k} diverged under steps_per_call",
             )
+
+
+def test_medusa_chunk_program_embeds_no_weight_constants(params):
+    """Regression (r4 queue, HTTP 413): the jitted train chunk must take
+    the frozen base params as ARGUMENTS — closing over them embeds the
+    whole model as constants in the lowered module (28.8 MB even at
+    test-tiny scale, ~1 GB for whisper-small), which the axon
+    remote-compile endpoint rejects with HTTP 413. Pin the contract by
+    bounding the lowered program size."""
+    import optax
+
+    from whisper_ipa_tpu.models.whisper import decoder_hidden, encode
+
+    medusa = init_medusa_params(CFG, n_heads=2, seed=0)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(medusa)
+    eot = 99
+
+    def chunk_steps(fp, mp, os_, mels, toks):
+        def body(carry, xs):
+            mp, os_ = carry
+            mel_i, tok_i = xs
+            h = decoder_hidden(
+                fp, CFG, tok_i,
+                encode(fp, CFG, mel_i, dtype=jnp.bfloat16),
+                dtype=jnp.bfloat16,
+            )
+            mp, os_, loss = train_medusa_step(
+                mp, os_, tx, fp, CFG, h, tok_i, eot
+            )
+            return (mp, os_), loss
+
+        (mp, os_), losses = jax.lax.scan(body, (mp, os_), (mels, toks))
+        return mp, os_, losses
+
+    mels = jnp.zeros((2, 2, CFG.n_audio_ctx * 2, CFG.n_mels), jnp.bfloat16)
+    toks = jnp.zeros((2, 2, 8), jnp.int32)
+    lowered = jax.jit(chunk_steps).lower(
+        params, medusa, opt_state, mels, toks
+    )
+    size = len(lowered.as_text())
+    assert size < 2_000_000, (
+        f"lowered medusa chunk program is {size / 1e6:.1f} MB — weight "
+        "constants are being embedded again (pass params as jit args)"
+    )

@@ -64,11 +64,10 @@ def main(argv=None):
     params, n_loaded = load_checkpoint_model(ckpt, params, full=True)
     print(f"loaded {n_loaded} tensors from {ckpt}")
 
-    with open(args.data) as f:
-        entries = json.load(f)
     ds = create_data_loader(
         args.data, n_mels=cfg.n_mels, mel_cache_dir=args.mel_cache_dir
     )
+    entries = ds.data  # locales come from the same parsed list
     n = min(args.num_samples or len(ds), len(ds))
     options = DecodingOptions(
         language=None,
@@ -81,16 +80,19 @@ def main(argv=None):
     t0 = time.time()
     for start in range(0, n, args.batch):
         idx = list(range(start, min(start + args.batch, n)))
-        batch = ds.get_batch(idx)
+        # pad the tail batch to the full batch size (repeat the last
+        # index) so every decode call shares ONE compiled program —
+        # decode() compiles per batch shape, and a remote-tunnel greedy
+        # compile costs minutes; pad rows are dropped below
+        n_real = len(idx)
+        padded = idx + [idx[-1]] * (args.batch - n_real)
+        batch = ds.get_batch(padded)
         results = decode(
             params, cfg, jnp.asarray(batch["mel_features"]), options,
             tokenizer=ds.tokenizer,
         )
         for k, i in enumerate(idx):
-            ref = batch["ipa_texts"][k].strip()
-            # dataset order must match the JSON for the locale join
-            assert ref == entries[i]["ipa_transcription"].strip(), i
-            refs.append(ref)
+            refs.append(batch["ipa_texts"][k].strip())
             hyps.append(results[k].text.strip())
             locales.append(entries[i].get("locale") or "unknown")
         done = start + len(idx)

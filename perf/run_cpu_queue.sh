@@ -6,8 +6,11 @@
 # the corpus-trained checkpoint: medusa heads + chain/tree/ngram
 # tokens-per-round via bench.py --cpu (acceptance is a model property; only
 # wall-clock speedups need the TPU). Serial, resumable via /tmp/cqmark,
-# logs in /tmp/cq_*.log. Safe to run beside the TPU queue: everything here
-# is pinned to the CPU backend and /tmp/corpus_cputiny.
+# logs in /tmp/cq_*.log. Everything here is pinned to the CPU backend
+# and /tmp/corpus_cputiny — but do NOT run it beside tunnel-bound TPU
+# work: the single host core is shared and TPU dispatch stalls behind
+# CPU-heavy jobs (CLAUDE.md). Intended for tunnel-outage windows only;
+# the TPU queue (run_tpu_queue*.sh) supersedes it when the chip is up.
 set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/repo:/root/.axon_site
@@ -103,12 +106,7 @@ run_item acc_ngram 7200 python bench.py --cpu \
   --spec-data "$DATA/test.json" --model tiny --mel-cache-dir "$MC" \
   --batch 8 --iters 1
 
-echo "== CPU queue complete"
-for f in "$MARK"/*.done; do
-  echo "  $(basename "$f" .done): $(cat "$f")"
-done
-
-# -- 4. per-language held-out report (appended; see examples/corpus_report.py)
+# -- 4. per-language held-out report (see examples/corpus_report.py)
 run_item report 7200 python examples/corpus_report.py \
   --run-dir "$OUT/run_tiny" --data "$DATA/test.json" --model tiny \
   --mel-cache-dir "$MC" --cpu --batch 8
@@ -127,3 +125,8 @@ if [ -e "$OUT/draft_testtiny/checkpoint-1500/model.safetensors" ]; then
     --spec-data "$DATA/test.json" --model tiny --mel-cache-dir "$MC" \
     --batch 8 --iters 1
 fi
+
+echo "== CPU queue complete"
+for f in "$MARK"/*.done; do
+  echo "  $(basename "$f" .done): $(cat "$f")"
+done

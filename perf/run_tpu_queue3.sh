@@ -15,8 +15,9 @@ cd "$(dirname "$0")/.."
 MARK=/tmp/qmark
 for m in medusa_small spec_medusa spec_medusa_tree engine_tree; do
   if [ -f "$MARK/$m.done" ] && ! grep -q '^rc=0' "$MARK/$m.done"; then
+    was=$(cat "$MARK/$m.done")
     rm -f "$MARK/$m.done"
-    echo "requeued $m (was: $(cat /dev/null))"
+    echo "requeued $m (was: $was)"
   fi
 done
 exec bash perf/run_tpu_queue.sh

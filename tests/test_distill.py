@@ -145,3 +145,13 @@ class TestDistillCLI:
         assert os.path.isfile(
             os.path.join(out, "checkpoint-2", "model.safetensors")
         )
+
+        # the run metadata must mark the encoder TRAINED so consumers
+        # (serve --draft-checkpoint, bench) auto-pick the FULL overlay —
+        # a decoder-only load would run the draft on a random encoder
+        # and silently floor acceptance (r3 regression class)
+        from whisper_ipa_tpu.models.convert import checkpoint_overlay_mode
+
+        assert checkpoint_overlay_mode(
+            os.path.join(out, "checkpoint-2")
+        ) is True

@@ -111,6 +111,36 @@ def main(argv=None):
     print(f"{len(dataset)} training samples")
     eot = dataset.tokenizer.eot
 
+    # Run metadata: the student trains its FULL tree (encoder included,
+    # from random init — no pretrained weights exist offline), so every
+    # consumer must use the full overlay, not the decoder-only reference
+    # contract. checkpoint_overlay_mode() reads this from the parent of
+    # each checkpoint-N dir, making load_checkpoint_auto (serve
+    # --draft-checkpoint, eval CLIs) pick the right mode without
+    # per-consumer hardcodes.
+    import json as _json
+    import os as _os
+
+    _os.makedirs(args.output_dir, exist_ok=True)
+    with open(
+        _os.path.join(args.output_dir, "training_config.json"), "w"
+    ) as f:
+        _json.dump(
+            {
+                "training_args": {
+                    "freeze_encoder": False,
+                    "distilled_from": args.teacher_checkpoint,
+                    "teacher_model": args.teacher,
+                    "student_model": args.student,
+                    "steps": args.steps,
+                    "batch_size": args.batch_size,
+                    "learning_rate": args.learning_rate,
+                }
+            },
+            f,
+            indent=2,
+        )
+
     tx = optax.chain(
         clip_by_per_tensor_norm(1.0),
         optax.adamw(args.learning_rate),

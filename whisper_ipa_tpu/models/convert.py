@@ -333,9 +333,13 @@ def load_checkpoint_auto(
     if full is None:
         full = checkpoint_overlay_mode(checkpoint_path)
         if full:
+            import sys
+
+            # stderr: cli.transcribe keeps stdout '#'-prefixed / JSON
             print(
                 "(auto) full overlay: checkpoint run recorded "
-                "freeze_encoder=false, so its encoder is trained"
+                "freeze_encoder=false, so its encoder is trained",
+                file=sys.stderr,
             )
         full = bool(full)
     return load_checkpoint_model(checkpoint_path, base_params, full=full)

@@ -870,6 +870,99 @@ def main():
 
     import os
 
+    # ONE TPU process at a time (CLAUDE.md): a second JAX client beside
+    # a running one can wedge the tunnel permanently — even the probe
+    # below counts. If a measurement-queue runner (perf/run_tpu_queue*)
+    # is alive and we are NOT one of its descendants, WAIT for it to
+    # drain instead of racing it; the driver's end-of-round bench run
+    # lands here when a queue is still executing.
+    if not args.cpu and os.environ.get("WHISPER_IPA_TPU_NO_QUEUE_WAIT") != "1":
+        import glob as _glob
+        import time as _time
+
+        def _ancestors():
+            pids, p = set(), os.getpid()
+            while p > 1:
+                try:
+                    with open(f"/proc/{p}/stat") as f:
+                        p = int(f.read().rsplit(")", 1)[1].split()[1])
+                except Exception:
+                    break
+                pids.add(p)
+            return pids
+
+        def _live_queue_pids():
+            live = []
+            for pf in _glob.glob("/tmp/queue*.pid"):
+                try:
+                    qpid = int(open(pf).read().strip())
+                    os.kill(qpid, 0)
+                    live.append(qpid)
+                except Exception:
+                    continue
+            return live
+
+        def _proc_table():
+            """pid -> (ppid, comm) for every live process."""
+            table = {}
+            for d in os.listdir("/proc"):
+                if not d.isdigit():
+                    continue
+                try:
+                    with open(f"/proc/{d}/stat") as f:
+                        raw = f.read()
+                    comm = raw[raw.index("(") + 1: raw.rindex(")")]
+                    ppid = int(raw.rsplit(")", 1)[1].split()[1])
+                    table[int(d)] = (ppid, comm)
+                except Exception:
+                    continue
+            return table
+
+        def _queue_busy(anc):
+            """True if a queue runner we are NOT part of has a live
+            python descendant (an item actively holding the TPU).
+            Chain waiters with no running item don't block."""
+            qpids = [q for q in _live_queue_pids() if q not in anc]
+            if not qpids:
+                return False
+            table = _proc_table()
+            for pid, (ppid, comm) in table.items():
+                if "python" not in comm:
+                    continue
+                p = pid
+                seen = 0
+                while p > 1 and seen < 64:
+                    if p in qpids:
+                        if pid not in anc and pid != os.getpid():
+                            return True
+                        break
+                    p = table.get(p, (0, ""))[0]
+                    seen += 1
+            return False
+
+        anc = _ancestors()
+        waited = 0
+        while _queue_busy(anc):
+            # require two clear checks before proceeding (item-to-item
+            # gaps in the queue are sub-second; don't race into one)
+            if waited == 0:
+                print(
+                    "# measurement queue active; waiting for it to "
+                    "drain before touching the TPU (override: "
+                    "WHISPER_IPA_TPU_NO_QUEUE_WAIT=1)",
+                    flush=True,
+                )
+            if waited >= 14400:
+                print(
+                    "# queue still active after 4h — proceeding anyway",
+                    flush=True,
+                )
+                break
+            _time.sleep(60)
+            waited += 60
+            if not _queue_busy(anc):
+                _time.sleep(15)
+
     # the axon tunnel can wedge in a way that blocks jax.devices()
     # FOREVER (connect-retry loop, no timeout — observed r4); probe in a
     # subprocess first so a dead tunnel yields an honest line instead of

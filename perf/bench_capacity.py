@@ -17,22 +17,63 @@ import time
 import numpy as np
 
 
+def _load_params(model, wbits):
+    """Random-init (+quantized) params, cached on disk per (model, wbits).
+
+    init_params + quantize_params for large-v3 are ~8 min of single-core
+    host work; the original per-point subprocess design re-paid it every
+    batch point (~10 min/point measured in the r4 queue). The tree is
+    deterministic (seed 0), so cache the flattened tensors once.
+    """
+    import os
+
+    import numpy as np
+    from safetensors.numpy import load_file, save_file
+
+    from whisper_ipa_tpu.config import get_config
+    from whisper_ipa_tpu.models import init_params
+    from whisper_ipa_tpu.models.convert import (
+        flatten_params,
+        unflatten_params,
+    )
+    from whisper_ipa_tpu.ops.quant import quantize_params
+
+    cfg = get_config(model)
+    cache = f"/tmp/capcache_{model}_w{wbits}.safetensors"
+    if os.path.isfile(cache):
+        flat = load_file(cache)
+        # 0-d arrays round-trip as 1-d (CLAUDE.md gotcha): restore shape
+        flat = {
+            k: v.reshape(()) if k.endswith("__scalar__") else v
+            for k, v in flat.items()
+        }
+        flat = {k.replace("__scalar__", ""): v for k, v in flat.items()}
+        return cfg, unflatten_params(flat)
+    params = init_params(cfg, seed=0)
+    if wbits in (4, 8):
+        params = quantize_params(params, bits=wbits)
+    flat = flatten_params(params)
+    save_file(
+        {
+            (k + "__scalar__" if np.ndim(v) == 0 else k):
+                np.ascontiguousarray(v)
+            for k, v in flat.items()
+        },
+        cache,
+    )
+    return cfg, params
+
+
 def try_point(model, batch, sample_len, wbits, kvbits):
     import jax
     import jax.numpy as jnp
 
     from whisper_ipa_tpu.audio import N_SAMPLES
-    from whisper_ipa_tpu.config import get_config
     from whisper_ipa_tpu.decode import DecodingOptions, decode
-    from whisper_ipa_tpu.models import init_params
     from whisper_ipa_tpu.ops import log_mel_spectrogram_pallas
-    from whisper_ipa_tpu.ops.quant import quantize_params
     from whisper_ipa_tpu.tokenizer import get_tokenizer
 
-    cfg = get_config(model)
-    params = init_params(cfg, seed=0)
-    if wbits in (4, 8):
-        params = quantize_params(params, bits=wbits)
+    cfg, params = _load_params(model, wbits)
     tokenizer = get_tokenizer(
         multilingual=True, num_languages=cfg.num_languages, language="en"
     )

@@ -40,12 +40,23 @@ item() {  # item <name> <timeout_s> <cmd...>
 #       HTTP-413 closure bug (fixed, cli/train_medusa.py) and its three
 #       dependents failed on the missing weights. Clear the rc!=0
 #       markers and re-run with the exact queue-1 commands. -------------
-for m in medusa_small spec_medusa spec_medusa_tree engine_tree; do
+# Also adopt the queue-1 items deferred by marker (rc=99) when the
+# int4 capacity sweep's ~70 min/config pace pushed them past the
+# session budget — they re-run HERE in time-boxed priority order.
+for m in medusa_small spec_medusa spec_medusa_tree engine_tree \
+         aot_start1 aot_start2 distill_draft spec_distilled final_bench; do
   if [ -f "$MARK/$m.done" ] && ! grep -q '^rc=0' "$MARK/$m.done"; then
+    was=$(cat "$MARK/$m.done")
     rm -f "$MARK/$m.done"
-    echo "requeued $m (previous run failed)"
+    echo "requeued $m (was: $was)"
   fi
 done
+
+# Optional items stop starting past this wall-clock deadline so the
+# always-run final bench + the driver's own end-of-round bench.py fit
+# before the session ends (bench.py now WAITS for an active queue).
+DEADLINE=${QUEUE2_DEADLINE:-1787164800}   # 2026-08-19 18:40 UTC
+past_deadline() { [ "$(date +%s)" -ge "$DEADLINE" ]; }
 CORPUS=/tmp/corpus
 TD=$CORPUS/data/train.json
 VD=$CORPUS/data/test.json
@@ -85,9 +96,46 @@ item corpus_report_tiny 3600 \
   python examples/corpus_report.py --run-dir /tmp/corpus/run_tiny \
     --data /tmp/corpus/data/test.json --model tiny \
     --mel-cache-dir /tmp/corpus/melcache --batch 32
-if [ -d /tmp/corpus/run_small/best-checkpoint ]; then
+if [ -d /tmp/corpus/run_small/best-checkpoint ] && ! past_deadline; then
   item corpus_report_small 5400 \
     python examples/corpus_report.py --run-dir /tmp/corpus/run_small \
       --data /tmp/corpus/data/test.json --model small \
       --mel-cache-dir /tmp/corpus/melcache --batch 32
 fi
+
+# -- int4 capacity FRONTIER (replaces the killed queue-1 sweep: that run
+#    paid ~8 min of host init+quantize per point — now disk-cached — and
+#    its batch list stopped at 64, before the OOM frontier the capacity
+#    claim needs). w8kv8 vs w4kv4 is the decisive pair. ------------------
+if ! past_deadline; then
+  item int4_frontier 7200 \
+    python perf/bench_capacity.py --configs w8kv8,w4kv4 \
+      --batches 64,80,96,128,160
+fi
+
+# -- deferred queue-1 items, priority order, deadline-guarded -------------
+SMALL_CKPT=/tmp/corpus/run_small/best-checkpoint
+if [ -d "$SMALL_CKPT" ] && ! past_deadline; then
+  item distill_draft 5400 \
+    python -m whisper_ipa_tpu.cli.distill_draft --student tiny \
+      --teacher small --teacher-checkpoint "$SMALL_CKPT" --full-checkpoint \
+      --train-data $TD --steps 1500 --batch-size 8 $MC \
+      --output-dir $CORPUS/draft_tiny
+  if [ -d "$CORPUS/draft_tiny/checkpoint-1500" ] && ! past_deadline; then
+    item spec_distilled 3600 \
+      python bench.py --draft-checkpoint $CORPUS/draft_tiny/checkpoint-1500 \
+        --draft tiny --checkpoint "$SMALL_CKPT" --spec-data $VD \
+        --model small $MC
+  fi
+fi
+if ! past_deadline; then
+  item aot_start1 5400 env WHISPER_IPA_TPU_AOT_CACHE=/tmp/aotcache \
+    python bench.py --batch 16 --sample-len 16 --no-trained-row --iters 2
+  item aot_start2 2700 env WHISPER_IPA_TPU_AOT_CACHE=/tmp/aotcache \
+    python bench.py --batch 16 --sample-len 16 --no-trained-row --iters 2
+fi
+
+# -- final headline bench: ALWAYS runs (trained row + driver format) ------
+item final_bench 5400 python bench.py
+
+echo "== queue2 complete $(date)"

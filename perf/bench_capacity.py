@@ -74,6 +74,12 @@ def try_point(model, batch, sample_len, wbits, kvbits):
     from whisper_ipa_tpu.tokenizer import get_tokenizer
 
     cfg, params = _load_params(model, wbits)
+    # the disk cache yields HOST numpy arrays — commit them to the
+    # device ONCE, or every decode call re-uploads the whole tree
+    # through the ~100 MB/s tunnel (measured: 796x -> 98x RTF at
+    # w8kv8 batch 64 when this was missing)
+    params = jax.device_put(params)
+    jax.block_until_ready(params)
     tokenizer = get_tokenizer(
         multilingual=True, num_languages=cfg.num_languages, language="en"
     )

@@ -50,6 +50,29 @@ item() {  # item <name> <timeout_s> <cmd...>
 DEADLINE=${QUEUE4_DEADLINE:-1787166600}   # 2026-08-19 19:10 UTC
 past_deadline() { [ "$(date +%s)" -ge "$DEADLINE" ]; }
 
+# WARM-started distillation: the queue-2 distill_draft trained the
+# student from RANDOM init (12k samples seen) and measured 1.15 t/r —
+# capability-starved, not alignment-starved (the corpus tiny at 128k
+# samples already accepts 3.74 t/r). Distill FROM that checkpoint: the
+# capable student + teacher-KL alignment is the experiment the r3
+# negative result actually called for.
+CORPUS=/tmp/corpus
+if [ -d "$CORPUS/run_tiny/best-checkpoint" ] && ! past_deadline; then
+  item distill_warm 2700 \
+    python -m whisper_ipa_tpu.cli.distill_draft --student tiny \
+      --teacher small --teacher-checkpoint "$CORPUS/run_small/best-checkpoint" \
+      --full-checkpoint --student-checkpoint "$CORPUS/run_tiny/best-checkpoint" \
+      --train-data $CORPUS/data/train.json --steps 1500 --batch-size 8 \
+      --mel-cache-dir $CORPUS/melcache --output-dir $CORPUS/draft_warm
+  if [ -d "$CORPUS/draft_warm/checkpoint-1500" ] && ! past_deadline; then
+    item spec_distilled_warm 2700 \
+      python bench.py --draft-checkpoint $CORPUS/draft_warm/checkpoint-1500 \
+        --draft tiny --checkpoint "$CORPUS/run_small/best-checkpoint" \
+        --spec-data $CORPUS/data/test.json --model small \
+        --mel-cache-dir $CORPUS/melcache
+  fi
+fi
+
 if ! past_deadline; then
   item int4_frontier_w8 5400 \
     python perf/bench_capacity.py --configs w8kv8 \

@@ -1309,13 +1309,15 @@ def main():
                     "rtf_30s_windows": round(tr["rtf_30s"], 1),
                     "heldout_per_pct": round(tr["per"], 2),
                     "heldout_pfer_pct": round(tr["pfer"], 2),
+                    "num_samples": tr["batch"],
                     "batch": tr["batch"],
                     "checkpoint": tr["checkpoint"],
                 }
                 note = (
                     "headline: random-init forced-length (RTF/MFU exact); "
-                    "trained: real held-out audio, EOT live, quality "
-                    "measured"
+                    "trained: real held-out audio, EOT live, quality on "
+                    f"the first {tr['batch']} test utterances (full-split "
+                    "numbers in docs/PERF.md)"
                 )
                 print(
                     f"# trained row: compile={tr['compile_time']:.0f}s "

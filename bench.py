@@ -20,10 +20,18 @@ Usage: python bench.py [--batch N] [--sweep] [--sample-len N]
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Reboot-proof artifact root: /tmp is wiped on every VM restart (it took
+# the round-4 corpus checkpoints and the AOT executable cache with it),
+# so trained runs, medusa sidecars, and serialized executables live in a
+# gitignored directory inside the repo and survive across sessions.
+ARTIFACTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "artifacts")
 
 # best single-chip RTF point from the batch sweep (see docs/PERF.md), r2:
 # 16: 1426x, 32: 1666x, 64: 1925x, 128: 2868x, 160: 2968x, 192: 3068x,
@@ -472,7 +480,10 @@ def discover_trained():
     candidates = []
     if env_ckpt and env_data:
         candidates.append((env_ckpt, env_data))
+    art_data = os.path.join(ARTIFACTS, "corpus", "data", "test.json")
     for run_dir, data in (
+        (os.path.join(ARTIFACTS, "corpus", "run_small"), art_data),
+        (os.path.join(ARTIFACTS, "corpus", "run_tiny"), art_data),
         ("/tmp/corpus/run_small", "/tmp/corpus/data/test.json"),
         ("/tmp/corpus/run_tiny", "/tmp/corpus/data/test.json"),
         ("/tmp/corpus_cputiny/run_tiny", "/tmp/corpus/data/test.json"),
@@ -999,7 +1010,13 @@ def main():
         # from the CPU backend instead of nothing.
         spec = None
         if os.environ.get("WHISPER_IPA_TPU_BENCH_NO_CPU_FALLBACK") != "1":
+            _art_corpus = os.path.join(ARTIFACTS, "corpus")
             for heads, ckpt, data, mc, mdl in (
+                (os.path.join(_art_corpus, "medusa_small.safetensors"),
+                 os.path.join(_art_corpus, "run_small/best-checkpoint"),
+                 os.path.join(_art_corpus, "data/test.json"),
+                 os.path.join(_art_corpus, "melcache"),
+                 "small"),
                 ("/tmp/corpus/medusa_small.safetensors",
                  "/tmp/corpus/run_small/best-checkpoint",
                  "/tmp/corpus/data/test.json", "/tmp/corpus/melcache",
@@ -1053,6 +1070,8 @@ def main():
         # carries the learning evidence even with the tunnel down.
         found = []
         for run_dir in (
+            os.path.join(ARTIFACTS, "corpus", "run_small"),
+            os.path.join(ARTIFACTS, "corpus", "run_tiny"),
             "/tmp/corpus/run_small",
             "/tmp/corpus/run_tiny",
             "/tmp/corpus_cputiny/run_tiny",
@@ -1079,6 +1098,15 @@ def main():
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+    # serialized-executable cache (utils/aot_cache): the XLA persistent
+    # cache never hits through the axon tunnel, but compiled executables
+    # round-trip fine (docs/PERF.md serve-start table) — default it to
+    # the repo-local artifacts dir so repeat bench runs skip the
+    # minutes-long remote compiles and the cache survives reboots.
+    if not os.environ.get("WHISPER_IPA_TPU_AOT_CACHE"):
+        os.environ["WHISPER_IPA_TPU_AOT_CACHE"] = os.path.join(
+            ARTIFACTS, "aotcache")
 
     if args.continuous:
         slots = args.batch if args.batch != HEADLINE_BATCH else 8

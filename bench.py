@@ -1107,6 +1107,10 @@ def main():
     if not os.environ.get("WHISPER_IPA_TPU_AOT_CACHE"):
         os.environ["WHISPER_IPA_TPU_AOT_CACHE"] = os.path.join(
             ARTIFACTS, "aotcache")
+        # pre-trace keys skip the 70-100 s of warm-start tracing too;
+        # safe here — every bench call site passes weights as arguments
+        # and the key fingerprints source/policy/env (utils/aot_cache)
+        os.environ.setdefault("WHISPER_IPA_TPU_AOT_FAST_DISK", "1")
 
     if args.continuous:
         slots = args.batch if args.batch != HEADLINE_BATCH else 8

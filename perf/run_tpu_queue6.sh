@@ -63,4 +63,19 @@ item medusa_small_art 7200 \
 item bench_validate 7200 \
   env WHISPER_IPA_TPU_NO_QUEUE_WAIT=1 python bench.py
 
+# 5-7. serve-start A/B for the fast-disk pre-trace key (same point as
+# the queue-5 measurement: whisper-small greedy, batch 16, 16 tokens).
+# 5 warms the cache (compiles once, mirrors under fk_ keys); 6 measures
+# the fast-disk warm start (should skip trace+lower: target well under
+# the 72-98 s exact-key warm start); 7 re-measures the exact-key warm
+# start same-day for a fair baseline.
+BENCH16="python bench.py --batch 16 --sample-len 16 --no-trained-row"
+item aot_fast_warmup 2400 \
+  env WHISPER_IPA_TPU_NO_QUEUE_WAIT=1 WHISPER_IPA_TPU_AOT_FAST_DISK=1 \
+  $BENCH16
+item aot_fast_start 2400 \
+  bash -c "time env WHISPER_IPA_TPU_NO_QUEUE_WAIT=1 WHISPER_IPA_TPU_AOT_FAST_DISK=1 $BENCH16"
+item aot_exact_start 2400 \
+  bash -c "time env WHISPER_IPA_TPU_NO_QUEUE_WAIT=1 WHISPER_IPA_TPU_AOT_FAST_DISK=0 $BENCH16"
+
 echo "== queue 6 complete $(date)"

@@ -133,6 +133,66 @@ class TestAotCall:
         assert t2 == t1
         assert aot_cache.stats()["compiles"] == n_compiles  # disk only
 
+    def test_fast_disk_serves_without_lowering(self, cache_dir):
+        """WHISPER_IPA_TPU_AOT_FAST_DISK: a warm process must be served
+        from the pre-trace key alone (fast_disk_hits increments only on
+        the branch that returns BEFORE jitted.lower runs)."""
+        params = {"w": jnp.eye(4)}
+        x = jnp.ones((2, 4))
+        y = jnp.zeros((2, 4))
+        aot_cache.set_fast_disk(True)
+        try:
+            ref = _toy(params, x, 2, y)
+            out1 = aot_call(_toy, params, x, 2, y)
+            np.testing.assert_allclose(out1, ref, rtol=1e-6)
+            files = sorted(os.listdir(cache_dir))
+            # exact key + fk_ mirror (hardlinked)
+            assert any(f.startswith("fk_") for f in files)
+            assert sum(f.endswith(".jaxexec") for f in files) == 2
+
+            aot_cache._fast.clear()  # fresh-process simulation
+            out2 = aot_call(_toy, params, x, 2, y)
+            np.testing.assert_allclose(out2, ref, rtol=1e-6)
+            st = aot_cache.stats()
+            assert st["fast_disk_hits"] == 1
+            assert st["compiles"] == 1 and st["disk_hits"] == 0
+        finally:
+            aot_cache.set_fast_disk(None)
+
+    def test_fast_disk_key_tracks_env_and_policy(self, cache_dir,
+                                                 monkeypatch):
+        """Anything that can change the traced program must change the
+        pre-trace key: WHISPER_IPA_TPU_* env vars and the programmatic
+        kernel-policy setters both invalidate."""
+        from whisper_ipa_tpu.models import layers
+
+        params = {"w": jnp.eye(4)}
+        x = jnp.ones((2, 4))
+        y = jnp.zeros((2, 4))
+        aot_cache.set_fast_disk(True)
+        try:
+            aot_call(_toy, params, x, 2, y)
+            aot_cache._fast.clear()
+
+            monkeypatch.setenv("WHISPER_IPA_TPU_TEST_KNOB", "on")
+            aot_call(_toy, params, x, 2, y)
+            st = aot_cache.stats()
+            # env changed -> fast key missed -> exact disk key still hits
+            assert st["fast_disk_hits"] == 0 and st["disk_hits"] == 1
+            monkeypatch.delenv("WHISPER_IPA_TPU_TEST_KNOB")
+
+            aot_cache._fast.clear()
+            layers.use_merged_attention(True)
+            try:
+                aot_call(_toy, params, x, 2, y)
+            finally:
+                layers.use_merged_attention(False)
+            st = aot_cache.stats()
+            assert st["fast_disk_hits"] == 0 and st["disk_hits"] == 2
+            assert st["compiles"] == 1  # never recompiled anything
+        finally:
+            aot_cache.set_fast_disk(None)
+
     def test_decode_through_cache(self, cache_dir):
         """End-to-end: the greedy decode path runs through aot_call."""
         from dataclasses import replace

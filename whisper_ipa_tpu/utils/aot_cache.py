@@ -22,6 +22,12 @@ Usage (opt-in, zero behavior change when disabled):
   StableHLO, and either deserializes the cached executable or compiles
   and persists it. Subsequent calls hit an in-memory fast key, so hot
   loops pay one dict lookup, not a retrace.
+- WHISPER_IPA_TPU_AOT_FAST_DISK=1 (or ``set_fast_disk(True)``): also
+  store executables under a PRE-TRACE key (source hash + fn identity +
+  statics + avals + policy/env fingerprint), so a warm process skips
+  tracing and lowering entirely — the 70-100 s the exact key still
+  costs on this host (docs/PERF.md serve-start table). Opt-in: see the
+  trust contract in ``_fast_disk_key``.
 
 The reference has no equivalent (MLX compiles lazily in-process; startup
 cost is not its bottleneck) — this is TPU-serving infrastructure
@@ -41,14 +47,33 @@ import jax
 
 _lock = threading.Lock()
 _fast: Dict[Tuple, Any] = {}  # fast key -> compiled executable
-_stats = {"fast_hits": 0, "disk_hits": 0, "compiles": 0}
+_stats = {"fast_hits": 0, "disk_hits": 0, "compiles": 0,
+          "fast_disk_hits": 0}
 _cache_dir_override: str | None = None
+_fast_disk_override: bool | None = None
+_src_fingerprint: str | None = None
 
 
 def set_cache_dir(path: str | None) -> None:
     """Programmatic override of WHISPER_IPA_TPU_AOT_CACHE ('' disables)."""
     global _cache_dir_override
     _cache_dir_override = path
+
+
+def set_fast_disk(enabled: bool | None) -> None:
+    """Programmatic override of WHISPER_IPA_TPU_AOT_FAST_DISK.
+
+    None = env var decides (default off). See ``_fast_disk_key`` for the
+    trust contract of this mode.
+    """
+    global _fast_disk_override
+    _fast_disk_override = enabled
+
+
+def fast_disk_enabled() -> bool:
+    if _fast_disk_override is not None:
+        return _fast_disk_override
+    return os.environ.get("WHISPER_IPA_TPU_AOT_FAST_DISK") == "1"
 
 
 def cache_dir() -> str | None:
@@ -125,6 +150,111 @@ def _aval_sig(tree) -> Tuple:
     )
 
 
+def _source_fingerprint() -> str:
+    """Content hash of every .py file in the installed package.
+
+    Any code change anywhere in whisper_ipa_tpu invalidates fast-disk
+    keys (the traced program is a function of the source). Cached per
+    process; the walk reads ~1.5 MB once (~ms).
+    """
+    global _src_fingerprint
+    if _src_fingerprint is None:
+        import whisper_ipa_tpu
+
+        root = os.path.dirname(os.path.abspath(whisper_ipa_tpu.__file__))
+        h = hashlib.sha256()
+        for dirpath, dirnames, filenames in os.walk(root):
+            dirnames.sort()
+            if "__pycache__" in dirpath:
+                continue
+            for fn in sorted(filenames):
+                if not fn.endswith(".py"):
+                    continue
+                p = os.path.join(dirpath, fn)
+                h.update(p[len(root):].encode())
+                with open(p, "rb") as f:
+                    h.update(f.read())
+        _src_fingerprint = h.hexdigest()
+    return _src_fingerprint
+
+
+def _program_fingerprint() -> str:
+    """Everything OUTSIDE the call signature that shapes the traced
+    program: kernel-policy env vars and their programmatic overrides,
+    XLA flags, and the jax config knobs the framework touches."""
+    items = sorted(
+        (k, v)
+        for k, v in os.environ.items()
+        if (
+            k.startswith("WHISPER_IPA_TPU_") or k.startswith("JAX_")
+            or k == "XLA_FLAGS"
+        )
+        # the cache's own location/mode doesn't change any program
+        and k not in ("WHISPER_IPA_TPU_AOT_CACHE",
+                      "WHISPER_IPA_TPU_AOT_FAST_DISK")
+    )
+    try:  # setters bypass the env vars, so read the live policy state
+        from ..models import layers as _l
+        from ..models import whisper as _w
+
+        items.append(("_policy", repr((
+            _l._INT8_ACTIVATIONS, _l._INT4_MATMUL, _l._FUSED_ATTENTION,
+            _l._MERGED_ATTENTION, _l._DECODE_KERNEL, _w._FUSED_KV_INIT,
+        ))))
+    except Exception:
+        items.append(("_policy", "unavailable"))
+    try:
+        items.append(("_jaxcfg", repr((
+            jax.config.jax_enable_x64,
+            jax.config.jax_default_matmul_precision,
+        ))))
+    except Exception:
+        items.append(("_jaxcfg", "unavailable"))
+    return repr(items)
+
+
+def _fast_disk_key(jitted, statics_key, avals) -> str:
+    """Pre-trace disk key (WHISPER_IPA_TPU_AOT_FAST_DISK=1, opt-in).
+
+    The exact key (sha256 of lowered StableHLO) is unforgeable but costs
+    a full trace+lower per program — measured 70-100 s of every warm
+    serve start on the 1-core axon host (docs/PERF.md serve-start
+    table). This key is computed WITHOUT tracing from everything that
+    determines the traced program at the framework's own call sites:
+    package source hash, function identity, static argument reprs,
+    dynamic aval/sharding signature, kernel-policy state, XLA/JAX env,
+    jax version and device kind.
+
+    TRUST CONTRACT: valid iff the jitted function's program is a pure
+    function of (source code, statics, avals, policy/env state) — i.e.
+    it closes over no arrays or mutable globals outside the fingerprint.
+    Every aot_call site in this package satisfies that (weights are
+    arguments everywhere). A wrong-but-signature-compatible hit cannot
+    be detected without lowering, which is exactly the cost this mode
+    removes — hence opt-in, default off.
+    """
+    dev = jax.devices()[0]
+    fn = jitted.__wrapped__ if hasattr(jitted, "__wrapped__") else jitted
+    ident = f"{getattr(fn, '__module__', '?')}.{getattr(fn, '__qualname__', repr(fn))}"
+    blob = repr((
+        jax.__version__, dev.device_kind, _source_fingerprint(), ident,
+        repr(statics_key), repr(avals), _program_fingerprint(),
+    ))
+    return hashlib.sha256(blob.encode()).hexdigest()[:40]
+
+
+def _load_payload(path):
+    from jax.experimental import serialize_executable as se
+
+    with open(path, "rb") as f:
+        payload, in_tree, out_tree, dev_ids = pickle.load(f)
+    by_id = {dv.id: dv for dv in jax.devices()}
+    exec_devs = [by_id[i] for i in dev_ids]
+    return se.deserialize_and_load(
+        payload, in_tree, out_tree, execution_devices=exec_devs
+    )
+
+
 def aot_call(jitted, *args, **kwargs):
     """Drop-in for ``jitted(*args, **kwargs)`` with executable caching."""
     d = cache_dir()
@@ -143,6 +273,33 @@ def aot_call(jitted, *args, **kwargs):
         _stats["fast_hits"] += 1
         return compiled(*pos_dyn, **kw_dyn)
 
+    # fast-disk path (opt-in): skip trace+lower entirely when a stored
+    # executable matches the pre-trace key; any failure falls through to
+    # the exact StableHLO-keyed path below
+    fpath = None
+    if fast_disk_enabled():
+        fkey = _fast_disk_key(
+            jitted, statics_key, _aval_sig((pos_dyn, kw_dyn))
+        )
+        fpath = os.path.join(d, f"fk_{fkey}.jaxexec")
+        if os.path.isfile(fpath):
+            try:
+                compiled = _load_payload(fpath)
+                out = compiled(*pos_dyn, **kw_dyn)
+                _stats["fast_disk_hits"] += 1
+                with _lock:
+                    _fast[fast_key] = compiled
+                return out
+            except Exception as e:
+                import sys
+
+                print(
+                    f"aot_cache: fast-disk executable {fpath} failed "
+                    f"({type(e).__name__}: {e}); falling back to the "
+                    "exact path",
+                    file=sys.stderr,
+                )
+
     # lower in the canonical form; the executable is later re-invoked
     # with the same (positional dynamics, keyword dynamics) split
     lowered = jitted.lower(*pos_dyn, **kw_dyn, **kw_static)
@@ -157,18 +314,10 @@ def aot_call(jitted, *args, **kwargs):
     from_disk = False
     if os.path.isfile(path):
         try:
-            from jax.experimental import serialize_executable as se
-
-            with open(path, "rb") as f:
-                payload, in_tree, out_tree, dev_ids = pickle.load(f)
             # restore onto the SAME devices the executable was built for
             # (deserialize defaults to ALL local devices, which breaks
             # single-device programs on multi-device hosts)
-            by_id = {dv.id: dv for dv in jax.devices()}
-            exec_devs = [by_id[i] for i in dev_ids]
-            compiled = se.deserialize_and_load(
-                payload, in_tree, out_tree, execution_devices=exec_devs
-            )
+            compiled = _load_payload(path)
             _stats["disk_hits"] += 1
             from_disk = True
         except Exception as e:
@@ -233,6 +382,21 @@ def aot_call(jitted, *args, **kwargs):
         _stats["disk_hits"] -= 1
         compiled = _compile_and_persist()
         out = compiled(*pos_dyn, **kw_dyn)
+
+    # mirror the (now call-validated) executable under the pre-trace key
+    # so the NEXT process skips trace+lower for this program
+    if fpath is not None and os.path.isfile(path) and not os.path.exists(
+        fpath
+    ):
+        try:
+            os.link(path, fpath)
+        except OSError:
+            import shutil
+
+            fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+            os.close(fd)
+            shutil.copyfile(path, tmp)
+            os.replace(tmp, fpath)
 
     with _lock:
         _fast[fast_key] = compiled

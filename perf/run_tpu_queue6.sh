@@ -43,9 +43,11 @@ item corpus_tiny_art 7200 \
   python examples/corpus_scale.py --model tiny --steps 4000 \
     --batch-size 32 --bf16 --lr 2e-4 --out "$ART/corpus"
 
-# 2. small: the trained-row flagship (r4 measured PER 6.94 at 6000 steps)
-item corpus_small_art 14400 \
-  python examples/corpus_scale.py --model small --steps 6000 \
+# 2. small: the trained-row flagship (r4 measured PER 6.94 at 6000
+# steps; 9000 here — validation-selected best checkpoint keeps whatever
+# point generalizes best, so extra steps can only help)
+item corpus_small_art 18000 \
+  python examples/corpus_scale.py --model small --steps 9000 \
     --batch-size 16 --bf16 --remat --lr 1e-4 --skip-floor \
     --out "$ART/corpus"
 

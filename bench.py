@@ -581,7 +581,7 @@ def bench_continuous(slots=8, n_requests=32, sample_len=48,
                      steps_per_sync=4, model="small", draft_k=0,
                      checkpoint=None, draft_checkpoint=None,
                      draft="tiny", data_json=None, medusa_weights=None,
-                     medusa_tree=False):
+                     medusa_tree=False, join_fast_sync=True):
     """Continuous-batching engine under staggered load on the real chip.
 
     Submits n_requests with small arrival jitter and reports end-to-end
@@ -634,6 +634,7 @@ def bench_continuous(slots=8, n_requests=32, sample_len=48,
         steps_per_sync=steps_per_sync, language="en", bf16=True,
         draft_k=draft_k, draft_params=draft_params, draft_cfg=draft_cfg,
         medusa_params=medusa_params, medusa_tree=tree, tokenizer=tokenizer,
+        join_fast_sync=join_fast_sync,
     )
     if data_json:
         import json as _json
@@ -842,6 +843,11 @@ def main():
         help="append a trained-checkpoint real-audio measurement to the "
         "default bench when one is discoverable (see discover_trained)",
     )
+    ap.add_argument(
+        "--no-join-fast-sync", dest="join_fast_sync",
+        action="store_false", default=True,
+        help="--continuous: disable the 1-round chunk after a join "
+        "(TTFT fast path); for A/B measurement")
     ap.add_argument(
         "--no-trained-row", dest="trained_row", action="store_false",
     )
@@ -1131,6 +1137,7 @@ def main():
             data_json=args.spec_data,
             medusa_weights=args.medusa_weights,
             medusa_tree=args.medusa_tree,
+            join_fast_sync=args.join_fast_sync,
         )
         print(
             json.dumps(

@@ -80,4 +80,23 @@ item aot_fast_start 2400 \
 item aot_exact_start 2400 \
   bash -c "time env WHISPER_IPA_TPU_NO_QUEUE_WAIT=1 WHISPER_IPA_TPU_AOT_FAST_DISK=0 $BENCH16"
 
+# 8-11. engine TTFT A/B for the join fast-sync path (1-round chunk
+# after a join): plain greedy and medusa-tree, 16 slots, trained small
+# + real held-out audio — compare ttft_p50/p90 and tokens/s vs the
+# fixed-chunk engine the r4 slots sweep measured.
+ENG="python bench.py --continuous --batch 16 --model small \
+  --checkpoint $ART/corpus/run_small/best-checkpoint \
+  --spec-data $ART/corpus/data/test.json"
+item engine_ttft_plain_fast 3600 \
+  env WHISPER_IPA_TPU_NO_QUEUE_WAIT=1 $ENG
+item engine_ttft_plain_fixed 3600 \
+  env WHISPER_IPA_TPU_NO_QUEUE_WAIT=1 $ENG --no-join-fast-sync
+item engine_ttft_tree_fast 3600 \
+  env WHISPER_IPA_TPU_NO_QUEUE_WAIT=1 $ENG \
+    --medusa-weights "$ART/corpus/medusa_small.safetensors" --medusa-tree
+item engine_ttft_tree_fixed 3600 \
+  env WHISPER_IPA_TPU_NO_QUEUE_WAIT=1 $ENG \
+    --medusa-weights "$ART/corpus/medusa_small.safetensors" --medusa-tree \
+    --no-join-fast-sync
+
 echo "== queue 6 complete $(date)"

@@ -117,6 +117,39 @@ def test_more_requests_than_slots(engine, params, tok):
     assert engine.stats()["requests"] >= 5
 
 
+def test_join_fast_sync_ab(params, tok):
+    """The TTFT fast path (1-round chunk after a join) must be token-
+    identical to the fixed-chunk engine and must actually fire."""
+    rng = np.random.default_rng(7)
+    audios = [
+        rng.standard_normal(16000).astype(np.float32) * 0.1
+        for _ in range(3)
+    ]
+    outs = {}
+    for fast in (True, False):
+        eng = ContinuousBatcher(
+            params, CFG, slots=2, max_new_tokens=MAX_NEW,
+            steps_per_sync=2, language="en", tokenizer=tok,
+            join_fast_sync=fast,
+        )
+        try:
+            futs = []
+            for a in audios:
+                futs.append(eng.submit(a))
+                time.sleep(0.02)  # staggered: joins land mid-flight
+            outs[fast] = [f.result(timeout=600)["tokens"] for f in futs]
+            st = eng.stats()
+            if fast:
+                assert st["fast_chunks"] >= 1
+            else:
+                assert st["fast_chunks"] == 0
+        finally:
+            eng.close()
+    assert outs[True] == outs[False]
+    for a, t in zip(audios, outs[True]):
+        assert t == reference_tokens(params, a, tok)
+
+
 def test_token_streaming_callback(engine):
     audio = (
         np.random.default_rng(3).standard_normal(16000).astype(np.float32)

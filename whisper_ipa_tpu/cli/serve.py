@@ -148,6 +148,11 @@ def main(argv=None):
     p.add_argument("--max-new-tokens", type=int, default=128)
     p.add_argument("--steps-per-sync", type=int, default=4)
     p.add_argument(
+        "--no-join-fast-sync", dest="join_fast_sync",
+        action="store_false", default=True,
+        help="disable the 1-round chunk after a join (TTFT fast path)",
+    )
+    p.add_argument(
         "--max-pending", type=int, default=None,
         help="continuous engine: reject (HTTP 503) when this many "
         "requests are already waiting — backpressure over unbounded "
@@ -254,6 +259,7 @@ def main(argv=None):
             slots=args.batch_size,
             max_new_tokens=args.max_new_tokens,
             steps_per_sync=args.steps_per_sync,
+            join_fast_sync=args.join_fast_sync,
             language=args.language,
             bf16=True,
             kv_int8=True,

@@ -728,6 +728,7 @@ class ContinuousBatcher:
         mesh=None,
         tensor_parallel: bool = False,
         max_pending: Optional[int] = None,
+        join_fast_sync: bool = True,
     ):
         """draft_k > 0 turns on in-flight speculation: model-free n-gram
         drafts by default, or a persistent DRAFT MODEL when
@@ -753,7 +754,12 @@ class ContinuousBatcher:
         max_pending: bound on the waiting queue; submit() raises
         EngineOverloaded beyond it (backpressure instead of unbounded
         latency). Per-request deadlines/cancellation: submit(...,
-        deadline_sec=...) and Future.cancel()."""
+        deadline_sec=...) and Future.cancel().
+        join_fast_sync: run a 1-round chunk immediately after a join so
+        the joiner's first tokens reach the host after ONE decode round
+        instead of a full steps_per_sync chunk (TTFT knob; output is
+        token-identical — chunking is host-sync granularity only). Costs
+        one extra host sync per join event; steady state is untouched."""
         if (draft_params is None) != (draft_cfg is None):
             raise ValueError("draft_params and draft_cfg go together")
         if medusa_params is not None and draft_params is not None:
@@ -824,6 +830,7 @@ class ContinuousBatcher:
         self.slots = slots
         self.max_new = max_new_tokens
         self.steps_per_sync = steps_per_sync
+        self.join_fast_sync = join_fast_sync and steps_per_sync > 1
         self.draft_k = draft_k
         self.dtype_name = "bfloat16" if bf16 else "float32"
         self.kv_int8 = kv_int8
@@ -927,7 +934,7 @@ class ContinuousBatcher:
         self._continuations: List[tuple] = []
         self._stop = threading.Event()
         self._stats = {
-            "requests": 0, "joins": 0, "chunks": 0,
+            "requests": 0, "joins": 0, "chunks": 0, "fast_chunks": 0,
             "spec_rounds": 0, "spec_emitted": 0,
             "rejected": 0, "cancelled": 0, "timed_out": 0,
         }
@@ -1272,7 +1279,7 @@ class ContinuousBatcher:
             for item in keep_q:  # FIFO order preserved for the survivors
                 self._queue.put(item)
 
-    def _spec_round(self, active: List[int]):
+    def _spec_round(self, active: List[int], rounds: int):
         """One speculative chunk (draft_k > 0): steps_per_sync
         verification rounds run fully on device (_spec_chunk for n-gram
         drafts, _spec_chunk_model for a persistent draft model), then
@@ -1310,7 +1317,7 @@ class ContinuousBatcher:
                 self.suppress,
                 self.blank,
                 self.eot,
-                self.steps_per_sync,
+                rounds,
                 self.n_prefix,
                 self.max_new,
                 dtype_name=self.dtype_name,
@@ -1338,7 +1345,7 @@ class ContinuousBatcher:
                 self.suppress,
                 self.blank,
                 self.eot,
-                self.steps_per_sync,
+                rounds,
                 K,
                 self.n_prefix,
                 self.max_new,
@@ -1367,7 +1374,7 @@ class ContinuousBatcher:
                 self.suppress,
                 self.blank,
                 self.eot,
-                self.steps_per_sync,
+                rounds,
                 K,
                 self.n_prefix,
                 self.max_new,
@@ -1400,7 +1407,7 @@ class ContinuousBatcher:
                 self.suppress,
                 self.blank,
                 self.eot,
-                self.steps_per_sync,
+                rounds,
                 K,
                 self.n_prefix,
                 self.max_new,
@@ -1474,8 +1481,15 @@ class ContinuousBatcher:
                 time.sleep(0.002)
             return
 
+        # TTFT fast path: a slot just joined, so sync after ONE round —
+        # its first tokens reach the client a full chunk earlier
+        rounds = self.steps_per_sync
+        if self.join_fast_sync and admitted:
+            rounds = 1
+            self._stats["fast_chunks"] += 1
+
         if self.draft_k > 0:
-            self._spec_round(active)
+            self._spec_round(active, rounds)
             return
 
         (
@@ -1495,7 +1509,7 @@ class ContinuousBatcher:
             self.suppress,
             self.blank,
             self.eot,
-            self.steps_per_sync,
+            rounds,
             self.n_prefix,
             self.max_new,
             dtype_name=self.dtype_name,

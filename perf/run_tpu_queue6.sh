@@ -80,6 +80,19 @@ item aot_fast_start 2400 \
 item aot_exact_start 2400 \
   bash -c "time env WHISPER_IPA_TPU_NO_QUEUE_WAIT=1 WHISPER_IPA_TPU_AOT_FAST_DISK=0 $BENCH16"
 
+# 7b. beam-5 vs greedy QUALITY on the trained small checkpoint (the
+# beam path so far has only throughput numbers): held-out corpus test
+# split, 100 samples, same batch — does beam buy PER/PFER on this task?
+item eval_beam_vs_greedy 5400 bash -c "
+  python -m whisper_ipa_tpu.cli.evaluate_model \
+    --checkpoint $ART/corpus/run_small/best-checkpoint --full-checkpoint \
+    --base-model small --skip-base --batch-size 16 --num-samples 100 \
+    --test-data $ART/corpus/data/test.json &&
+  python -m whisper_ipa_tpu.cli.evaluate_model \
+    --checkpoint $ART/corpus/run_small/best-checkpoint --full-checkpoint \
+    --base-model small --skip-base --batch-size 16 --num-samples 100 \
+    --test-data $ART/corpus/data/test.json --beam-size 5"
+
 # 8-11. engine TTFT A/B for the join fast-sync path (1-round chunk
 # after a join): plain greedy and medusa-tree, 16 slots, trained small
 # + real held-out audio — compare ttft_p50/p90 and tokens/s vs the

@@ -147,3 +147,30 @@ class TestConvertWeights:
         import os
 
         assert os.path.isfile(dst)
+
+
+class TestEvaluateModelBeam:
+    def test_beam_eval_plumbs_through(self, tmp_path):
+        """--beam-size reaches DecodingOptions: a tiny in-process eval
+        with beam_size=2 must produce the same metric SURFACE as greedy
+        (both run the full evaluate loop; hypotheses may differ)."""
+        from dataclasses import replace
+
+        from tests.test_dataset import make_synthetic_dataset
+        from whisper_ipa_tpu.cli.evaluate_model import evaluate_model
+        from whisper_ipa_tpu.config import CONFIGS
+        from whisper_ipa_tpu.models import init_params
+
+        cfg = replace(CONFIGS["test-tiny"], n_audio_ctx=32, n_text_ctx=32)
+        params = init_params(cfg, seed=0)
+        data_json = make_synthetic_dataset(str(tmp_path / "ds"), n=2)
+        greedy = evaluate_model(
+            params, cfg, data_json, num_samples=2, batch_size=2
+        )
+        beamed = evaluate_model(
+            params, cfg, data_json, num_samples=2, batch_size=2,
+            beam_size=2,
+        )
+        for r in (greedy, beamed):
+            assert set(r) >= {"per", "pfer"}
+            assert 0.0 <= r["pfer"]

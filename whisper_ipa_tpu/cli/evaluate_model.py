@@ -31,6 +31,7 @@ def evaluate_model(
     batch_size: int = 8,
     language: str = "en",
     data_parallel: bool = False,
+    beam_size: Optional[int] = None,
 ) -> Dict:
     """data_parallel: shard each decode batch over the device mesh 'data'
     axis (params replicated) — evaluation throughput scales with the chip
@@ -59,7 +60,9 @@ def evaluate_model(
     n = len(dataset) if not num_samples else min(num_samples, len(dataset))
     print(f"Evaluating on {n} samples (batch {batch_size})")
 
-    options = DecodingOptions(language=language, without_timestamps=True)
+    options = DecodingOptions(
+        language=language, without_timestamps=True, beam_size=beam_size
+    )
     references: List[str] = []
     hypotheses: List[str] = []
     for start in range(0, n, batch_size):
@@ -160,6 +163,11 @@ def main(argv=None):
     p.add_argument("--skip-base", action="store_true")
     p.add_argument("--n-mels", type=int, default=None, help="(derived from model)")
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument(
+        "--beam-size", type=int, default=None,
+        help="beam-search decoding width (default: greedy) — quality "
+        "A/B vs greedy on the same split",
+    )
     p.add_argument("--weights", type=str, default=None)
     p.add_argument(
         "--data-parallel", action="store_true",
@@ -185,6 +193,7 @@ def main(argv=None):
             model_name="Base Whisper Model",
             batch_size=args.batch_size,
             data_parallel=args.data_parallel,
+            beam_size=args.beam_size,
         )
 
     import os as _os
@@ -210,6 +219,7 @@ def main(argv=None):
         model_name="Trained Checkpoint",
         batch_size=args.batch_size,
         data_parallel=args.data_parallel,
+        beam_size=args.beam_size,
     )
 
     if base_results:

@@ -112,4 +112,13 @@ item engine_ttft_tree_fixed 3600 \
     --medusa-weights "$ART/corpus/medusa_small.safetensors" --medusa-tree \
     --no-join-fast-sync
 
+# 12. medusa-tree at 32 slots (r4 measured tree@16 > plain@32; the
+# tree engine's own scaling point at 32 was never taken)
+item engine_tree32 3600 \
+  env WHISPER_IPA_TPU_NO_QUEUE_WAIT=1 python bench.py --continuous \
+    --batch 32 --model small \
+    --checkpoint "$ART/corpus/run_small/best-checkpoint" \
+    --spec-data "$ART/corpus/data/test.json" \
+    --medusa-weights "$ART/corpus/medusa_small.safetensors" --medusa-tree
+
 echo "== queue 6 complete $(date)"

@@ -1,5 +1,6 @@
 #!/bin/bash
-# Watch for the axon TPU tunnel to come back, then run the r4 queue.
+# Watch for the axon TPU tunnel to come back, then run a queue
+# (QUEUE_SCRIPT env, default perf/run_tpu_queue.sh).
 #
 # Loops a cheap subprocess probe (timeout-bounded, so a wedged relay
 # can't hang us) every PROBE_INTERVAL seconds; on probe success it
@@ -36,7 +37,7 @@ while true; do
   if probe; then
     LAST_UP=$(date +%s)
     echo "== tunnel UP $(date) — running queue"
-    bash perf/run_tpu_queue.sh 2>&1 | tee /tmp/queue_run.log
+    bash "${QUEUE_SCRIPT:-perf/run_tpu_queue.sh}" 2>&1 | tee /tmp/queue_run.log
     LAST_UP=$(date +%s)
     # classify the pass
     bad=0 retried=0

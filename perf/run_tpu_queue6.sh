@@ -16,6 +16,10 @@ mkdir -p "$MARK"
 IDX=-1
 ART=/root/repo/artifacts
 mkdir -p "$ART"
+# every item shares the serialized-executable cache bench.py defaults
+# to, so repeated decode/validate programs compile ONCE per shape
+export WHISPER_IPA_TPU_AOT_CACHE="$ART/aotcache"
+export WHISPER_IPA_TPU_AOT_FAST_DISK=1
 
 source perf/probe_device.sh
 

@@ -96,6 +96,14 @@ def make_handler(service):
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="IPA transcription server")
+    p.add_argument(
+        "--no-aot-cache", dest="aot_cache", action="store_false",
+        default=True,
+        help="disable the default persistent executable cache "
+        "(~/.cache/whisper_ipa_tpu/aotcache): warm serve starts "
+        "deserialize compiled TPU programs instead of recompiling "
+        "(minutes -> seconds; docs/PERF.md serve-start table)",
+    )
     p.add_argument("--model", default="small")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--weights", default=None)
@@ -177,6 +185,16 @@ def main(argv=None):
 
     add_overlay_flags(p)
     args = p.parse_args(argv)
+
+    import os as _os
+
+    if args.aot_cache and not _os.environ.get("WHISPER_IPA_TPU_AOT_CACHE"):
+        _os.environ["WHISPER_IPA_TPU_AOT_CACHE"] = _os.path.expanduser(
+            "~/.cache/whisper_ipa_tpu/aotcache"
+        )
+        # pre-trace keys skip warm-start tracing too; every serve call
+        # site passes weights as jit arguments (utils/aot_cache contract)
+        _os.environ.setdefault("WHISPER_IPA_TPU_AOT_FAST_DISK", "1")
 
     from ..config import get_config
     from ..models import load_checkpoint_auto

@@ -10,15 +10,24 @@ import jax
 import jax.numpy as jnp
 
 from whisper_ipa_tpu.utils import aot_cache
-from whisper_ipa_tpu.utils.aot_cache import aot_call
+from whisper_ipa_tpu.utils.aot_cache import aot_call, fast_disk_vetted
 
 
+@fast_disk_vetted
 @partial(jax.jit, static_argnames=("n", "flag"))
 def _toy(params, x, n, y, flag=False):
     out = x @ params["w"] + y
     for _ in range(n):
         out = jnp.tanh(out)
     return out * (2.0 if flag else 1.0)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _toy_unvetted(params, x, n, y):
+    out = x @ params["w"] + y
+    for _ in range(n):
+        out = jnp.tanh(out)
+    return out
 
 
 @pytest.fixture
@@ -156,6 +165,53 @@ class TestAotCall:
             st = aot_cache.stats()
             assert st["fast_disk_hits"] == 1
             assert st["compiles"] == 1 and st["disk_hits"] == 0
+        finally:
+            aot_cache.set_fast_disk(None)
+
+    def test_fast_disk_requires_vetting(self, cache_dir):
+        """An UNVETTED jitted function never uses the pre-trace path even
+        with fast-disk globally enabled: no fk_ files, no fast_disk_hits
+        — the allowlist keeps a future closure-capturing call site from
+        being served a stale signature-compatible executable (ADVICE r4)."""
+        params = {"w": jnp.eye(4)}
+        x = jnp.ones((2, 4))
+        y = jnp.zeros((2, 4))
+        aot_cache.set_fast_disk(True)
+        try:
+            ref = _toy_unvetted(params, x, 2, y)
+            out1 = aot_call(_toy_unvetted, params, x, 2, y)
+            np.testing.assert_allclose(out1, ref, rtol=1e-6)
+            files = sorted(os.listdir(cache_dir))
+            assert not any(f.startswith("fk_") for f in files)
+
+            aot_cache._fast.clear()  # fresh-process simulation
+            out2 = aot_call(_toy_unvetted, params, x, 2, y)
+            np.testing.assert_allclose(out2, ref, rtol=1e-6)
+            st = aot_cache.stats()
+            assert st["fast_disk_hits"] == 0
+            assert st["disk_hits"] == 1 and st["compiles"] == 1
+        finally:
+            aot_cache.set_fast_disk(None)
+
+    def test_fast_disk_non_program_env_transfers(self, cache_dir,
+                                                 monkeypatch):
+        """Pre-trace keys warmed under driver/bench control env vars
+        (e.g. WHISPER_IPA_TPU_NO_QUEUE_WAIT=1, set by the measurement
+        queue) must HIT in a process without them — those vars shape no
+        traced program (ADVICE r4)."""
+        params = {"w": jnp.eye(4)}
+        x = jnp.ones((2, 4))
+        y = jnp.zeros((2, 4))
+        aot_cache.set_fast_disk(True)
+        try:
+            monkeypatch.setenv("WHISPER_IPA_TPU_NO_QUEUE_WAIT", "1")
+            aot_call(_toy, params, x, 2, y)  # warm under the queue env
+            monkeypatch.delenv("WHISPER_IPA_TPU_NO_QUEUE_WAIT")
+
+            aot_cache._fast.clear()  # fresh serve-process simulation
+            aot_call(_toy, params, x, 2, y)
+            st = aot_cache.stats()
+            assert st["fast_disk_hits"] == 1 and st["compiles"] == 1
         finally:
             aot_cache.set_fast_disk(None)
 

@@ -150,6 +150,27 @@ def test_join_fast_sync_ab(params, tok):
         assert t == reference_tokens(params, a, tok)
 
 
+def test_prewarm_engine_matches_and_resets_stats(params, tok):
+    """prewarm=True compiles every chunk variant (steps_per_sync AND the
+    join_fast_sync rounds=1 program) in __init__ — the first request then
+    decodes identically with zero phantom chunks in the stats."""
+    audio = (
+        np.random.default_rng(11).standard_normal(16000).astype(np.float32)
+        * 0.1
+    )
+    eng = ContinuousBatcher(
+        params, CFG, slots=2, max_new_tokens=MAX_NEW,
+        steps_per_sync=2, language="en", tokenizer=tok, prewarm=True,
+    )
+    try:
+        st0 = eng.stats()
+        assert st0["chunks"] == 0 and st0["fast_chunks"] == 0
+        out = eng.transcribe(audio, timeout=600)
+        assert out["tokens"] == reference_tokens(params, audio, tok)
+    finally:
+        eng.close()
+
+
 def test_token_streaming_callback(engine):
     audio = (
         np.random.default_rng(3).standard_normal(16000).astype(np.float32)

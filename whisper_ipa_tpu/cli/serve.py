@@ -192,8 +192,11 @@ def main(argv=None):
         _os.environ["WHISPER_IPA_TPU_AOT_CACHE"] = _os.path.expanduser(
             "~/.cache/whisper_ipa_tpu/aotcache"
         )
-        # pre-trace keys skip warm-start tracing too; every serve call
-        # site passes weights as jit arguments (utils/aot_cache contract)
+        # pre-trace keys skip warm-start tracing too; safe to default on
+        # because the fast-disk path only engages for jitted programs
+        # explicitly vetted with aot_cache.fast_disk_vetted (per-function
+        # allowlist asserting the closure-purity contract) — unvetted
+        # call sites keep the exact StableHLO key regardless of this var
         _os.environ.setdefault("WHISPER_IPA_TPU_AOT_FAST_DISK", "1")
 
     from ..config import get_config
@@ -293,6 +296,10 @@ def main(argv=None):
             mesh=mesh,
             tensor_parallel=args.tp > 1,
             max_pending=args.max_pending,
+            # long-lived server: compile every chunk variant up front
+            # (incl. the join_fast_sync rounds=1 program) so no request
+            # ever pays a compile (ADVICE r4)
+            prewarm=args.warmup,
         )
     else:
         service = TranscriptionService(

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import WhisperConfig
-from ..utils.aot_cache import aot_call
+from ..utils.aot_cache import aot_call, fast_disk_vetted
 from ..models.whisper import DecoderCache, decode_step, init_cache
 from .decoding import (
     DecodingOptions,
@@ -70,6 +70,7 @@ def _merge_pool(n_pool, pool_sc, pool_sm, pool_ln, pool_tk,
     return best_sc, sm, ln.astype(jnp.int32), tk.astype(jnp.int32)
 
 
+@fast_disk_vetted
 @partial(
     jax.jit,
     static_argnames=(
@@ -355,6 +356,7 @@ def _beam_decode_jit(
     )
 
 
+@fast_disk_vetted
 @partial(
     jax.jit,
     static_argnames=(

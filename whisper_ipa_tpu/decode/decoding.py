@@ -28,7 +28,7 @@ from ..models.whisper import (
     init_cache,
 )
 from ..tokenizer import WhisperTokenizer, get_tokenizer
-from ..utils.aot_cache import aot_call
+from ..utils.aot_cache import aot_call, fast_disk_vetted
 from ..tokenizer.whisper_tokenizer import N_TIMESTAMPS
 
 
@@ -72,9 +72,11 @@ class DecodingResult:
     language: Optional[str] = None
 
 
-_encode_jit = jax.jit(encode, static_argnames=("cfg", "dtype"))
+_encode_jit = fast_disk_vetted(
+    jax.jit(encode, static_argnames=("cfg", "dtype")))
 
 
+@fast_disk_vetted
 @partial(jax.jit, static_argnames=("cfg", "sot"))
 def _language_logits_jit(params, cfg: WhisperConfig, audio_features, sot: int):
     """Logits after a single SOT step (language-identification forward)."""
@@ -287,6 +289,7 @@ def apply_timestamp_rules(
 
 # -- jitted greedy/sampling loop ------------------------------------------
 
+@fast_disk_vetted
 @partial(
     jax.jit,
     static_argnames=(

@@ -46,7 +46,7 @@ import numpy as np
 from ..config import WhisperConfig
 from ..models.whisper import decode_step_block, init_cache
 from ..tokenizer import WhisperTokenizer, get_tokenizer
-from ..utils.aot_cache import aot_call
+from ..utils.aot_cache import aot_call, fast_disk_vetted
 from .decoding import (
     DecodingOptions,
     DecodingResult,
@@ -265,6 +265,7 @@ def tree_round(
     return cache, emit, emit_lp, sel, m, hidden
 
 
+@fast_disk_vetted
 @partial(
     jax.jit,
     static_argnames=(

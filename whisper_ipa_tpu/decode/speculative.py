@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import WhisperConfig
-from ..utils.aot_cache import aot_call
+from ..utils.aot_cache import aot_call, fast_disk_vetted
 from ..models.whisper import (
     cast_decoder_blocks,
     decode_step,
@@ -125,6 +125,7 @@ def _ngram_drafts(tokens_buf, lens, K: int):
     return jnp.where(found[:, None], drafts, last1)  # (B, K)
 
 
+@fast_disk_vetted
 @partial(
     jax.jit,
     static_argnames=(

@@ -61,14 +61,16 @@ from .models.whisper import (
     init_cache,
 )
 from .tokenizer import WhisperTokenizer, get_tokenizer
-from .utils.aot_cache import aot_call
+from .utils.aot_cache import aot_call, fast_disk_vetted
 
 
+@fast_disk_vetted
 @partial(jax.jit, static_argnames=("cfg", "dtype_name"))
 def _encode_one(params, cfg: WhisperConfig, mel, dtype_name="float32"):
     return encode(params, cfg, mel, dtype=jnp.dtype(dtype_name))
 
 
+@fast_disk_vetted
 @partial(jax.jit, static_argnames=("cfg", "dtype_name", "cross_kv_int8"))
 def _cross_kv_one(params, cfg: WhisperConfig, features, n_ctx: int = 8,
                   dtype_name="float32", cross_kv_int8=False):
@@ -79,6 +81,7 @@ def _cross_kv_one(params, cfg: WhisperConfig, features, n_ctx: int = 8,
     )
 
 
+@fast_disk_vetted
 @partial(jax.jit, donate_argnames=("cache",))
 def _scatter_slot(cache: DecoderCache, one: DecoderCache, slot):
     """Install one request's cross-K/V into batch slot `slot`."""
@@ -98,6 +101,7 @@ def _scatter_slot(cache: DecoderCache, one: DecoderCache, slot):
     )
 
 
+@fast_disk_vetted
 @partial(
     jax.jit, static_argnames=("cfg", "dtype_name"),
     donate_argnames=("cache",),
@@ -117,6 +121,7 @@ def _join_step(
     return cache
 
 
+@fast_disk_vetted
 @partial(
     jax.jit, static_argnames=("cfg", "dtype_name"),
     donate_argnames=("cache",),
@@ -146,6 +151,7 @@ def _join_step_hidden(
     return cache, hidden[:, tokens.shape[1] - 2]
 
 
+@fast_disk_vetted
 @partial(
     jax.jit, static_argnames=("cfg", "dtype_name"),
     donate_argnames=("cache",),
@@ -192,6 +198,7 @@ def _join_step_tree(
     return cache, hf
 
 
+@fast_disk_vetted
 @partial(
     jax.jit,
     static_argnames=("cfg", "n_steps", "n_prefix", "max_new", "dtype_name"),
@@ -247,6 +254,7 @@ def _decode_chunk(
     return cache, last_tok, lens, finished, toks
 
 
+@fast_disk_vetted
 @partial(
     jax.jit,
     static_argnames=(
@@ -346,6 +354,7 @@ def _spec_chunk(
     return cache, last_tok, lens, finished, emits, vs
 
 
+@fast_disk_vetted
 @partial(
     jax.jit,
     static_argnames=(
@@ -458,6 +467,7 @@ def _spec_chunk_model(
     return cache, draft_cache, last_tok, lens, finished, emits, vs
 
 
+@fast_disk_vetted
 @partial(
     jax.jit,
     static_argnames=(
@@ -560,6 +570,7 @@ def _spec_chunk_medusa(
     return cache, hidden_frontier, last_tok, lens, finished, emits, vs
 
 
+@fast_disk_vetted
 @partial(
     jax.jit,
     static_argnames=(
@@ -729,6 +740,7 @@ class ContinuousBatcher:
         tensor_parallel: bool = False,
         max_pending: Optional[int] = None,
         join_fast_sync: bool = True,
+        prewarm: bool = False,
     ):
         """draft_k > 0 turns on in-flight speculation: model-free n-gram
         drafts by default, or a persistent DRAFT MODEL when
@@ -759,7 +771,17 @@ class ContinuousBatcher:
         the joiner's first tokens reach the host after ONE decode round
         instead of a full steps_per_sync chunk (TTFT knob; output is
         token-identical — chunking is host-sync granularity only). Costs
-        one extra host sync per join event; steady state is untouched."""
+        one extra host sync per join event, and under SUSTAINED
+        staggered arrivals (a join in nearly every chunk) the engine
+        degrades toward per-round syncs — steady state is only untouched
+        while joins are sparse relative to steps_per_sync. The rounds=1
+        program is a second static variant: without prewarm, the FIRST
+        join pays its compile (mitigated by the AOT executable cache).
+        prewarm: compile (or AOT-cache-load) every chunk-program variant
+        in __init__ — both rounds=steps_per_sync and, with
+        join_fast_sync, rounds=1 — so no request ever pays a compile.
+        Off by default: tests and short-lived engines shouldn't pay
+        multi-program compiles up front; the serve CLI turns it on."""
         if (draft_params is None) != (draft_cfg is None):
             raise ValueError("draft_params and draft_cfg go together")
         if medusa_params is not None and draft_params is not None:
@@ -938,6 +960,8 @@ class ContinuousBatcher:
             "spec_rounds": 0, "spec_emitted": 0,
             "rejected": 0, "cancelled": 0, "timed_out": 0,
         }
+        if prewarm:
+            self._prewarm()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -1278,6 +1302,47 @@ class ContinuousBatcher:
                     keep_q.append((s, audio))
             for item in keep_q:  # FIFO order preserved for the survivors
                 self._queue.put(item)
+
+    def _prewarm(self):
+        """Compile (or AOT-cache-load) every chunk-program variant before
+        serving: the rounds=steps_per_sync steady-state program and, when
+        join_fast_sync is on, the rounds=1 variant — otherwise the FIRST
+        join pays a full compile at the worst possible moment (TTFT).
+        All slots start finished=True, so each call is a device no-op:
+        lens freeze, token buffers emit -1, and the engine state it
+        returns is value-identical. Runs in __init__ (single-threaded);
+        stats are reset afterwards so the warmup chunks don't count."""
+        variants = [self.steps_per_sync]
+        if self.join_fast_sync and 1 not in variants:
+            variants.append(1)
+        for rounds in variants:
+            if self.draft_k > 0:
+                self._spec_round([], rounds)
+            else:
+                (
+                    self.cache,
+                    self.last_tok,
+                    self.lens,
+                    self.finished,
+                    _,
+                ) = aot_call(
+                    _decode_chunk,
+                    self.params,
+                    self.cfg,
+                    self.cache,
+                    self.last_tok,
+                    self.lens,
+                    self.finished,
+                    self.suppress,
+                    self.blank,
+                    self.eot,
+                    rounds,
+                    self.n_prefix,
+                    self.max_new,
+                    dtype_name=self.dtype_name,
+                )
+        for k in ("chunks", "fast_chunks", "spec_rounds", "spec_emitted"):
+            self._stats[k] = 0
 
     def _spec_round(self, active: List[int], rounds: int):
         """One speculative chunk (draft_k > 0): steps_per_sync

@@ -26,8 +26,14 @@ Usage (opt-in, zero behavior change when disabled):
   store executables under a PRE-TRACE key (source hash + fn identity +
   statics + avals + policy/env fingerprint), so a warm process skips
   tracing and lowering entirely — the 70-100 s the exact key still
-  costs on this host (docs/PERF.md serve-start table). Opt-in: see the
-  trust contract in ``_fast_disk_key``.
+  costs on this host (docs/PERF.md serve-start table). The pre-trace
+  path only ever engages for jitted programs explicitly vetted with
+  ``fast_disk_vetted(jitted)`` — a per-function allowlist asserting the
+  trust contract in ``_fast_disk_key`` (the program closes over no
+  arrays or unfingerprinted globals). Unvetted functions silently use
+  the exact StableHLO-keyed path even with the env var set, so turning
+  the knob on globally (serve CLI, bench.py) cannot serve a stale
+  executable for a future call site that breaks the contract.
 
 The reference has no equivalent (MLX compiles lazily in-process; startup
 cost is not its bottleneck) — this is TPU-serving infrastructure
@@ -74,6 +80,25 @@ def fast_disk_enabled() -> bool:
     if _fast_disk_override is not None:
         return _fast_disk_override
     return os.environ.get("WHISPER_IPA_TPU_AOT_FAST_DISK") == "1"
+
+
+def fast_disk_vetted(jitted):
+    """Mark a jitted program as satisfying the fast-disk trust contract.
+
+    Apply at the jit-creation site — where closure capture is visible —
+    after checking the traced program is a pure function of
+    (package source, static args, dynamic avals, policy/env state): no
+    closed-over arrays, no module-level knobs missing from
+    ``_program_fingerprint``. Only vetted programs use the pre-trace
+    disk key; everything else falls back to the exact StableHLO key.
+    Returns ``jitted`` so it composes as a wrapper.
+    """
+    jitted._whisper_fast_disk_ok = True
+    return jitted
+
+
+def _is_fast_disk_vetted(jitted) -> bool:
+    return bool(getattr(jitted, "_whisper_fast_disk_ok", False))
 
 
 def cache_dir() -> str | None:
@@ -178,6 +203,28 @@ def _source_fingerprint() -> str:
     return _src_fingerprint
 
 
+# Env vars that never shape a traced program: the cache's own knobs,
+# bench/driver process control, and host-side data-file paths (weights
+# and data arrive as jit ARGUMENTS, so the aval signature already keys
+# them; panphon/kanji/native-lib feed host-only code). Keeping these out
+# of the fingerprint lets pre-trace keys warmed by the measurement queue
+# (which sets NO_QUEUE_WAIT=1) hit in a serve process that doesn't.
+_NON_PROGRAM_ENV = frozenset((
+    "WHISPER_IPA_TPU_AOT_CACHE",
+    "WHISPER_IPA_TPU_AOT_FAST_DISK",
+    "WHISPER_IPA_TPU_NO_QUEUE_WAIT",
+    "WHISPER_IPA_TPU_BENCH_NO_CPU_FALLBACK",
+    "WHISPER_IPA_TPU_SKIP_PROBE",
+    "WHISPER_IPA_TPU_BENCH_CKPT",
+    "WHISPER_IPA_TPU_BENCH_DATA",
+    "WHISPER_IPA_TPU_WEIGHTS_DIR",
+    "WHISPER_IPA_TPU_PANPHON_CSV",
+    "WHISPER_IPA_TPU_KANJI_DICT",
+    "WHISPER_IPA_TPU_NATIVE_LIB",
+    "WHISPER_IPA_TPU_DRYRUN_REAL",
+))
+
+
 def _program_fingerprint() -> str:
     """Everything OUTSIDE the call signature that shapes the traced
     program: kernel-policy env vars and their programmatic overrides,
@@ -189,9 +236,7 @@ def _program_fingerprint() -> str:
             k.startswith("WHISPER_IPA_TPU_") or k.startswith("JAX_")
             or k == "XLA_FLAGS"
         )
-        # the cache's own location/mode doesn't change any program
-        and k not in ("WHISPER_IPA_TPU_AOT_CACHE",
-                      "WHISPER_IPA_TPU_AOT_FAST_DISK")
+        and k not in _NON_PROGRAM_ENV
     )
     try:  # setters bypass the env vars, so read the live policy state
         from ..models import layers as _l
@@ -231,13 +276,27 @@ def _fast_disk_key(jitted, statics_key, avals) -> str:
     Every aot_call site in this package satisfies that (weights are
     arguments everywhere). A wrong-but-signature-compatible hit cannot
     be detected without lowering, which is exactly the cost this mode
-    removes — hence opt-in, default off.
+    removes — hence the double gate: the env knob/setter AND a
+    per-function ``fast_disk_vetted`` allowlist entry, asserted at the
+    jit-creation site where closure capture is visible.
     """
     dev = jax.devices()[0]
     fn = jitted.__wrapped__ if hasattr(jitted, "__wrapped__") else jitted
     ident = f"{getattr(fn, '__module__', '?')}.{getattr(fn, '__qualname__', repr(fn))}"
+    # jaxlib/libtpu can change compiled code while jax.__version__ stays
+    # put, and this key never sees the StableHLO — fingerprint the whole
+    # runtime stack, not just the jax front-end
+    try:
+        jaxlib_ver = jax.lib.__version__
+    except Exception:
+        jaxlib_ver = "?"
+    runtime_env = sorted(
+        (k, v) for k, v in os.environ.items()
+        if k.startswith("TPU_") or k == "LIBTPU_INIT_ARGS"
+    )
     blob = repr((
-        jax.__version__, dev.device_kind, _source_fingerprint(), ident,
+        jax.__version__, jaxlib_ver, runtime_env, dev.device_kind,
+        _source_fingerprint(), ident,
         repr(statics_key), repr(avals), _program_fingerprint(),
     ))
     return hashlib.sha256(blob.encode()).hexdigest()[:40]
@@ -273,32 +332,56 @@ def aot_call(jitted, *args, **kwargs):
         _stats["fast_hits"] += 1
         return compiled(*pos_dyn, **kw_dyn)
 
-    # fast-disk path (opt-in): skip trace+lower entirely when a stored
-    # executable matches the pre-trace key; any failure falls through to
-    # the exact StableHLO-keyed path below
+    # fast-disk path (opt-in + per-function vetting): skip trace+lower
+    # entirely when a stored executable matches the pre-trace key. Load
+    # failures fall through to the exact StableHLO-keyed path; CALL
+    # failures of a donated-argument program must NOT fall through — the
+    # failed call may already have donated/deleted its input buffers and
+    # a silent retry would crash later with a confusing buffer-deleted
+    # error (ADVICE r4).
     fpath = None
-    if fast_disk_enabled():
+    if fast_disk_enabled() and _is_fast_disk_vetted(jitted):
         fkey = _fast_disk_key(
             jitted, statics_key, _aval_sig((pos_dyn, kw_dyn))
         )
         fpath = os.path.join(d, f"fk_{fkey}.jaxexec")
         if os.path.isfile(fpath):
+            compiled = None
             try:
                 compiled = _load_payload(fpath)
-                out = compiled(*pos_dyn, **kw_dyn)
-                _stats["fast_disk_hits"] += 1
-                with _lock:
-                    _fast[fast_key] = compiled
-                return out
             except Exception as e:
                 import sys
 
                 print(
-                    f"aot_cache: fast-disk executable {fpath} failed "
-                    f"({type(e).__name__}: {e}); falling back to the "
-                    "exact path",
+                    f"aot_cache: fast-disk executable {fpath} failed to "
+                    f"load ({type(e).__name__}: {e}); falling back to "
+                    "the exact path",
                     file=sys.stderr,
                 )
+            if compiled is not None:
+                try:
+                    out = compiled(*pos_dyn, **kw_dyn)
+                except Exception as e:
+                    info = getattr(jitted, "_jit_info", None)
+                    donates = bool(
+                        getattr(info, "donate_argnums", ())
+                        or getattr(info, "donate_argnames", ())
+                    )
+                    if donates:
+                        raise  # inputs may be gone; a retry is unsafe
+                    import sys
+
+                    print(
+                        f"aot_cache: fast-disk executable call failed "
+                        f"({type(e).__name__}: {e}); falling back to "
+                        "the exact path",
+                        file=sys.stderr,
+                    )
+                else:
+                    _stats["fast_disk_hits"] += 1
+                    with _lock:
+                        _fast[fast_key] = compiled
+                    return out
 
     # lower in the canonical form; the executable is later re-invoked
     # with the same (positional dynamics, keyword dynamics) split
@@ -367,6 +450,11 @@ def aot_call(jitted, *args, **kwargs):
     except Exception as e:
         if not from_disk:
             raise
+        info = getattr(jitted, "_jit_info", None)
+        if getattr(info, "donate_argnums", ()) or getattr(
+            info, "donate_argnames", ()
+        ):
+            raise  # donated inputs may be gone; a retry is unsafe
         # loaded executable rejected the call (device/layout mismatch
         # across environments): recompile rather than fail the request.
         # A GENUINE runtime failure (e.g. OOM) will re-raise from the

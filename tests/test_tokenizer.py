@@ -261,3 +261,79 @@ class TestGoldenSpecialTokenTable:
         assert t.timestamp_begin == 50365
         assert t.special_tokens["<|30.00|>"] == 50365 + 1500
         assert t.n_vocab == 51866
+
+
+class TestVocabProvenanceGuard:
+    """A byte-fallback-trained checkpoint must not silently decode
+    through real tiktoken ranks (or vice versa) — the text-token ids
+    differ even though the special-token layout matches (VERDICT r4 #8;
+    ref id contract WHISPER_IPA_RESEARCH_STANDALONE.md:316-350)."""
+
+    def _make_checkpoint(self, tmp_path, params, provenance):
+        import json
+
+        from whisper_ipa_tpu.train.checkpoints import save_safetensors
+
+        d = tmp_path / "checkpoint-1"
+        d.mkdir()
+        save_safetensors(str(d / "model.safetensors"), params)
+        (d / "training_state.json").write_text(
+            json.dumps({"step": 1, "vocab_provenance": provenance})
+        )
+        return str(d)
+
+    def test_mismatch_refuses_on_load(self, tmp_path, monkeypatch):
+        import pytest
+
+        from dataclasses import replace
+
+        from whisper_ipa_tpu.config import CONFIGS
+        from whisper_ipa_tpu.models import init_params, load_checkpoint_model
+        from whisper_ipa_tpu.tokenizer import get_tokenizer
+
+        monkeypatch.delenv("WHISPER_IPA_TPU_ALLOW_VOCAB_MISMATCH",
+                           raising=False)
+        cfg = replace(CONFIGS["test-tiny"], n_audio_ctx=32, n_text_ctx=32)
+        params = init_params(cfg, seed=0)
+        active = get_tokenizer(multilingual=True).provenance
+        assert active != "tiktoken:feedface"
+        ckpt = self._make_checkpoint(tmp_path, params, "tiktoken:feedface")
+        with pytest.raises(ValueError, match="vocabulary"):
+            load_checkpoint_model(ckpt, params, full=True)
+
+    def test_match_and_unstamped_load(self, tmp_path):
+        from dataclasses import replace
+
+        from whisper_ipa_tpu.config import CONFIGS
+        from whisper_ipa_tpu.models import init_params, load_checkpoint_model
+        from whisper_ipa_tpu.tokenizer import get_tokenizer
+
+        cfg = replace(CONFIGS["test-tiny"], n_audio_ctx=32, n_text_ctx=32)
+        params = init_params(cfg, seed=0)
+        active = get_tokenizer(multilingual=True).provenance
+        ckpt = self._make_checkpoint(tmp_path, params, active)
+        _, n = load_checkpoint_model(ckpt, params, full=True)
+        assert n > 0
+        # unstamped (legacy) checkpoints pass silently
+        import os
+
+        os.remove(os.path.join(ckpt, "training_state.json"))
+        _, n = load_checkpoint_model(ckpt, params, full=True)
+        assert n > 0
+
+    def test_env_override_warns_and_loads(self, tmp_path, monkeypatch,
+                                          capsys):
+        from dataclasses import replace
+
+        from whisper_ipa_tpu.config import CONFIGS
+        from whisper_ipa_tpu.models import convert
+        from whisper_ipa_tpu.models import init_params, load_checkpoint_model
+
+        monkeypatch.setenv("WHISPER_IPA_TPU_ALLOW_VOCAB_MISMATCH", "1")
+        monkeypatch.setattr(convert, "_vocab_mismatch_warned", False)
+        cfg = replace(CONFIGS["test-tiny"], n_audio_ctx=32, n_text_ctx=32)
+        params = init_params(cfg, seed=0)
+        ckpt = self._make_checkpoint(tmp_path, params, "tiktoken:feedface")
+        _, n = load_checkpoint_model(ckpt, params, full=True)
+        assert n > 0
+        assert "incompatible" in capsys.readouterr().err

@@ -345,6 +345,63 @@ def load_checkpoint_auto(
     return load_checkpoint_model(checkpoint_path, base_params, full=full)
 
 
+_vocab_mismatch_warned = False
+
+
+def _guard_vocab_provenance(checkpoint_dir: str) -> None:
+    """Refuse to DECODE a checkpoint through a different vocabulary.
+
+    Every inference path (transcribe/serve/evaluate/bench) loads weights
+    through load_checkpoint_model, so this is the chokepoint where a
+    byte-fallback-trained checkpoint meeting real tiktoken ranks (or
+    vice versa) is caught before it decodes garbage: text-token ids
+    differ even though the special-token layout matches
+    (docs/PARITY.md deviation 2). Mirrors the training-resume guard
+    (train/checkpoints.py check_vocab_provenance — ref contract:
+    reference WHISPER_IPA_RESEARCH_STANDALONE.md:316-350 id table).
+    Unstamped checkpoints (no training_state.json / pre-stamp runs)
+    pass silently. WHISPER_IPA_TPU_ALLOW_VOCAB_MISMATCH=1 downgrades
+    the error to one loud warning per process.
+    """
+    import json as _json
+    import os
+
+    meta_path = os.path.join(checkpoint_dir, "training_state.json")
+    if not os.path.isfile(meta_path):
+        return
+    try:
+        with open(meta_path) as f:
+            stamped = _json.load(f).get("vocab_provenance")
+    except Exception:
+        return
+    if stamped is None:
+        return
+    from ..tokenizer import get_tokenizer
+
+    current = getattr(
+        get_tokenizer(multilingual=True), "provenance", None
+    )
+    if current is None or stamped == current:
+        return
+    msg = (
+        f"checkpoint {checkpoint_dir} was trained with vocabulary "
+        f"{stamped!r} but the active tokenizer is {current!r}; text "
+        "token ids are incompatible and decoded output would be "
+        "garbage. Point WHISPER_IPA_TPU_TIKTOKEN at the matching rank "
+        "file, or set WHISPER_IPA_TPU_ALLOW_VOCAB_MISMATCH=1 to "
+        "override."
+    )
+    if os.environ.get("WHISPER_IPA_TPU_ALLOW_VOCAB_MISMATCH") == "1":
+        global _vocab_mismatch_warned
+        if not _vocab_mismatch_warned:
+            import sys
+
+            print(f"WARNING: {msg}", file=sys.stderr)
+            _vocab_mismatch_warned = True
+        return
+    raise ValueError(msg)
+
+
 def load_checkpoint_model(
     checkpoint_path: str, base_params: Params, full: bool = False
 ) -> Tuple[Params, int]:
@@ -360,6 +417,7 @@ def load_checkpoint_model(
     weights_path = checkpoint_path
     if os.path.isdir(checkpoint_path):
         weights_path = os.path.join(checkpoint_path, "model.safetensors")
+    _guard_vocab_provenance(os.path.dirname(os.path.abspath(weights_path)))
     flat = load_safetensors_flat(weights_path)
     if not full:
         return overlay_decoder_weights(base_params, flat)

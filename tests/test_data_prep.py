@@ -127,13 +127,17 @@ class TestG2P:
         assert text_to_ipa("qattus", "mt") == "ʔatːus"  # geminate tt
 
     def test_japanese_kana(self):
-        # corpus conventions: centralized ä, lowered o̞, ん assimilation
+        # corpus conventions (measured against the reference CV ja IPA):
+        # centralized ä, lowered o̞, C+j palatalization, oɯ -> o̞ː,
+        # gemination as onset+ː, ん stays n before labials (np/nb in the
+        # corpus, not mp/mb)
         assert text_to_ipa("ねこ", "ja") == "ne̞ko̞"
-        assert text_to_ipa("きょう", "ja") == "kʲo̞ɯ"
-        # sokuon geminates next consonant
-        out = text_to_ipa("がっこう", "ja")
-        assert "kk" in out
-        assert text_to_ipa("しんぶん", "ja") == "ɕimbɯɴ"  # m before b
+        assert text_to_ipa("きょう", "ja") == "kjo̞ː"
+        assert text_to_ipa("がっこう", "ja") == "ɡäkːo̞ː"
+        assert text_to_ipa("しんぶん", "ja") == "ɕinbɯɴ"
+        # topic-particle heuristic: これは -> wä, はやく stays hä
+        assert text_to_ipa("これは", "ja").endswith("wä")
+        assert text_to_ipa("はやく", "ja").startswith("hä")
 
     def test_japanese_uncovered_kanji_skipped(self):
         # 日本 is now in the built-in reading table; an uncovered rare
@@ -390,3 +394,48 @@ class TestKanjiG2P:
         # clean up the injected entry for other tests
         jm.KANJI_READINGS.pop("薔薇", None)
         jm._kanji_dict_loaded = False
+
+
+class TestDerivedJaReadings:
+    def test_ipa_to_kana_roundtrip(self):
+        from whisper_ipa_tpu.data.prep.g2p.derive_ja_readings import (
+            ipa_to_kana,
+        )
+        from whisper_ipa_tpu.data.prep.g2p.japanese import kana_to_ipa
+
+        for ipa in ("ɡätsɯ", "ɲitɕi", "dʑɯː", "kjo̞ː", "ke̞ɴ",
+                    "tɕːɯː", "çiɾä", "ɕo̞ːɡäkːo̞ː"):
+            kana = ipa_to_kana(ipa)
+            assert kana, ipa
+            assert kana_to_ipa(kana) == ipa
+
+    def test_corpus_tsv_ships_and_loads(self):
+        import os
+
+        import whisper_ipa_tpu.data.prep.g2p.japanese as jm
+
+        tsv = os.path.join(
+            os.path.dirname(os.path.abspath(jm.__file__)),
+            "ja_readings_corpus.tsv",
+        )
+        assert os.path.isfile(tsv)
+        n = sum(1 for ln in open(tsv, encoding="utf-8")
+                if not ln.startswith("#"))
+        assert n > 500  # derived from the reference CV ja corpus
+        table = jm._kanji_dict()
+        # a derived compound converts end-to-end
+        with open(tsv, encoding="utf-8") as f:
+            for ln in f:
+                if ln.startswith("#"):
+                    continue
+                word, kana = ln.rstrip("\n").split("\t")
+                assert table.get(word) == kana or word in table
+                assert jm.kana_to_ipa(word)  # converts, never raises
+                break
+
+    def test_sokuon_compound_sandhi(self):
+        from whisper_ipa_tpu.data.prep.g2p.japanese import kanji_to_kana
+
+        # がく + こう -> がっこう via the composition rule (the word
+        # itself is a built-in; use a synthetic compound instead)
+        assert kanji_to_kana("発単") == "はったん"

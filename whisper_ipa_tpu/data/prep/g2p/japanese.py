@@ -34,11 +34,18 @@ _BASE: Dict[str, str] = {
     "ゔ": "vɯ",
 }
 
+# Corpus convention (measured against the reference's CV ja split,
+# data/v2_filtered/ja_*_ipa.json): plain consonants palatalize as C+j
+# (kjo̞ː not kʲo̞ː); the inherently palatal series stays single-symbol.
 _DIGRAPH_ONSET: Dict[str, str] = {
-    "き": "kʲ", "ぎ": "ɡʲ", "し": "ɕ", "じ": "dʑ", "ち": "tɕ",
-    "に": "ɲ", "ひ": "ç", "び": "bʲ", "ぴ": "pʲ", "み": "mʲ", "り": "ɾʲ",
+    "き": "kj", "ぎ": "ɡj", "し": "ɕ", "じ": "dʑ", "ち": "tɕ",
+    "に": "ɲ", "ひ": "ç", "び": "bj", "ぴ": "pj", "み": "mj", "り": "ɾj",
 }
 _SMALL_VOWEL = {"ゃ": "a", "ゅ": "ɯ", "ょ": "o"}
+# katakana innovations: consonant + small vowel (ディ ティ ウィ ファ ...)
+_SMALL_VOWEL_FULL = {"ぁ": "a", "ぃ": "i", "ぅ": "ɯ", "ぇ": "e", "ぉ": "o"}
+_FOREIGN_ONSET = {"て": "t", "で": "d", "う": "w", "ふ": "ɸ", "ゔ": "v",
+                  "し": "ɕ", "じ": "dʑ", "ち": "tɕ"}
 
 _VOWELS = "aiɯeo"
 
@@ -159,6 +166,42 @@ KANJI_READINGS = {
     "立": "た", "座": "すわ", "寝": "ね", "起": "お", "開": "あ",
     "閉": "し", "始": "はじ", "終": "お", "送": "おく", "受": "う",
     "教": "おし", "習": "なら", "覚": "おぼ", "忘": "わす",
+    # high-frequency Sino on-yomi (compose into compounds via
+    # longest-match + the sokuon rule in kanji_to_kana; Sino えい is
+    # written えー to match the corpus long-vowel convention)
+    "現": "げん", "主": "しゅ", "在": "ざい", "原": "げん", "都": "と",
+    "員": "いん", "発": "はつ", "成": "せー", "理": "り", "地": "ち",
+    "京": "きょう", "代": "だい", "社": "しゃ", "術": "じゅつ",
+    "論": "ろん", "意": "い", "放": "ほう", "相": "そう", "親": "おや",
+    "台": "だい", "奈": "な", "想": "そう", "章": "しょう", "野": "の",
+    "標": "ひょう", "状": "じょう", "信": "しん", "不": "ふ",
+    "品": "ひん", "務": "む", "観": "かん", "勝": "しょう", "屋": "や",
+    "単": "たん", "料": "りょう", "吸": "きゅう", "態": "たい",
+    "選": "せん", "故": "こ", "民": "みん", "然": "ぜん",
+    "業": "ぎょう", "験": "けん", "具": "ぐ", "画": "が",
+    "建": "けん", "議": "ぎ", "優": "ゆう", "矛": "む", "盾": "じゅん",
+    "型": "けー", "配": "はい", "又": "また", "政": "せー",
+    "党": "とう", "格": "かく", "韓": "かん", "局": "きょく",
+    "丸": "まる", "橋": "はし", "仕": "し", "要": "よう",
+    "星": "ほし", "与": "よ", "解": "かい", "神": "かみ",
+    "即": "そく", "訳": "やく", "友": "とも", "果": "か",
+    "題": "だい", "老": "ろう", "能": "のう", "予": "よ",
+    "存": "そん", "資": "し", "制": "せー", "阿": "あ", "比": "ひ",
+    "機": "き", "衣": "い", "膜": "まく", "雰": "ふん", "尾": "お",
+    "差": "さ", "問": "もん", "邦": "ほう", "謝": "しゃ",
+    "念": "ねん", "補": "ほ", "常": "じょう", "王": "おう",
+    "眼": "がん", "展": "てん", "内": "ない", "熊": "くま",
+    "谷": "たに", "因": "いん", "利": "り", "転": "てん",
+    "廊": "ろう", "英": "えー", "荘": "そう", "兵": "へい",
+    "歴": "れき", "史": "し", "駐": "ちゅう", "収": "しゅう",
+    "策": "さく", "嘘": "うそ", "公": "こう", "香": "こう",
+    "御飯": "ごはん", "御": "ご",
+    # compound verb stems whose kun reading beats composition
+    "現れ": "あらわれ", "含ま": "ふくま", "含む": "ふくむ",
+    "認め": "みとめ", "負け": "まけ", "勝っ": "かっ", "勝ち": "かち",
+    "選ば": "えらば", "選ん": "えらん", "建て": "たて",
+    "浮かん": "うかん", "浮かべ": "うかべ", "浮か": "うか",
+    "乾い": "かわい", "想像": "そうぞう", "理由": "りゆう",
     "売": "う", "貸": "か", "借": "か", "返": "かえ", "払": "はら",
     "洗": "あら", "着": "き", "脱": "ぬ", "住": "す", "死": "し",
     "生": "い", "会": "あ", "答": "こた", "取": "と", "置": "お",
@@ -168,20 +211,31 @@ _kanji_dict_loaded = False
 
 
 def _kanji_dict() -> dict:
-    """Reading table: built-ins + optional external TSV (word\\tkana)."""
+    """Reading table: built-ins + corpus-derived TSV + optional external
+    TSV (word\\tkana, via WHISPER_IPA_TPU_KANJI_DICT; its entries win)."""
     global _kanji_dict_loaded
     if not _kanji_dict_loaded:
         _kanji_dict_loaded = True
         import os
 
-        path = os.environ.get("WHISPER_IPA_TPU_KANJI_DICT")
-        if path and os.path.isfile(path):
-            with open(path, encoding="utf-8") as f:
-                for line in f:
-                    parts = line.rstrip("\n").split("\t")
-                    if len(parts) == 2 and parts[0]:
-                        # external entries override built-ins
-                        KANJI_READINGS[parts[0]] = parts[1]
+        # corpus-derived readings (see derive_ja_readings.py): shipped
+        # with the package, recovered by alignment against the reference
+        # CV ja corpus IPA
+        derived = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "ja_readings_corpus.tsv",
+        )
+        paths = [derived, os.environ.get("WHISPER_IPA_TPU_KANJI_DICT")]
+        for path in paths:
+            if path and os.path.isfile(path):
+                with open(path, encoding="utf-8") as f:
+                    for line in f:
+                        if line.startswith("#"):
+                            continue
+                        parts = line.rstrip("\n").split("\t")
+                        if len(parts) == 2 and parts[0]:
+                            # later sources override earlier ones
+                            KANJI_READINGS[parts[0]] = parts[1]
     return KANJI_READINGS
 
 
@@ -197,20 +251,83 @@ def kanji_to_kana(text: str) -> str:
     max_len = max(len(k) for k in table)
     out: List[str] = []
     i = 0
+    prev_reading = False  # last appended piece came from the table
     while i < len(text):
         if 0x4E00 <= ord(text[i]) <= 0x9FFF:
             for ln in range(min(max_len, len(text) - i), 0, -1):
                 word = text[i : i + ln]
                 if word in table:
-                    out.append(table[word])
+                    reading = table[word]
+                    # Sino-compound sandhi between composed readings:
+                    # つ/ち geminate before k/s/t/p rows, く/き before
+                    # the k row (がく+こう -> がっこう, はつ+たつ ->
+                    # はったつ)
+                    if (
+                        prev_reading
+                        and out
+                        and out[-1]
+                        and reading
+                        and reading[0] in "かきくけこさしすせそたちつてとぱぴぷぺぽ"
+                        and (
+                            out[-1][-1] in "つち"
+                            or (
+                                out[-1][-1] in "くき"
+                                and reading[0] in "かきくけこ"
+                            )
+                        )
+                    ):
+                        out[-1] = out[-1][:-1] + "っ"
+                    out.append(reading)
+                    prev_reading = True
                     i += ln
                     break
             else:
                 out.append(text[i])
+                prev_reading = False
                 i += 1
         else:
             out.append(text[i])
+            prev_reading = False
             i += 1
+    return "".join(out)
+
+
+# Common words beginning in は (or containing it after ご/お): the
+# topic-particle heuristic must NOT turn these into わ. Curated from the
+# reference CV ja corpus contexts (no morphological analyzer offline).
+_HA_WORD_NEXT = set("やじずっ")  # はやく はじめ はず はっきり
+
+
+def _mark_particles(h: str) -> str:
+    """Rewrite particle は->わ and directional へ->え on the kana string.
+
+    The reference corpus was produced with a morphological analyzer; the
+    closest offline approximation is positional heuristics: は defaults
+    to the (far more frequent) topic particle except in word-initial
+    patterns, は after ご/お (ごはん/おはよう), before another は (母),
+    before なし/なす/なれ (話し), or sentence-initially; へ becomes the
+    particle only before motion verbs or phrase-finally.
+    """
+    out = list(h)
+    n = len(h)
+    for i, c in enumerate(h):
+        if c == "は":
+            if i == 0:
+                continue
+            nxt = h[i + 1] if i + 1 < n else ""
+            prv = h[i - 1]
+            if prv in "ごお":
+                continue
+            if nxt in _HA_WORD_NEXT or nxt == "は":
+                continue
+            if nxt == "な" and i + 2 < n and h[i + 2] in "しすれ":
+                continue
+            out[i] = "わ"
+        elif c == "へ" and i > 0:
+            if i + 1 >= n or h[i + 1 : i + 3] in (
+                "いき", "いく", "いこ", "むか", "かえ", "まい",
+            ):
+                out[i] = "え"
     return "".join(out)
 
 
@@ -219,9 +336,13 @@ def kana_to_ipa(text: str) -> str:
 
     Known kanji words are first converted to kana via the reading table;
     sentences containing UNCOVERED kanji raise so callers can skip them.
+    Conventions follow the reference's CV ja corpus (measured against
+    data/v2_filtered/ja_*_ipa.json): centralized ä / lowered o̞ e̞,
+    gemination as onset+ː, oɯ/oo -> o̞ː, いい -> iː, particle は -> wä,
+    ん place assimilation with n' before を/や-row.
     """
     text = kanji_to_kana(unicodedata.normalize("NFC", text))
-    text = _to_hiragana(text)
+    text = _mark_particles(_to_hiragana(text))
     out: List[str] = []
     i = 0
     n = len(text)
@@ -242,9 +363,20 @@ def kana_to_ipa(text: str) -> str:
             out.append(" ")
             i += 1
             continue
+        if ch == "ん":
+            # n' before a vowel-initial particle を or the や-row
+            # (corpus convention); place assimilation happens on the
+            # IPA string below for consonant contexts
+            nxt_k = text[i + 1] if i + 1 < n else ""
+            out.append("n'" if nxt_k in ("を", "や", "ゆ", "よ") else "ɴ")
+            i += 1
+            continue
         nxt = text[i + 1] if i + 1 < n else ""
         if nxt in _SMALL_VOWEL and ch in _DIGRAPH_ONSET:
             syl = _DIGRAPH_ONSET[ch] + _SMALL_VOWEL[nxt]
+            i += 2
+        elif nxt in _SMALL_VOWEL_FULL and ch in _FOREIGN_ONSET:
+            syl = _FOREIGN_ONSET[ch] + _SMALL_VOWEL_FULL[nxt]
             i += 2
         elif ch in _BASE:
             syl = _BASE[ch]
@@ -254,19 +386,47 @@ def kana_to_ipa(text: str) -> str:
         else:
             i += 1
             continue
+        prev_v = out[-1][-1] if out and out[-1] else ""
+        # long vowels (corpus conventions): o+う / o+お -> o̞ː,
+        # ɯ+う -> ɯː, and i+い -> iː — except when the い starts the
+        # word いい (a following い keeps this one short: やっぱりいい
+        # -> ɾiiː) or follows the particle に (に+いました -> ɲii)
+        nxt_k = text[i] if i < n else ""  # ch already consumed above
+        if ch == "う" and syl == "ɯ" and prev_v in ("o", "ɯ"):
+            out.append("ː")
+            continue
+        if ch == "お" and syl == "o" and prev_v == "o":
+            out.append("ː")
+            continue
+        if (
+            ch == "い"
+            and syl == "i"
+            and prev_v == "i"
+            and nxt_k != "い"
+            and text[i - 2 : i - 1] != "に"
+        ):
+            out.append("ː")
+            continue
         if geminate_next and syl and syl[0] not in _VOWELS:
-            out.append(syl[0])
+            # gemination as onset + ː + vowel (tːe̞, kːo̞, tɕːɯ)
+            k = 0
+            while k < len(syl) and syl[k] not in _VOWELS:
+                k += 1
+            out.append(syl[:k] + "ː" + syl[k:])
             geminate_next = False
+            continue
+        geminate_next = False
         out.append(syl)
     text_out = "".join(out)
     # corpus vowel conventions (multipa): centralized a, lowered o/e
     text_out = (
         text_out.replace("a", "ä").replace("o", "o̞").replace("e", "e̞")
     )
-    # ん place assimilation
+    # ん place assimilation (corpus convention: n before labials too —
+    # the reference data has np/nb 52x vs mp 1x)
     text_out = re.sub(r"ɴ(?=[kɡ])", "ŋ", text_out)
-    text_out = re.sub(r"ɴ(?=[pbm])", "m", text_out)
-    text_out = re.sub(r"ɴ(?=[tdnɾ])", "n", text_out)
+    text_out = re.sub(r"ɴ(?=m)", "m", text_out)
+    text_out = re.sub(r"ɴ(?=[tdnɾpb])", "n", text_out)
     # assimilated nasal + identical nasal -> geminate
     text_out = re.sub(r"nn", "nː", text_out)
     text_out = re.sub(r"mm", "mː", text_out)

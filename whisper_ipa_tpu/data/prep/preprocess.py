@@ -102,7 +102,16 @@ def process_language(
             }
         )
     if errors:
-        print(f"  {errors} rows skipped (G2P errors)")
+        # skip-rate contract (round-5 verdict): the ja split silently
+        # shrank when uncovered-kanji sentences were dropped — always
+        # say how much of the split the G2P actually covered
+        attempted = errors + len(entries)
+        print(
+            f"  {errors} rows skipped (G2P errors) — "
+            f"{lang}/{split} G2P skip rate "
+            f"{100.0 * errors / max(attempted, 1):.1f}% "
+            f"({len(entries)}/{attempted} kept)"
+        )
     return entries
 
 

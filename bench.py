@@ -632,7 +632,8 @@ def bench_continuous(slots=8, n_requests=32, sample_len=48,
                      steps_per_sync=4, model="small", draft_k=0,
                      checkpoint=None, draft_checkpoint=None,
                      draft="tiny", data_json=None, medusa_weights=None,
-                     medusa_tree=False, join_fast_sync=True):
+                     medusa_tree=False, join_fast_sync=True,
+                     adaptive_sync=False):
     """Continuous-batching engine under staggered load on the real chip.
 
     Submits n_requests with small arrival jitter and reports end-to-end
@@ -686,6 +687,7 @@ def bench_continuous(slots=8, n_requests=32, sample_len=48,
         draft_k=draft_k, draft_params=draft_params, draft_cfg=draft_cfg,
         medusa_params=medusa_params, medusa_tree=tree, tokenizer=tokenizer,
         join_fast_sync=join_fast_sync,
+        adaptive_sync=adaptive_sync,
     )
     if data_json:
         import json as _json
@@ -893,6 +895,12 @@ def main():
         "--trained-row", action="store_true", default=True,
         help="append a trained-checkpoint real-audio measurement to the "
         "default bench when one is discoverable (see discover_trained)",
+    )
+    ap.add_argument(
+        "--adaptive-sync", action="store_true",
+        help="engine bench: long chunks when no joins are pending "
+        "(steps_per_sync x4, on-device early exit) — trades join "
+        "latency for fewer host syncs",
     )
     ap.add_argument(
         "--no-join-fast-sync", dest="join_fast_sync",
@@ -1212,6 +1220,7 @@ def main():
             medusa_weights=args.medusa_weights,
             medusa_tree=args.medusa_tree,
             join_fast_sync=args.join_fast_sync,
+            adaptive_sync=args.adaptive_sync,
         )
         print(
             json.dumps(

@@ -728,3 +728,31 @@ def test_dp_tp_sharded_engine_matches_plain_greedy(params, tok):
         assert any("model" in s for s in specs)
     finally:
         eng.close()
+
+
+def test_adaptive_sync_matches_and_fires(params, tok):
+    """adaptive_sync long chunks must be token-identical to the fixed
+    engine (the on-device early exit changes nothing but wall time) and
+    must actually take long chunks when the queue is empty."""
+    rng = np.random.default_rng(13)
+    audios = [
+        rng.standard_normal(16000).astype(np.float32) * 0.1
+        for _ in range(3)
+    ]
+    outs = {}
+    for adaptive in (True, False):
+        eng = ContinuousBatcher(
+            params, CFG, slots=2, max_new_tokens=MAX_NEW,
+            steps_per_sync=2, language="en", tokenizer=tok,
+            adaptive_sync=adaptive,
+        )
+        try:
+            futs = [eng.submit(a) for a in audios]
+            outs[adaptive] = [f.result(timeout=600)["tokens"] for f in futs]
+            if adaptive:
+                assert eng.stats()["long_chunks"] >= 1
+        finally:
+            eng.close()
+    assert outs[True] == outs[False]
+    for a, t in zip(audios, outs[True]):
+        assert t == reference_tokens(params, a, tok)

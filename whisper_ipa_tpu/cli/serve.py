@@ -156,6 +156,11 @@ def main(argv=None):
     p.add_argument("--max-new-tokens", type=int, default=128)
     p.add_argument("--steps-per-sync", type=int, default=4)
     p.add_argument(
+        "--adaptive-sync", action="store_true",
+        help="continuous engine: long decode chunks when no joins are "
+        "pending (throughput knob; raises worst-case join latency)",
+    )
+    p.add_argument(
         "--no-join-fast-sync", dest="join_fast_sync",
         action="store_false", default=True,
         help="disable the 1-round chunk after a join (TTFT fast path)",
@@ -281,6 +286,7 @@ def main(argv=None):
             max_new_tokens=args.max_new_tokens,
             steps_per_sync=args.steps_per_sync,
             join_fast_sync=args.join_fast_sync,
+            adaptive_sync=args.adaptive_sync,
             language=args.language,
             bf16=True,
             kv_int8=True,

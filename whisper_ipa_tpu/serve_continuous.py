@@ -229,12 +229,26 @@ def _decode_chunk(
     n_prefix + max_new and never writes KV beyond the cache; a
     start-clamped dynamic_update_slice would silently corrupt the
     frontier row otherwise).
+
+    Runs as a while_loop with an all-halted early exit: once every slot
+    is finished (or budget-frozen) the device stops instead of burning
+    the remaining rounds on frozen state. Output-identical to the fixed
+    lax.scan it replaces — halted slots emit -1 either way, and the
+    token buffer is pre-filled with -1 — but long chunks (the adaptive
+    steps-per-sync mode) stop paying for drained batches.
     """
     dtype = jnp.dtype(dtype_name)
     params = cast_decoder_blocks(params, dtype)
+    B = last_tok.shape[0]
+    toks_buf = jnp.full((n_steps, B), -1, jnp.int32)
 
-    def body(carry, _):
-        cache, last_tok, lens, finished = carry
+    def cond(state):
+        step, cache, last_tok, lens, finished, toks = state
+        halted = finished | (lens - n_prefix >= max_new)
+        return (step < n_steps) & ~jnp.all(halted)
+
+    def body(state):
+        step, cache, last_tok, lens, finished, toks = state
         halted = finished | (lens - n_prefix >= max_new)
         logits, cache = decode_step_multipos(
             params, cfg, last_tok[:, None], cache, lens - 1, dtype=dtype
@@ -246,10 +260,13 @@ def _decode_chunk(
         lens = jnp.where(halted, lens, lens + 1)
         finished = halted | (nxt == eot)
         last_tok = jnp.where((nxt == eot) | (nxt < 0), last_tok, nxt)
-        return (cache, last_tok, lens, finished), nxt
+        toks = jax.lax.dynamic_update_slice(toks, nxt[None, :], (step, 0))
+        return step + 1, cache, last_tok, lens, finished, toks
 
-    (cache, last_tok, lens, finished), toks = jax.lax.scan(
-        body, (cache, last_tok, lens, finished), None, length=n_steps
+    state = (jnp.array(0, jnp.int32), cache, last_tok, lens, finished,
+             toks_buf)
+    _, cache, last_tok, lens, finished, toks = jax.lax.while_loop(
+        cond, body, state
     )
     return cache, last_tok, lens, finished, toks
 
@@ -741,6 +758,8 @@ class ContinuousBatcher:
         max_pending: Optional[int] = None,
         join_fast_sync: bool = True,
         prewarm: bool = False,
+        adaptive_sync: bool = False,
+        adaptive_mult: int = 4,
     ):
         """draft_k > 0 turns on in-flight speculation: model-free n-gram
         drafts by default, or a persistent DRAFT MODEL when
@@ -781,7 +800,16 @@ class ContinuousBatcher:
         in __init__ — both rounds=steps_per_sync and, with
         join_fast_sync, rounds=1 — so no request ever pays a compile.
         Off by default: tests and short-lived engines shouldn't pay
-        multi-program compiles up front; the serve CLI turns it on."""
+        multi-program compiles up front; the serve CLI turns it on.
+        adaptive_sync: when no work is waiting to join (empty queue, no
+        continuations, nothing admitted this loop), run a LONG chunk of
+        steps_per_sync*adaptive_mult rounds instead — every host sync
+        through the axon tunnel costs 0.1-0.4 s, so fewer syncs buys
+        throughput when arrivals are sparse. The chunk's on-device
+        all-halted early exit keeps drained batches from paying for the
+        longer program. Tradeoff: a request arriving mid-long-chunk
+        waits up to adaptive_mult times longer to join (TTFT) — off by
+        default, a throughput knob for batch-style serving."""
         if (draft_params is None) != (draft_cfg is None):
             raise ValueError("draft_params and draft_cfg go together")
         if medusa_params is not None and draft_params is not None:
@@ -852,6 +880,9 @@ class ContinuousBatcher:
         self.slots = slots
         self.max_new = max_new_tokens
         self.steps_per_sync = steps_per_sync
+        self.adaptive_sync = adaptive_sync
+        self.adaptive_rounds = max(steps_per_sync * adaptive_mult,
+                                   steps_per_sync + 1)
         self.join_fast_sync = join_fast_sync and steps_per_sync > 1
         self.draft_k = draft_k
         self.dtype_name = "bfloat16" if bf16 else "float32"
@@ -957,7 +988,7 @@ class ContinuousBatcher:
         self._stop = threading.Event()
         self._stats = {
             "requests": 0, "joins": 0, "chunks": 0, "fast_chunks": 0,
-            "spec_rounds": 0, "spec_emitted": 0,
+            "long_chunks": 0, "spec_rounds": 0, "spec_emitted": 0,
             "rejected": 0, "cancelled": 0, "timed_out": 0,
         }
         if prewarm:
@@ -1315,6 +1346,8 @@ class ContinuousBatcher:
         variants = [self.steps_per_sync]
         if self.join_fast_sync and 1 not in variants:
             variants.append(1)
+        if self.adaptive_sync and self.adaptive_rounds not in variants:
+            variants.append(self.adaptive_rounds)
         for rounds in variants:
             if self.draft_k > 0:
                 self._spec_round([], rounds)
@@ -1341,7 +1374,8 @@ class ContinuousBatcher:
                     self.max_new,
                     dtype_name=self.dtype_name,
                 )
-        for k in ("chunks", "fast_chunks", "spec_rounds", "spec_emitted"):
+        for k in ("chunks", "fast_chunks", "long_chunks", "spec_rounds",
+                  "spec_emitted"):
             self._stats[k] = 0
 
     def _spec_round(self, active: List[int], rounds: int):
@@ -1552,6 +1586,16 @@ class ContinuousBatcher:
         if self.join_fast_sync and admitted:
             rounds = 1
             self._stats["fast_chunks"] += 1
+        elif (
+            self.adaptive_sync
+            and self._queue.empty()
+            and not self._continuations
+        ):
+            # nothing waiting to join: take a long chunk to amortize the
+            # host sync (0.1-0.4 s through the tunnel); the on-device
+            # early exit stops it as soon as every slot drains
+            rounds = self.adaptive_rounds
+            self._stats["long_chunks"] += 1
 
         if self.draft_k > 0:
             self._spec_round(active, rounds)

@@ -63,22 +63,35 @@ def point(batch, beam=5, sample_len=48, iters=3, model="small"):
 
 
 def main():
+    import argparse
     import os
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="small")
+    ap.add_argument("--batches", type=int, nargs="+",
+                    default=[8, 16, 32, 64])
+    ap.add_argument("--sample-len", type=int, default=48)
+    ap.add_argument("--no-legacy", action="store_true",
+                    help="skip the legacy-variant A/B (large models: "
+                    "each compile costs many tunnel-minutes)")
+    args = ap.parse_args()
+
     rows = []
-    for batch in (8, 16, 32, 64):
+    for batch in args.batches:
         for variant in ("v2", "legacy"):
-            if variant == "legacy" and batch > 16:
+            if variant == "legacy" and (args.no_legacy or batch > 16):
                 continue  # legacy A/B at small batches only (compile cost)
             os.environ.pop("WHISPER_IPA_TPU_LEGACY_BEAM", None)
             if variant == "legacy":
                 os.environ["WHISPER_IPA_TPU_LEGACY_BEAM"] = "1"
             try:
-                r = point(batch)
+                r = point(batch, sample_len=args.sample_len,
+                          model=args.model)
                 r["variant"] = variant
                 rows.append(r)
                 print(
-                    f"beam5 {variant} batch {r['batch']}: RTF {r['rtf']:.1f}x"
+                    f"beam5 {args.model} {variant} batch {r['batch']}: "
+                    f"RTF {r['rtf']:.1f}x"
                     f" ({r['elapsed']:.2f}s/iter, "
                     f"compile {r['compile_s']:.0f}s)",
                     flush=True,

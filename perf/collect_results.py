@@ -35,6 +35,10 @@ CANDIDATES = [
      "training_summary_small.json"),
     ("artifacts/corpus/medusa_small.safetensors.accuracy.json",
      "medusa_small_accuracy.json"),
+    ("artifacts/corpus/run_small/perturbed_eval.json",
+     "perturbed_eval_small.json"),
+    ("artifacts/corpus/run_tiny/perturbed_eval.json",
+     "perturbed_eval_tiny.json"),
     # legacy /tmp locations (pre-reboot-proofing runs)
     ("/tmp/corpus/run_tiny/corpus_report.json",
      "corpus_report_tiny.json"),

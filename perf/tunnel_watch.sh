@@ -22,7 +22,7 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 source perf/probe_device.sh
 PROBE_INTERVAL=${PROBE_INTERVAL:-300}
 MAX_WAIT_S=${MAX_WAIT_S:-36000}
-MARK=/tmp/qmark
+MARK=${MARK:-/tmp/qmark}
 mkdir -p "$MARK"
 LAST_UP=$(date +%s)
 

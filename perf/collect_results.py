@@ -12,6 +12,7 @@ Usage: python perf/collect_results.py   (idempotent; prints what it did)
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -48,6 +49,42 @@ CANDIDATES = [
 ]
 
 
+# Measurement queue logs + done-markers: the raw evidence behind the
+# PERF.md tables. /tmp is reboot-volatile (it already ate queues 6/7's
+# markers this round), so snapshot anything small enough for git.
+LOG_GLOBS = ["/tmp/q8_*.log", "/tmp/qmark8/*.done", "/tmp/queue_run.log",
+             "/tmp/watch8.log", "/tmp/supervisor8.log"]
+MAX_LOG_BYTES = 2 * 1024 * 1024
+
+
+def collect_logs() -> int:
+    dst_dir = os.path.join(RESULTS, "logs")
+    os.makedirs(dst_dir, exist_ok=True)
+    copied = 0
+    for pattern in LOG_GLOBS:
+        for path in sorted(glob.glob(pattern)):
+            try:
+                size = os.path.getsize(path)
+            except OSError:
+                continue
+            if size > MAX_LOG_BYTES:
+                # keep the tail — the summary/result lines live there
+                dst = os.path.join(dst_dir, os.path.basename(path))
+                with open(path, "rb") as f:
+                    f.seek(-MAX_LOG_BYTES, os.SEEK_END)
+                    data = f.read()
+                with open(dst, "wb") as f:
+                    f.write(b"[truncated to last 2 MiB]\n" + data)
+            else:
+                name = os.path.basename(path)
+                if path.endswith(".done"):
+                    name = "qmark8_" + name
+                dst = os.path.join(dst_dir, name)
+                shutil.copyfile(path, dst)
+            copied += 1
+    return copied
+
+
 def main() -> None:
     os.makedirs(RESULTS, exist_ok=True)
     copied = 0
@@ -72,7 +109,8 @@ def main() -> None:
         shutil.copyfile(path, dst)
         print(f"{path} -> results/{dst_name}")
         copied += 1
-    print(f"collected {copied} result file(s) into {RESULTS}")
+    n_logs = collect_logs()
+    print(f"collected {copied} result file(s) + {n_logs} log(s) into {RESULTS}")
 
 
 if __name__ == "__main__":

@@ -53,7 +53,9 @@ CANDIDATES = [
 # PERF.md tables. /tmp is reboot-volatile (it already ate queues 6/7's
 # markers this round), so snapshot anything small enough for git.
 LOG_GLOBS = ["/tmp/q8_*.log", "/tmp/qmark8/*.done", "/tmp/queue_run.log",
-             "/tmp/watch8.log", "/tmp/supervisor8.log"]
+             "/tmp/watch8.log", "/tmp/supervisor8.log",
+             "/tmp/q9_*.log", "/tmp/qmark9/*.done",
+             "/tmp/watch9.log", "/tmp/supervisor9.log"]
 MAX_LOG_BYTES = 2 * 1024 * 1024
 
 
@@ -78,7 +80,8 @@ def collect_logs() -> int:
             else:
                 name = os.path.basename(path)
                 if path.endswith(".done"):
-                    name = "qmark8_" + name
+                    mark = os.path.basename(os.path.dirname(path))
+                    name = mark + "_" + name
                 dst = os.path.join(dst_dir, name)
                 shutil.copyfile(path, dst)
             copied += 1
@@ -93,19 +96,28 @@ def main() -> None:
         if not os.path.isfile(path):
             continue
         dst = os.path.join(RESULTS, dst_name)
-        if os.path.isfile(dst):
-            try:  # keep the newer file
-                if os.path.getmtime(dst) >= os.path.getmtime(path):
-                    continue
-            except OSError:
-                continue
         # validate it's real JSON before tracking it
         try:
             with open(path) as f:
-                json.load(f)
+                src_text = f.read()
+            json.loads(src_text)
         except Exception as e:
             print(f"skip {path}: not valid JSON ({e})")
             continue
+        if os.path.isfile(dst):
+            with open(dst) as f:
+                if f.read() == src_text:
+                    continue  # already collected
+            # NEVER clobber an already-tracked result with a different
+            # re-run (e.g. queue 9's deadline-sized 1000-step tiny vs
+            # the tracked 4000-step run): keep both, suffixed.
+            stem, ext = os.path.splitext(dst_name)
+            dst_name = f"{stem}_q9{ext}"
+            dst = os.path.join(RESULTS, dst_name)
+            if os.path.isfile(dst):
+                with open(dst) as f:
+                    if f.read() == src_text:
+                        continue
         shutil.copyfile(path, dst)
         print(f"{path} -> results/{dst_name}")
         copied += 1
